@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""North-star benchmark: outer-Solar-System 6-body Taylor integration,
+10k parallel trajectories, steps/sec/chip + energy-drift parity.
+
+Reference configuration: heyoka ``benchmark/outer_ss_long_term_batch.cpp``
+(Sun+Jupiter+Saturn+Uranus+Neptune+Pluto, AU/years units, tol=1e-15,
+high_accuracy) — see BASELINE.md.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Baseline for the ratio: the reference's batch-mode (AVX-512, 8 lanes/core)
+throughput on one Xeon 8360Y *core* is on the order of 1e6 steps/s for this
+system (order-20 jet over ~200 u-vars ~ 1e5 flops/step; published results are
+comparative plots only, doc/benchmarks.rst). We use 1.0e6 steps/s/core as the
+documented per-core yardstick — i.e. vs_baseline is "equivalent 8360Y cores
+per TPU chip".
+"""
+
+import json
+import math
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 1.0e6  # heyoka batch mode, one Xeon 8360Y core (est.)
+
+# Outer solar system: masses (solar masses), G in AU^3/(Msun yr^2),
+# J2000-ish initial conditions in AU and AU/yr (the standard configuration
+# of the reference benchmark / DiffEq benchmarks).
+MASSES = [
+    1.00000597682,
+    1.0 / 1047.355,
+    1.0 / 3501.6,
+    1.0 / 22869.0,
+    1.0 / 19314.0,
+    7.4074074e-09,
+]
+GCONST = 0.01720209895**2 * 365 * 365
+
+IC = np.array([
+    # Sun
+    -4.06428567034226e-3, -6.08813756435987e-3, -1.66162304225834e-6,
+    +6.69048890636161e-6 * 365, -6.33922479583593e-6 * 365, -3.13202145590767e-9 * 365,
+    # Jupiter
+    +3.40546614227466e+0, +3.62978190075864e+0, +3.42386261766577e-2,
+    -5.59797969310664e-3 * 365, +5.51815399480116e-3 * 365, -2.66711392865591e-6 * 365,
+    # Saturn
+    +6.60801554403466e+0, +6.38084674585064e+0, -1.36145963724542e-1,
+    -4.17354020307064e-3 * 365, +3.99723751748116e-3 * 365, +1.67206320571441e-5 * 365,
+    # Uranus
+    +1.11636331405597e+1, +1.60373479057256e+1, +3.61783279369958e-1,
+    -3.25884806151064e-3 * 365, +2.06438412905916e-3 * 365, -2.17699042180559e-5 * 365,
+    # Neptune
+    -3.01777243405203e+1, +1.91155314998064e+0, -1.53887595621042e-1,
+    -2.17471785045538e-4 * 365, -3.11361111025884e-3 * 365, +3.58344705491441e-5 * 365,
+    # Pluto
+    -2.13858977531573e+1, +3.20719104739886e+1, +2.49245689556096e+0,
+    -1.76936577252484e-3 * 365, -2.06720938381724e-3 * 365, +6.58091931493844e-4 * 365,
+])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import heyoka_tpu as hy
+    from heyoka_tpu.models import nbody, nbody_energy
+    from heyoka_tpu.expr.decompose import taylor_decompose_sys
+    from heyoka_tpu.taylor import loops as hloops
+    from heyoka_tpu.taylor.stepper import taylor_order_from_tol
+
+    BATCH = 10_240
+    TOL = 1e-15
+    N_STEPS = 40  # timed adaptive steps per trajectory
+    dtype = jnp.float64
+
+    sys_ = nbody(6, masses=MASSES, Gconst=GCONST)
+    tape = taylor_decompose_sys(sys_)
+    order = taylor_order_from_tol(TOL)
+    fns = hloops.make_step_fns(tape, order, dtype, high_accuracy=True)
+
+    # perturbed ensemble of initial states (like the reference's perturb)
+    rng = np.random.default_rng(0)
+    states = IC[None, :] + np.abs(IC)[None, :] * (
+        rng.uniform(-1, 1, (BATCH, IC.size)) * 1e-8
+    )
+    states = jnp.asarray(states, dtype)
+    pars = jnp.zeros((BATCH, 0), dtype)
+    t0 = jnp.zeros((BATCH,), dtype)
+
+    def k_steps(state, pars_, t_hi):
+        def body(_, carry):
+            st, th = carry
+            new_state, h, _tc = hloops.single_step(
+                fns, st, pars_, th, jnp.asarray(math.inf, dtype)
+            )
+            return new_state, th + h
+
+        return lax.fori_loop(0, N_STEPS, body, (state, t_hi))
+
+    stepper = jax.jit(jax.vmap(k_steps))
+
+    # warmup / compile
+    out = stepper(states, pars, t0)
+    jax.block_until_ready(out)
+
+    t_start = time.perf_counter()
+    out = stepper(states, pars, t0)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t_start
+
+    steps_per_sec = BATCH * N_STEPS / elapsed
+
+    # energy drift parity over a 100-year propagation of a small sub-batch
+    en = nbody_energy(6, masses=MASSES, Gconst=GCONST)
+    cf = hy.make_cfunc([en], dtype=dtype)
+    names = cf.tape.var_names
+    sys_names = [lhs.name for lhs, _ in sys_]
+    perm = [sys_names.index(n) for n in names]
+
+    sub = 64
+    pu = jax.jit(jax.vmap(hloops.make_propagate_until(fns), in_axes=(0, 0, 0, 0, None, None, None, None)))
+    res = pu(
+        states[:sub], pars[:sub], t0[:sub], t0[:sub],
+        jnp.asarray(100.0, dtype), jnp.asarray(0.0, dtype),
+        jnp.asarray(math.inf, dtype), jnp.asarray(0, jnp.int64),
+    )
+    jax.block_until_ready(res)
+    e0 = np.asarray(cf(np.asarray(states[:sub])[:, perm]))[:, 0]
+    e1 = np.asarray(cf(np.asarray(res["state"])[:, perm]))[:, 0]
+    drift = float(np.max(np.abs((e1 - e0) / e0)))
+
+    result = {
+        "metric": "outer_ss_6body_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 1),
+        "unit": "adaptive Taylor steps/s (batch=10240, tol=1e-15, f64, high_accuracy)",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "energy_drift_100yr": drift,
+        "elapsed_s": round(elapsed, 3),
+        "order": order,
+        "n_uvars": tape.n_uvars,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

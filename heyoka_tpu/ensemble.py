@@ -1,0 +1,172 @@
+"""Ensemble propagation over the device mesh.
+
+Reference parity: heyoka ``ensemble_propagate_until/for/grid``
+(``include/heyoka/ensemble_propagate.hpp:108-269``,
+``src/ensemble_propagate.cpp:47-88``): run N independent instances of an
+integrator, each customized by a generator, in parallel.
+
+TPU-native design (the distributed story, SURVEY.md §2 #23): trajectories are
+embarrassingly parallel, so the ensemble is a ``vmap`` over the trajectory
+axis, ``shard_map``-ed across a ``jax.sharding.Mesh`` so each device runs its
+shard's lockstep ``lax.while_loop`` *independently* (no global convergence
+barrier between shards — a device whose trajectories finished early goes
+idle, exactly like a TBB worker finishing its range early in the reference).
+Multi-host meshes ride DCN via ``jax.distributed``; no collectives appear in
+the hot loop, only at result gathering.
+"""
+
+from __future__ import annotations
+
+import math as _pymath
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .taylor import loops as _loops
+from .taylor.outcome import TaylorOutcome
+
+
+def _build_inputs(ta, n_iter, gen):
+    """Materialize per-instance (state, pars, time) from the generator.
+
+    ``gen(i) -> dict`` may override ``state``, ``pars``, ``time`` for
+    instance i (the analog of heyoka's ``gen(ta_copy, i)`` mutation hook).
+    Alternatively ``gen`` may be a dict of stacked arrays.
+    """
+    dim = ta.dim
+    n_pars = ta._tape.n_pars
+    dtype = ta._dtype
+    if isinstance(gen, dict):
+        states = np.asarray(gen.get("state"), dtype=dtype)
+        pars = gen.get("pars")
+        pars = (
+            np.zeros((n_iter, n_pars), dtype=dtype)
+            if pars is None
+            else np.asarray(pars, dtype=dtype).reshape(n_iter, n_pars)
+        )
+        times = gen.get("time")
+        times = (
+            np.full((n_iter,), ta.time, dtype=dtype)
+            if times is None
+            else np.broadcast_to(np.asarray(times, dtype=dtype), (n_iter,))
+        )
+        return states, pars, times
+
+    states = np.empty((n_iter, dim), dtype=dtype)
+    pars = np.empty((n_iter, n_pars), dtype=dtype)
+    times = np.empty((n_iter,), dtype=dtype)
+    for i in range(n_iter):
+        over = gen(i) or {}
+        states[i] = np.asarray(over.get("state", ta.state), dtype=dtype)
+        pars[i] = np.asarray(over.get("pars", ta.pars), dtype=dtype).reshape(n_pars)
+        times[i] = float(over.get("time", ta.time))
+    return states, pars, times
+
+
+def _mesh_shard(fun, mesh, n_args):
+    """shard_map ``fun`` over the trajectory axis of an (optional) mesh."""
+    if mesh is None:
+        return fun
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    specs = tuple(P(axis) for _ in range(n_args))
+    return shard_map(
+        fun, mesh=mesh, in_specs=specs, out_specs=P(axis), check_rep=False
+    )
+
+
+def ensemble_propagate_until(
+    ta, t, n_iter: int, gen, *, max_delta_t=None, max_steps=0, mesh=None
+):
+    """Propagate ``n_iter`` customized instances until time ``t``.
+
+    Returns a dict of stacked results: state, time, outcome, min_h, max_h,
+    nsteps (the array analog of the reference's vector of result tuples).
+    When ``mesh`` is given, the trajectory axis is sharded across its first
+    axis (``n_iter`` must be divisible by the mesh size).
+    """
+    states, pars, times = _build_inputs(ta, n_iter, gen)
+    if max_delta_t is None:
+        max_delta_t = _pymath.inf
+    dtype = ta._dtype
+
+    pu = _loops.make_propagate_until(ta._fns)
+
+    def one(state, pars_, t_hi, t_lo, tgt):
+        return pu(
+            state, pars_, t_hi, t_lo, tgt, jnp.asarray(0.0, dtype),
+            jnp.asarray(float(max_delta_t), dtype),
+            jnp.asarray(int(max_steps), jnp.int64),
+        )
+
+    vm = jax.vmap(one)
+    fn = jax.jit(_mesh_shard(vm, mesh, 5))
+
+    targets = jnp.broadcast_to(jnp.asarray(t, dtype), (n_iter,))
+    res = fn(
+        jnp.asarray(states),
+        jnp.asarray(pars),
+        jnp.asarray(times),
+        jnp.zeros((n_iter,), dtype),
+        targets,
+    )
+    return {
+        "state": res["state"],
+        "time": res["t_hi"] + res["t_lo"],
+        "outcome": res["outcome"],
+        "min_h": res["min_h"],
+        "max_h": res["max_h"],
+        "nsteps": res["nsteps"],
+    }
+
+
+def ensemble_propagate_for(ta, delta_t, n_iter: int, gen, **kw):
+    states, pars, times = _build_inputs(ta, n_iter, gen)
+    # target per instance = its own start time + delta
+    t = times + float(delta_t)
+    return ensemble_propagate_until(
+        ta, t, n_iter, {"state": states, "pars": pars, "time": times}, **kw
+    )
+
+
+def ensemble_propagate_grid(
+    ta, grid, n_iter: int, gen, *, max_delta_t=None, max_steps=0, mesh=None
+):
+    """Ensemble dense-output sampling on a shared grid; returns the stacked
+    output array (n_iter, len(grid), dim) plus per-instance diagnostics."""
+    states, pars, times = _build_inputs(ta, n_iter, gen)
+    if max_delta_t is None:
+        max_delta_t = _pymath.inf
+    dtype = ta._dtype
+    grid = jnp.asarray(np.asarray(grid, dtype=dtype))
+
+    pg = _loops.make_propagate_grid(ta._fns)
+
+    def one(state, pars_, t_hi, t_lo):
+        return pg(
+            state, pars_, t_hi, t_lo, grid,
+            jnp.asarray(float(max_delta_t), dtype),
+            jnp.asarray(int(max_steps), jnp.int64),
+        )
+
+    vm = jax.vmap(one)
+    fn = jax.jit(_mesh_shard(vm, mesh, 4))
+
+    res = fn(
+        jnp.asarray(states),
+        jnp.asarray(pars),
+        jnp.asarray(times),
+        jnp.zeros((n_iter,), dtype),
+    )
+    return {
+        "out": res["out"],
+        "state": res["state"],
+        "time": res["t_hi"] + res["t_lo"],
+        "outcome": res["outcome"],
+        "min_h": res["min_h"],
+        "max_h": res["max_h"],
+        "nsteps": res["nsteps"],
+    }

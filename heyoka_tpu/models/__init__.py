@@ -1,0 +1,30 @@
+"""Model library (heyoka ``src/model/*.cpp`` parity).
+
+Symbolic factory functions returning ODE systems (lists of (var, rhs) pairs)
+or expressions (energies, potentials), exactly like the reference's
+``heyoka::model`` namespace.
+"""
+
+from .pendulum import pendulum, pendulum_energy  # noqa: F401
+from .nbody import (  # noqa: F401
+    nbody,
+    nbody_energy,
+    nbody_potential,
+    np1body,
+    np1body_energy,
+    np1body_potential,
+)
+from .fixed_centres import (  # noqa: F401
+    fixed_centres,
+    fixed_centres_energy,
+    fixed_centres_potential,
+)
+from .cr3bp import cr3bp, cr3bp_jacobi, pcr3bp  # noqa: F401
+from .rotating import rotating, rotating_energy, rotating_potential  # noqa: F401
+from .mascon import mascon, mascon_energy, mascon_potential  # noqa: F401
+from .ffnn import ffnn  # noqa: F401
+from .kepler import (  # noqa: F401
+    kepler_to_cartesian,
+    cartesian_to_kepler,
+    lagrange_prop,
+)

@@ -1,0 +1,10 @@
+"""Taylor-method integrator core.
+
+TPU-native analog of heyoka's ``src/taylor_0{0,1,2}.cpp`` /
+``src/taylor_adaptive*.cpp``: the per-order jet of normalized Taylor
+coefficients is built as one XLA computation from the decomposed tape,
+adaptive step-size control follows Jorba's rho prescription, and all
+propagation loops run on-device inside ``lax.while_loop``.
+"""
+
+from . import recurrences, jet, stepper, adaptive, batch, outcome  # noqa: F401

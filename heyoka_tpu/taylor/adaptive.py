@@ -1,0 +1,423 @@
+"""The adaptive Taylor integrator (scalar facade).
+
+Reference parity: heyoka ``taylor_adaptive<T>`` (``include/heyoka/taylor.hpp:355-670``,
+``src/taylor_adaptive.cpp``): ``step()``, ``step_backward()``, ``step(max_dt)``,
+``propagate_for/until/grid``, ``update_d_output``, and the
+state/pars/time/tc/last_h accessors.
+
+Architecture (TPU-first): the integrator is a thin mutable facade over pure
+jitted drivers (``loops.py``).  All device state lives in a pytree of arrays;
+``propagate_*`` run entirely on-device inside ``lax.while_loop``.  The same
+pure drivers, ``vmap``-ed, power the batch integrator and, ``shard_map``-ed,
+the multi-chip ensembles.
+"""
+
+from __future__ import annotations
+
+import math as _pymath
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dfloat import dd_add_d, dd_add_dd, dd_normalize
+from ..expr.core import Expr, Variable, expr
+from ..expr.decompose import Tape, taylor_decompose_sys
+from .outcome import TaylorOutcome
+from . import loops as _loops
+from . import stepper as _st
+
+
+def _normalize_sys(sys_):
+    out = []
+    for item in sys_:
+        lhs, rhs = item
+        if isinstance(lhs, str):
+            lhs = Variable(lhs)
+        if not isinstance(lhs, Variable):
+            raise TypeError("ODE system lhs entries must be variables")
+        out.append((lhs, expr(rhs)))
+    return out
+
+
+class TaylorAdaptive:
+    """Adaptive Taylor integrator for a single trajectory.
+
+    Parameters mirror heyoka's kwargs (``taylor.hpp:393-397``): ``tol``
+    (default: machine eps of ``dtype``), ``high_accuracy``, ``pars``,
+    ``time``, ``t_events`` / ``nt_events``.  ``dtype`` replaces the
+    C++ template parameter ``T`` (float32/float64 on TPU).
+    """
+
+    def __init__(
+        self,
+        sys,
+        state,
+        *,
+        time=0.0,
+        pars=None,
+        tol=None,
+        high_accuracy=False,
+        compact_mode=False,
+        dtype=jnp.float64,
+        t_events=(),
+        nt_events=(),
+    ):
+        self._sys = _normalize_sys(sys)
+        self._dtype = jnp.dtype(dtype)
+        if tol is None:
+            tol = float(np.finfo(self._dtype).eps)
+        tol = float(tol)
+        self._tol = tol
+        self._order = _st.taylor_order_from_tol(tol)
+        self._high_accuracy = bool(high_accuracy)
+        self._compact_mode = bool(compact_mode)
+
+        self._t_events = list(t_events)
+        self._nt_events = list(nt_events)
+
+        # decompose (event equations ride along as sv_funcs so that their
+        # Taylor polynomials come out of the same jet, taylor.hpp:393-397)
+        ev_eqs = [ev.expression for ev in self._t_events] + [
+            ev.expression for ev in self._nt_events
+        ]
+        self._tape: Tape = taylor_decompose_sys(self._sys, extra_outputs=ev_eqs)
+
+        n_eq = self._tape.n_eq
+        state = np.asarray(state, dtype=self._dtype)
+        if state.shape != (n_eq,):
+            raise ValueError(
+                f"state must have shape ({n_eq},), got {state.shape}"
+            )
+        self._state = jnp.asarray(state)
+
+        n_pars = self._tape.n_pars
+        if pars is None:
+            pars = np.zeros((n_pars,), dtype=self._dtype)
+        pars = np.asarray(pars, dtype=self._dtype)
+        if pars.shape != (n_pars,) and n_pars > 0:
+            raise ValueError(f"pars must have shape ({n_pars},), got {pars.shape}")
+        self._pars = jnp.asarray(pars.reshape((n_pars,)))
+
+        self._t_hi = jnp.asarray(float(time), self._dtype)
+        self._t_lo = jnp.asarray(0.0, self._dtype)
+        self._last_h = jnp.asarray(0.0, self._dtype)
+        self._tc = jnp.zeros(
+            (self._order + 1, n_eq + len(ev_eqs)), self._dtype
+        )
+
+        self._fns = _loops.make_step_fns(
+            self._tape, self._order, self._dtype, self._high_accuracy
+        )
+        if self._t_events or self._nt_events:
+            from .events import make_event_step
+
+            self._ev_step = make_event_step(
+                self._fns, self._tape, self._t_events, self._nt_events,
+                self._dtype, self._tol,
+            )
+        else:
+            self._ev_step = None
+        self._te_cooldowns = jnp.zeros((len(self._t_events),), self._dtype)
+        self._event_stop = False
+
+    # -- introspection --------------------------------------------------------
+
+    @property
+    def sys(self):
+        return list(self._sys)
+
+    @property
+    def decomposition(self) -> Tape:
+        return self._tape
+
+    @property
+    def order(self) -> int:
+        return self._order
+
+    @property
+    def tol(self) -> float:
+        return self._tol
+
+    @property
+    def dim(self) -> int:
+        return self._tape.n_eq
+
+    @property
+    def high_accuracy(self) -> bool:
+        return self._high_accuracy
+
+    @property
+    def compact_mode(self) -> bool:
+        return self._compact_mode
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def state(self) -> np.ndarray:
+        return np.asarray(self._state)
+
+    @state.setter
+    def state(self, v):
+        v = np.asarray(v, dtype=self._dtype)
+        if v.shape != (self.dim,):
+            raise ValueError("bad state shape")
+        self._state = jnp.asarray(v)
+
+    @property
+    def pars(self) -> np.ndarray:
+        return np.asarray(self._pars)
+
+    @pars.setter
+    def pars(self, v):
+        v = np.asarray(v, dtype=self._dtype).reshape(self._pars.shape)
+        self._pars = jnp.asarray(v)
+
+    @property
+    def time(self) -> float:
+        return float(self._t_hi) + float(self._t_lo)
+
+    @time.setter
+    def time(self, v):
+        self._t_hi = jnp.asarray(float(v), self._dtype)
+        self._t_lo = jnp.asarray(0.0, self._dtype)
+
+    @property
+    def last_h(self) -> float:
+        return float(self._last_h)
+
+    @property
+    def tc(self) -> np.ndarray:
+        """Taylor coefficients of the last step, shape (order+1, dim)."""
+        return np.asarray(self._tc)[:, : self.dim]
+
+    @property
+    def with_events(self) -> bool:
+        return self._ev_step is not None
+
+    @property
+    def t_events(self):
+        return list(self._t_events)
+
+    @property
+    def nt_events(self):
+        return list(self._nt_events)
+
+    # -- compiled drivers ------------------------------------------------------
+
+    @cached_property
+    def _step_jit(self):
+        fns = self._fns
+
+        @jax.jit
+        def _step(state, pars, t_hi, t_lo, max_dt):
+            new_state, h, tc = _loops.single_step(fns, state, pars, t_hi, max_dt)
+            outcome = _loops.step_outcome(new_state, h, max_dt)
+            nt_hi, nt_lo = dd_add_d(t_hi, t_lo, h)
+            return new_state, h, tc, outcome, nt_hi, nt_lo
+
+        return _step
+
+    @cached_property
+    def _pu_jit(self):
+        return jax.jit(_loops.make_propagate_until(self._fns))
+
+    @cached_property
+    def _pg_jit(self):
+        return jax.jit(_loops.make_propagate_grid(self._fns))
+
+    @cached_property
+    def _dout_jit(self):
+        order = self._order
+
+        @jax.jit
+        def _dout(tc, rel):
+            return _st.dense_output(tc, rel, order)
+
+        return _dout
+
+    # -- stepping ---------------------------------------------------------------
+
+    def step(self, max_delta_t=None, write_tc: bool = False):
+        """Take one adaptive step (forward), optionally capped at
+        ``max_delta_t``; returns ``(outcome, h)`` like heyoka's ``step()``."""
+        if max_delta_t is None:
+            max_delta_t = _pymath.inf
+        return self._do_step(float(max_delta_t))
+
+    def step_backward(self, max_delta_t=None):
+        if max_delta_t is None:
+            max_delta_t = _pymath.inf
+        return self._do_step(-abs(float(max_delta_t)))
+
+    def _do_step(self, max_dt: float):
+        if self._ev_step is not None:
+            return self._do_step_events(max_dt)
+        new_state, h, tc, outcome, nt_hi, nt_lo = self._step_jit(
+            self._state, self._pars, self._t_hi, self._t_lo,
+            jnp.asarray(max_dt, self._dtype),
+        )
+        self._state = new_state
+        self._t_hi, self._t_lo = nt_hi, nt_lo
+        self._last_h = h
+        self._tc = tc
+        return TaylorOutcome(int(outcome)), float(h)
+
+    def _do_step_events(self, max_dt: float):
+        res = self._ev_step(
+            self._state, self._pars, self._t_hi, self._t_lo,
+            jnp.asarray(max_dt, self._dtype), self._te_cooldowns,
+        )
+        self._state = res["state"]
+        self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+        self._last_h = res["last_h"]
+        self._tc = res["tc"]
+        self._te_cooldowns = res["cooldowns"]
+        # fire host-side callbacks for detected events in chronological order
+        from .events import dispatch_callbacks
+
+        self._event_stop = dispatch_callbacks(self, res)
+        oc = int(res["outcome"])
+        return (
+            TaylorOutcome(oc) if oc < 0 else oc,
+            float(res["last_h"]),
+        )
+
+    # -- propagation -------------------------------------------------------------
+
+    def propagate_until(self, t, *, max_delta_t=None, max_steps=0, callback=None):
+        """Propagate to time ``t``; returns (outcome, min_h, max_h, nsteps).
+
+        Fully on-device (``lax.while_loop``); with events present, falls back
+        to a per-step driver.  ``callback`` must be an in-graph step callback
+        (see ``loops.make_propagate_until``).
+        """
+        t = float(t)
+        if max_delta_t is None:
+            max_delta_t = _pymath.inf
+        if self._ev_step is not None or callback is not None:
+            return self._propagate_until_stepwise(
+                t, float(max_delta_t), int(max_steps), callback
+            )
+        res = self._pu_jit(
+            self._state,
+            self._pars,
+            self._t_hi,
+            self._t_lo,
+            jnp.asarray(t, self._dtype),
+            jnp.asarray(0.0, self._dtype),
+            jnp.asarray(float(max_delta_t), self._dtype),
+            jnp.asarray(int(max_steps), jnp.int64),
+        )
+        self._state = res["state"]
+        self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+        self._last_h = res["last_h"]
+        self._tc = res["tc"]
+        return (
+            TaylorOutcome(int(res["outcome"])),
+            float(res["min_h"]),
+            float(res["max_h"]),
+            int(res["nsteps"]),
+        )
+
+    def _propagate_until_stepwise(self, t, max_delta_t, max_steps, callback):
+        # host-driven loop used when per-step host callbacks / events demand it
+        min_h, max_h = _pymath.inf, 0.0
+        nsteps = 0
+        fwd = t >= self.time
+        while True:
+            rem = t - self.time
+            if (rem <= 0 if fwd else rem >= 0):
+                return TaylorOutcome.time_limit, min_h, max_h, nsteps
+            cap = min(abs(rem), max_delta_t)
+            oc, h = self._do_step(cap if fwd else -cap)
+            nsteps += 1
+            min_h = min(min_h, abs(h))
+            max_h = max(max_h, abs(h))
+            if oc == TaylorOutcome.err_nf_state:
+                return oc, min_h, max_h, nsteps
+            if isinstance(oc, int) and oc >= 0 and self._event_stop:
+                # stopping terminal event
+                return oc, min_h, max_h, nsteps
+            if callback is not None:
+                if not callback(self):
+                    return TaylorOutcome.cb_stop, min_h, max_h, nsteps
+            if max_steps and nsteps >= max_steps:
+                rem = t - self.time
+                if (rem <= 0 if fwd else rem >= 0):
+                    return TaylorOutcome.time_limit, min_h, max_h, nsteps
+                return TaylorOutcome.step_limit, min_h, max_h, nsteps
+
+    def propagate_for(self, delta_t, **kw):
+        """Propagate for an amount of time (heyoka ``propagate_for``)."""
+        hi, lo = dd_add_d(self._t_hi, self._t_lo, float(delta_t))
+        # collapse dd target to (hi, lo) target handled by propagate_until
+        target = float(hi) + float(lo)
+        return self.propagate_until(target, **kw)
+
+    def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0):
+        """Dense-output sampling at the points of a monotonic time grid;
+        returns (outcome, min_h, max_h, nsteps, out[len(grid), dim])."""
+        grid = np.asarray(grid, dtype=self._dtype)
+        if grid.ndim != 1 or grid.size == 0:
+            raise ValueError("grid must be a non-empty 1-D array")
+        d = np.diff(grid)
+        if not (np.all(d > 0) or np.all(d < 0)):
+            if grid.size > 1:
+                raise ValueError("grid must be strictly monotonic")
+        if max_delta_t is None:
+            max_delta_t = _pymath.inf
+        res = self._pg_jit(
+            self._state,
+            self._pars,
+            self._t_hi,
+            self._t_lo,
+            jnp.asarray(grid),
+            jnp.asarray(float(max_delta_t), self._dtype),
+            jnp.asarray(int(max_steps), jnp.int64),
+        )
+        self._state = res["state"]
+        self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+        self._last_h = res["last_h"]
+        self._tc = res["tc"]
+        return (
+            TaylorOutcome(int(res["outcome"])),
+            float(res["min_h"]),
+            float(res["max_h"]),
+            int(res["nsteps"]),
+            np.asarray(res["out"]),
+        )
+
+    # -- dense output ---------------------------------------------------------
+
+    def update_d_output(self, t, rel_time: bool = False) -> np.ndarray:
+        """Evaluate the dense output of the last step at absolute time ``t``
+        (or at ``t`` relative to the last step's start when ``rel_time``)."""
+        if rel_time:
+            rel = jnp.asarray(float(t), self._dtype)
+        else:
+            # step start = current time - last_h (dd)
+            sh, sl = dd_add_d(self._t_hi, self._t_lo, -float(self._last_h))
+            rh, rl = dd_add_dd(
+                jnp.asarray(float(t), self._dtype),
+                jnp.asarray(0.0, self._dtype),
+                -sh,
+                -sl,
+            )
+            rel = rh + rl
+        return np.asarray(self._dout_jit(self._tc, rel))[: self.dim]
+
+    def __repr__(self):
+        return (
+            f"TaylorAdaptive(order={self._order}, tol={self._tol}, "
+            f"dim={self.dim}, time={self.time}, dtype={self._dtype.name}, "
+            f"high_accuracy={self._high_accuracy})"
+        )
+
+
+def taylor_adaptive(sys, state, **kw) -> TaylorAdaptive:
+    """Factory mirroring heyoka's ``taylor_adaptive<T>{...}`` ctor."""
+    return TaylorAdaptive(sys, state, **kw)

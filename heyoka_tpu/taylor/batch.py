@@ -1,0 +1,280 @@
+"""Batch-mode integrator: ``vmap`` over the scalar drivers.
+
+Reference parity: heyoka ``taylor_adaptive_batch<T>``
+(``include/heyoka/taylor.hpp:781-1121``, ``src/taylor_adaptive_batch.cpp``):
+per-lane adaptive timesteps, per-lane times and outcomes, per-lane
+``max_delta_t``, batch ``propagate_*`` with per-lane completion.
+
+Where heyoka reaches SIMD lanes through LLVM vector types, here the scalar
+step/propagate drivers are ``jax.vmap``-ed over a leading trajectory axis: the
+batch dimension lands innermost in every elementwise op (batch-major layout on
+the VPU), and the lockstep-with-masking semantics of the vmapped
+``lax.while_loop`` reproduces the reference's per-lane step results exactly —
+this collapses component #20 of the reference into #18 + a transform, the
+design centerpiece called out in SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import math as _pymath
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dfloat import dd_add_d
+from ..expr.decompose import Tape, taylor_decompose_sys
+from .adaptive import _normalize_sys
+from .outcome import TaylorOutcome
+from . import loops as _loops
+from . import stepper as _st
+
+
+class TaylorAdaptiveBatch:
+    def __init__(
+        self,
+        sys,
+        state,
+        *,
+        time=None,
+        pars=None,
+        tol=None,
+        high_accuracy=False,
+        compact_mode=False,
+        dtype=jnp.float64,
+    ):
+        self._sys = _normalize_sys(sys)
+        self._dtype = jnp.dtype(dtype)
+        if tol is None:
+            tol = float(np.finfo(self._dtype).eps)
+        self._tol = float(tol)
+        self._order = _st.taylor_order_from_tol(self._tol)
+        self._high_accuracy = bool(high_accuracy)
+        self._tape: Tape = taylor_decompose_sys(self._sys)
+
+        n_eq = self._tape.n_eq
+        state = np.asarray(state, dtype=self._dtype)
+        if state.ndim != 2 or state.shape[1] != n_eq:
+            raise ValueError(
+                f"batch state must have shape (batch, {n_eq}); got {state.shape}"
+            )
+        self._batch = state.shape[0]
+        self._state = jnp.asarray(state)
+
+        n_pars = self._tape.n_pars
+        if pars is None:
+            pars = np.zeros((self._batch, n_pars), dtype=self._dtype)
+        pars = np.asarray(pars, dtype=self._dtype)
+        if n_pars and pars.shape != (self._batch, n_pars):
+            raise ValueError(
+                f"batch pars must have shape ({self._batch}, {n_pars})"
+            )
+        self._pars = jnp.asarray(pars.reshape((self._batch, n_pars)))
+
+        if time is None:
+            time = np.zeros((self._batch,), dtype=self._dtype)
+        time = np.broadcast_to(
+            np.asarray(time, dtype=self._dtype), (self._batch,)
+        )
+        self._t_hi = jnp.asarray(time)
+        self._t_lo = jnp.zeros((self._batch,), self._dtype)
+        self._last_h = jnp.zeros((self._batch,), self._dtype)
+        self._tc = jnp.zeros((self._batch, self._order + 1, n_eq), self._dtype)
+
+        self._fns = _loops.make_step_fns(
+            self._tape, self._order, self._dtype, self._high_accuracy
+        )
+        self._last_res = [(TaylorOutcome.success, 0.0)] * self._batch
+
+    # -- introspection ---------------------------------------------------------
+
+    @property
+    def batch_size(self) -> int:
+        return self._batch
+
+    @property
+    def order(self) -> int:
+        return self._order
+
+    @property
+    def tol(self) -> float:
+        return self._tol
+
+    @property
+    def dim(self) -> int:
+        return self._tape.n_eq
+
+    @property
+    def decomposition(self) -> Tape:
+        return self._tape
+
+    @property
+    def state(self) -> np.ndarray:
+        return np.asarray(self._state)
+
+    @state.setter
+    def state(self, v):
+        v = np.asarray(v, dtype=self._dtype)
+        if v.shape != (self._batch, self.dim):
+            raise ValueError("bad state shape")
+        self._state = jnp.asarray(v)
+
+    @property
+    def pars(self) -> np.ndarray:
+        return np.asarray(self._pars)
+
+    @pars.setter
+    def pars(self, v):
+        self._pars = jnp.asarray(
+            np.asarray(v, dtype=self._dtype).reshape(self._pars.shape)
+        )
+
+    @property
+    def time(self) -> np.ndarray:
+        return np.asarray(self._t_hi + self._t_lo)
+
+    def set_time(self, v):
+        v = np.broadcast_to(np.asarray(v, dtype=self._dtype), (self._batch,))
+        self._t_hi = jnp.asarray(v)
+        self._t_lo = jnp.zeros((self._batch,), self._dtype)
+
+    @property
+    def last_h(self) -> np.ndarray:
+        return np.asarray(self._last_h)
+
+    @property
+    def tc(self) -> np.ndarray:
+        return np.asarray(self._tc)
+
+    # -- compiled drivers --------------------------------------------------------
+
+    @cached_property
+    def _step_jit(self):
+        fns = self._fns
+
+        def _one(state, pars, t_hi, t_lo, max_dt):
+            new_state, h, tc = _loops.single_step(fns, state, pars, t_hi, max_dt)
+            outcome = _loops.step_outcome(new_state, h, max_dt)
+            nt_hi, nt_lo = dd_add_d(t_hi, t_lo, h)
+            return new_state, h, tc, outcome, nt_hi, nt_lo
+
+        return jax.jit(jax.vmap(_one))
+
+    @cached_property
+    def _pu_jit(self):
+        pu = _loops.make_propagate_until(self._fns)
+        return jax.jit(
+            jax.vmap(pu, in_axes=(0, 0, 0, 0, 0, 0, 0, None))
+        )
+
+    @cached_property
+    def _pg_jit(self):
+        pg = _loops.make_propagate_grid(self._fns)
+        # shared grid across lanes (heyoka batch grid is shared too)
+        return jax.jit(jax.vmap(pg, in_axes=(0, 0, 0, 0, None, 0, None)))
+
+    # -- stepping ----------------------------------------------------------------
+
+    def step(self, max_delta_t=None, write_tc: bool = False):
+        """One adaptive step in every lane; per-lane results are available
+        via ``get_step_res`` (heyoka ``taylor.hpp:1004``)."""
+        if max_delta_t is None:
+            mdt = jnp.full((self._batch,), _pymath.inf, self._dtype)
+        else:
+            mdt = jnp.broadcast_to(
+                jnp.asarray(max_delta_t, self._dtype), (self._batch,)
+            )
+        new_state, h, tc, outcome, nt_hi, nt_lo = self._step_jit(
+            self._state, self._pars, self._t_hi, self._t_lo, mdt
+        )
+        self._state, self._last_h, self._tc = new_state, h, tc
+        self._t_hi, self._t_lo = nt_hi, nt_lo
+        oc = np.asarray(outcome)
+        hh = np.asarray(h)
+        self._last_res = [
+            (TaylorOutcome(int(oc[i])), float(hh[i])) for i in range(self._batch)
+        ]
+
+    def step_backward(self):
+        self.step(max_delta_t=-_pymath.inf)
+
+    def get_step_res(self):
+        return list(self._last_res)
+
+    # -- propagation ---------------------------------------------------------------
+
+    def propagate_until(self, t, *, max_delta_t=None, max_steps=0):
+        """Per-lane propagate-until; ``t`` may be scalar or per-lane."""
+        t = np.broadcast_to(np.asarray(t, dtype=self._dtype), (self._batch,))
+        if max_delta_t is None:
+            max_delta_t = _pymath.inf
+        mdt = np.broadcast_to(
+            np.asarray(max_delta_t, dtype=self._dtype), (self._batch,)
+        )
+        res = self._pu_jit(
+            self._state,
+            self._pars,
+            self._t_hi,
+            self._t_lo,
+            jnp.asarray(t),
+            jnp.zeros((self._batch,), self._dtype),
+            jnp.asarray(mdt),
+            jnp.asarray(int(max_steps), jnp.int64),
+        )
+        self._state = res["state"]
+        self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+        self._last_h = res["last_h"]
+        self._tc = res["tc"]
+        oc = np.asarray(res["outcome"])
+        self._last_res = [
+            (TaylorOutcome(int(oc[i])), float(np.asarray(res["last_h"])[i]))
+            for i in range(self._batch)
+        ]
+        return (
+            [TaylorOutcome(int(o)) for o in oc],
+            np.asarray(res["min_h"]),
+            np.asarray(res["max_h"]),
+            np.asarray(res["nsteps"]),
+        )
+
+    def propagate_for(self, delta_t, **kw):
+        target = self.time + np.broadcast_to(
+            np.asarray(delta_t, dtype=self._dtype), (self._batch,)
+        )
+        return self.propagate_until(target, **kw)
+
+    def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0):
+        """Shared time grid, per-lane dense output:
+        returns (outcomes, min_h, max_h, nsteps, out[batch, len(grid), dim])."""
+        grid = np.asarray(grid, dtype=self._dtype)
+        if max_delta_t is None:
+            max_delta_t = _pymath.inf
+        mdt = np.broadcast_to(
+            np.asarray(max_delta_t, dtype=self._dtype), (self._batch,)
+        )
+        res = self._pg_jit(
+            self._state,
+            self._pars,
+            self._t_hi,
+            self._t_lo,
+            jnp.asarray(grid),
+            jnp.asarray(mdt),
+            jnp.asarray(int(max_steps), jnp.int64),
+        )
+        self._state = res["state"]
+        self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+        self._last_h = res["last_h"]
+        self._tc = res["tc"]
+        oc = np.asarray(res["outcome"])
+        return (
+            [TaylorOutcome(int(o)) for o in oc],
+            np.asarray(res["min_h"]),
+            np.asarray(res["max_h"]),
+            np.asarray(res["nsteps"]),
+            np.asarray(res["out"]),
+        )
+
+
+def taylor_adaptive_batch(sys, state, **kw) -> TaylorAdaptiveBatch:
+    return TaylorAdaptiveBatch(sys, state, **kw)

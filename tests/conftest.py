@@ -1,0 +1,36 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (for sharding/ensemble tests), never
+on the tunneled TPU: the axon PJRT plugin registers itself at interpreter
+startup via sitecustomize, so if we find ourselves running under it we
+re-exec pytest with a corrected environment before jax is used for real.
+"""
+
+import os
+import sys
+
+_WANT = {
+    "PALLAS_AXON_POOL_IPS": "",
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+}
+
+if os.environ.get("_HEYOKA_TPU_TEST_REEXEC") != "1":
+    needs = os.environ.get("JAX_PLATFORMS", "") != "cpu" or bool(
+        os.environ.get("PALLAS_AXON_POOL_IPS")
+    )
+    if needs:
+        env = dict(os.environ)
+        env.update(_WANT)
+        env["_HEYOKA_TPU_TEST_REEXEC"] = "1"
+        os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+
+os.environ.setdefault("XLA_FLAGS", _WANT["XLA_FLAGS"])
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

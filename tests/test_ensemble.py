@@ -1,0 +1,63 @@
+"""Ensemble propagation tests (reference analog: test/ensemble_propagate.cpp):
+ensemble results must match individual propagations; sharded runs must match
+unsharded ones."""
+
+import numpy as np
+
+import jax
+
+import heyoka_tpu as hy
+from heyoka_tpu import ensemble_propagate_until, ensemble_propagate_grid
+from heyoka_tpu.models import pendulum
+
+
+N_ITER = 8
+
+
+def test_ensemble_matches_individual(rng):
+    ta = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15)
+    states = 0.05 + 0.01 * rng.standard_normal((N_ITER, 2))
+
+    def gen(i):
+        return {"state": states[i]}
+
+    res = ensemble_propagate_until(ta, 10.0, N_ITER, gen)
+    assert res["state"].shape == (N_ITER, 2)
+    for i in range(N_ITER):
+        tai = hy.taylor_adaptive(pendulum(), states[i], tol=1e-15)
+        tai.propagate_until(10.0)
+        np.testing.assert_array_equal(np.asarray(res["state"][i]), tai.state)
+        assert int(res["nsteps"][i]) > 0
+
+
+def test_ensemble_sharded_matches_unsharded(rng):
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual cpu devices"
+    mesh = Mesh(np.array(devs[:8]), ("traj",))
+
+    ta = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15)
+    states = 0.05 + 0.01 * rng.standard_normal((N_ITER, 2))
+    gen = {"state": states}
+
+    res_plain = ensemble_propagate_until(ta, 5.0, N_ITER, gen)
+    res_mesh = ensemble_propagate_until(ta, 5.0, N_ITER, gen, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(res_plain["state"]), np.asarray(res_mesh["state"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_plain["nsteps"]), np.asarray(res_mesh["nsteps"])
+    )
+
+
+def test_ensemble_grid(rng):
+    ta = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15)
+    states = 0.05 + 0.01 * rng.standard_normal((N_ITER, 2))
+    grid = np.linspace(0.0, 3.0, 5)
+    res = ensemble_propagate_grid(ta, grid, N_ITER, {"state": states})
+    assert res["out"].shape == (N_ITER, 5, 2)
+    for i in range(0, N_ITER, 3):
+        tai = hy.taylor_adaptive(pendulum(), states[i], tol=1e-15)
+        *_, out = tai.propagate_grid(grid)
+        np.testing.assert_allclose(np.asarray(res["out"][i]), out, atol=1e-13)

@@ -1,0 +1,103 @@
+"""Event-detection tests (reference analogs: test/taylor_t_event.cpp,
+taylor_nt_event.cpp, event_detection.cpp)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import heyoka_tpu as hy
+from heyoka_tpu import TaylorOutcome, t_event, nt_event, EventDirection
+from heyoka_tpu.models import pendulum
+
+
+def test_nt_event_zero_crossings():
+    # harmonic oscillator x'' = -x, x(0)=0, v(0)=1 -> x = sin(t),
+    # zeros at k*pi
+    x, v = hy.make_vars("x", "v")
+    sys = [(x, v), (v, -x)]
+    hits = []
+    ev = nt_event(x, lambda ta, t, d: hits.append((t, d)))
+    ta = hy.taylor_adaptive(sys, [0.0, 1.0], tol=1e-15, nt_events=[ev])
+    ta.propagate_until(10.0)
+    times = [t for t, _ in hits]
+    want = [0.0, math.pi, 2 * math.pi, 3 * math.pi]
+    # the root at t=0 may or may not be reported depending on the first
+    # step's sign layout; check the interior roots rigorously
+    interior = [t for t in times if t > 0.1]
+    assert len(interior) == 3
+    np.testing.assert_allclose(interior, want[1:], atol=1e-11)
+    # directions: x goes + -> - at pi (d=-1), - -> + at 2pi (d=+1)
+    d_by_time = {round(t, 3): d for t, d in hits}
+    assert d_by_time[round(math.pi, 3)] == -1
+    assert d_by_time[round(2 * math.pi, 3)] == 1
+
+
+def test_nt_event_direction_filter():
+    x, v = hy.make_vars("x", "v")
+    sys = [(x, v), (v, -x)]
+    hits = []
+    ev = nt_event(
+        x, lambda ta, t, d: hits.append(t), direction=EventDirection.positive
+    )
+    ta = hy.taylor_adaptive(sys, [0.0, 1.0], tol=1e-15, nt_events=[ev])
+    ta.propagate_until(10.0)
+    interior = [t for t in hits if t > 0.1]
+    np.testing.assert_allclose(interior, [2 * math.pi], atol=1e-11)
+
+
+def test_t_event_stops():
+    # pendulum: stop when v crosses zero (the turning point)
+    x, v = hy.make_vars("x", "v")
+    ev = t_event(v)
+    ta = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15, t_events=[ev])
+    oc, *_ = ta.propagate_until(100.0)
+    assert oc == 0  # terminal event index
+    assert ta.time < 100.0
+    assert abs(ta.state[1]) < 1e-10  # stopped at v == 0
+
+
+def test_t_event_callback_continue():
+    # count turning points but keep going
+    x, v = hy.make_vars("x", "v")
+    count = []
+
+    def cb(ta, d_sgn):
+        count.append(ta.time)
+        return True  # continue
+
+    ev = t_event(v, callback=cb)
+    ta = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15, t_events=[ev])
+    oc, *_ = ta.propagate_until(20.0)
+    assert oc == TaylorOutcome.time_limit
+    assert ta.time == pytest.approx(20.0, abs=1e-12)
+    # pendulum period ~ 2*pi/sqrt(9.8) = 2.007; two turning points per period
+    T = 2 * math.pi / math.sqrt(9.8)
+    assert len(count) == pytest.approx(2 * 20.0 / T, abs=1.5)
+    # turning points spaced ~T/2 apart
+    gaps = np.diff(count)
+    np.testing.assert_allclose(gaps, T / 2, rtol=5e-3)
+
+
+def test_t_event_cooldown_explicit():
+    # with a huge cooldown, only the first trigger happens
+    x, v = hy.make_vars("x", "v")
+    count = []
+    ev = t_event(v, callback=lambda ta, d: (count.append(ta.time), True)[1],
+                 cooldown=1000.0)
+    ta = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15, t_events=[ev])
+    ta.propagate_until(20.0)
+    assert len(count) == 1
+
+
+def test_step_semantics_with_events():
+    # a single step with no event in range behaves like the plain stepper
+    x, v = hy.make_vars("x", "v")
+    ev = t_event(x - 100.0)  # never triggers
+    ta_e = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15, t_events=[ev])
+    ta_p = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15)
+    oc_e, h_e = ta_e.step()
+    oc_p, h_p = ta_p.step()
+    assert oc_e == oc_p == TaylorOutcome.success
+    assert h_e == pytest.approx(h_p, rel=1e-15)
+    np.testing.assert_allclose(ta_e.state, ta_p.state, rtol=0, atol=1e-15)
