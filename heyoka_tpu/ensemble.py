@@ -69,7 +69,10 @@ def _mesh_shard(fun, mesh, n_args):
     if mesh is None:
         return fun
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     axis = mesh.axis_names[0]
     specs = tuple(P(axis) for _ in range(n_args))

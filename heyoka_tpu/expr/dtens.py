@@ -78,6 +78,43 @@ class dtens:
     def index_set(self):
         return sorted(self._entries.keys())
 
+    # -- flat (graded) ordering ------------------------------------------------
+    # The reference's dtens is an ordered container: entries sorted by total
+    # derivative order, then component, then multi-index (dtens.cpp).  The
+    # flat position in this ordering is what ``get_dslice``/``get_mindex``
+    # expose (``sgp4_propagator::get_dslice``, ``model/sgp4.hpp:190-192``).
+
+    def _flat(self):
+        if not hasattr(self, "_flat_cache"):
+            out = []
+            for o in range(self._order + 1):
+                out.extend(self.get_derivatives(o))
+            self._flat_cache = out
+        return self._flat_cache
+
+    def __iter__(self):
+        return iter(self._flat())
+
+    def items(self):
+        return list(self._flat())
+
+    def index_of(self, i: int):
+        """Multi-index key ``(component, counts)`` at flat position ``i``."""
+        return self._flat()[i][0]
+
+    def get_derivatives_slice(self, order: int, component: int | None = None):
+        """``(begin, end)`` flat-position range of the derivatives at a given
+        total order (optionally of a single component)."""
+        flat = self._flat()
+        idxs = [
+            i
+            for i, (k, _) in enumerate(flat)
+            if sum(k[1]) == order and (component is None or k[0] == component)
+        ]
+        if not idxs:
+            raise ValueError(f"no derivatives at order {order}")
+        return idxs[0], idxs[-1] + 1
+
     def get_derivatives(self, order: int, component: int | None = None):
         """All ((component, counts), expr) at a given total order, sorted."""
         out = [

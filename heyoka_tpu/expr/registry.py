@@ -197,8 +197,28 @@ register(OpDef("select", 3, _ev_select, fold=lambda c, a, b: a if c != 0 else b)
 
 # -- Kepler solvers ------------------------------------------------------------
 # Reference: src/math/kepE.cpp / kepF.cpp / kepDE.cpp — Newton-Raphson solvers
-# emitted directly in LLVM IR.  Here: fixed-iteration Newton in jnp (branch-free,
-# jit/vmap-friendly).  Iteration counts chosen to converge to f64 roundoff.
+# emitted directly in LLVM IR.  Here: Newton inside ``lax.while_loop`` with a
+# convergence stop (tiny jaxpr, early exit; under vmap lanes run in lockstep
+# until all converge — the XLA analog of the reference's vectorized IR loop).
+
+
+def _newton_solve(x0, fdf, max_iter=50):
+    """Branch-free Newton iteration to f64 roundoff convergence."""
+    from jax import lax
+    jnp = _jnp()
+
+    def cond(c):
+        x, dx_prev, it = c
+        return (it < max_iter) & jnp.any(jnp.abs(dx_prev) > 1e-15)
+
+    def body(c):
+        x, _, it = c
+        f, fp = fdf(x)
+        dx = f / fp
+        return x - dx, dx, it + 1
+
+    x, _, _ = lax.while_loop(cond, body, (x0, jnp.ones_like(x0), 0))
+    return x
 
 
 def _ev_kepE(ecc, M):
@@ -206,14 +226,14 @@ def _ev_kepE(ecc, M):
     # reduce M to [0, 2pi); initial guess (Danby): E = M + 0.85 * e * sign(sin M)
     twopi = 2.0 * _pymath.pi
     Mr = M - twopi * jnp.floor(M / twopi)
-    E = Mr + 0.85 * ecc * jnp.sign(jnp.sin(Mr))
-    for _ in range(60):
-        sE = jnp.sin(E)
-        cE = jnp.cos(E)
-        f = E - ecc * sE - Mr
-        fp = 1.0 - ecc * cE
-        E = E - f / fp
-    return E + (M - Mr)
+    E0 = Mr + 0.85 * ecc * jnp.sign(jnp.sin(Mr))
+    E0, Mr = jnp.broadcast_arrays(E0 * jnp.ones_like(ecc), Mr * jnp.ones_like(ecc))
+
+    def fdf(E):
+        sE, cE = jnp.sin(E), jnp.cos(E)
+        return E - ecc * sE - Mr, 1.0 - ecc * cE
+
+    return _newton_solve(E0, fdf) + (M - Mr)
 
 
 register(OpDef("kepE", 2, _ev_kepE))
@@ -224,14 +244,13 @@ def _ev_kepF(h, k, lam):
     # solves F + h*cos(F) - k*sin(F) = lam  (equinoctial Kepler, kepF.cpp)
     twopi = 2.0 * _pymath.pi
     lr = lam - twopi * jnp.floor(lam / twopi)
-    F = lr
-    for _ in range(60):
-        sF = jnp.sin(F)
-        cF = jnp.cos(F)
-        f = F + h * cF - k * sF - lr
-        fp = 1.0 - h * sF - k * cF
-        F = F - f / fp
-    return F + (lam - lr)
+    F0 = jnp.broadcast_arrays(lr * jnp.ones_like(h) * jnp.ones_like(k))[0]
+
+    def fdf(F):
+        sF, cF = jnp.sin(F), jnp.cos(F)
+        return F + h * cF - k * sF - lr, 1.0 - h * sF - k * cF
+
+    return _newton_solve(F0, fdf) + (lam - lr)
 
 
 register(OpDef("kepF", 3, _ev_kepF))
@@ -242,14 +261,13 @@ def _ev_kepDE(s0, c0, DM):
     # solves DE + s0*(1-cos(DE)) - c0*sin(DE) = DM  (kepDE.cpp)
     twopi = 2.0 * _pymath.pi
     Dr = DM - twopi * jnp.floor(DM / twopi)
-    DE = Dr
-    for _ in range(60):
-        sD = jnp.sin(DE)
-        cD = jnp.cos(DE)
-        f = DE + s0 * (1.0 - cD) - c0 * sD - Dr
-        fp = 1.0 + s0 * sD - c0 * cD
-        DE = DE - f / fp
-    return DE + (DM - Dr)
+    D0 = jnp.broadcast_arrays(Dr * jnp.ones_like(s0) * jnp.ones_like(c0))[0]
+
+    def fdf(DE):
+        sD, cD = jnp.sin(DE), jnp.cos(DE)
+        return DE + s0 * (1.0 - cD) - c0 * sD - Dr, 1.0 + s0 * sD - c0 * cD
+
+    return _newton_solve(D0, fdf) + (DM - Dr)
 
 
 register(OpDef("kepDE", 3, _ev_kepDE))

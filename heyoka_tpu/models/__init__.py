@@ -28,3 +28,9 @@ from .kepler import (  # noqa: F401
     cartesian_to_kepler,
     lagrange_prop,
 )
+from .sgp4 import (  # noqa: F401
+    sgp4,
+    gpe_is_deep_space,
+    SGP4Propagator,
+    sgp4_propagator,
+)

@@ -40,10 +40,20 @@ def taylor_coeffs_oracle(sys, state0, order, pars=None, t0=0.0):
                 nxt.append(d)
             cur = nxt
 
+    # Evaluate the tape *eagerly* (no jit): oracle tapes can reach 10^4 ops
+    # from derivative swell, and XLA compilation of such a one-shot graph
+    # costs tens of seconds, while eager evaluation is instant.
+    from heyoka_tpu.cfunc import tape_eval
+
     cf = make_cfunc(all_exprs, vars=xs)
-    vals = np.asarray(
-        cf(np.asarray(state0, dtype=float), pars=pars, time=t0)
-    ).reshape(order, n)
+    p = np.zeros((cf.n_pars,)) if pars is None else np.asarray(pars, dtype=float)
+    outs = tape_eval(
+        cf.tape,
+        np.asarray(state0, dtype=float),
+        p,
+        np.asarray(t0, dtype=float),
+    )
+    vals = np.asarray([float(v) for v in outs]).reshape(order, n)
 
     out = np.empty((order + 1, n))
     out[0] = np.asarray(state0, dtype=float)

