@@ -55,6 +55,10 @@ from .expr.decompose import taylor_decompose_sys, function_decompose  # noqa: E4
 from .taylor.adaptive import TaylorAdaptive, taylor_adaptive  # noqa: E402
 from .taylor.batch import TaylorAdaptiveBatch, taylor_adaptive_batch  # noqa: E402
 from .taylor.outcome import TaylorOutcome  # noqa: E402
+from .taylor.continuous import (  # noqa: E402
+    ContinuousOutput,
+    ContinuousOutputBatch,
+)
 from .taylor.stepper import taylor_order_from_tol  # noqa: E402
 from .taylor.events import t_event, nt_event, EventDirection  # noqa: E402
 from .cfunc import cfunc, make_cfunc  # noqa: E402

@@ -229,6 +229,16 @@ class TaylorAdaptive:
     def _pg_jit(self):
         return jax.jit(_loops.make_propagate_grid(self._fns))
 
+    #: device-side step-record buffer capacity per re-entry of the
+    #: continuous-output driver (static shape; host accumulates chunks)
+    _COUT_CHUNK = 1024
+
+    @cached_property
+    def _pu_cout_jit(self):
+        from .continuous import make_propagate_until_cout
+
+        return jax.jit(make_propagate_until_cout(self._fns, self._COUT_CHUNK))
+
     @cached_property
     def _dout_jit(self):
         order = self._order
@@ -288,8 +298,12 @@ class TaylorAdaptive:
 
     # -- propagation -------------------------------------------------------------
 
-    def propagate_until(self, t, *, max_delta_t=None, max_steps=0, callback=None):
-        """Propagate to time ``t``; returns (outcome, min_h, max_h, nsteps).
+    def propagate_until(
+        self, t, *, max_delta_t=None, max_steps=0, callback=None, c_output=False
+    ):
+        """Propagate to time ``t``; returns (outcome, min_h, max_h, nsteps)
+        — plus a :class:`ContinuousOutput` as 5th element when
+        ``c_output=True`` (heyoka's ``kw::c_output``).
 
         Fully on-device (``lax.while_loop``); with events present, falls back
         to a per-step driver.  ``callback`` must be an in-graph step callback
@@ -298,6 +312,12 @@ class TaylorAdaptive:
         t = float(t)
         if max_delta_t is None:
             max_delta_t = _pymath.inf
+        if c_output:
+            if self._ev_step is not None or callback is not None:
+                raise NotImplementedError(
+                    "c_output cannot be combined with events/callbacks yet"
+                )
+            return self._propagate_until_cout(t, float(max_delta_t), int(max_steps))
         if self._ev_step is not None or callback is not None:
             return self._propagate_until_stepwise(
                 t, float(max_delta_t), int(max_steps), callback
@@ -322,6 +342,54 @@ class TaylorAdaptive:
             float(res["max_h"]),
             int(res["nsteps"]),
         )
+
+    def _propagate_until_cout(self, t, max_delta_t, max_steps):
+        """Chunked continuous-output propagation: re-enter the bounded
+        on-device recorder until the target is reached, concatenating the
+        per-chunk step records host-side."""
+        from .continuous import ContinuousOutput
+
+        tgt_hi = jnp.asarray(t, self._dtype)
+        tgt_lo = jnp.asarray(0.0, self._dtype)
+        fwd = t >= self.time
+
+        tcs, t_hi_list, t_lo_list = [], [], []
+        min_h, max_h, nsteps = _pymath.inf, 0.0, 0
+        while True:
+            rem_steps = max(0, max_steps - nsteps) if max_steps else 0
+            res = self._pu_cout_jit(
+                self._state, self._pars, self._t_hi, self._t_lo,
+                tgt_hi, tgt_lo,
+                jnp.asarray(max_delta_t, self._dtype),
+                jnp.asarray(rem_steps, jnp.int64),
+            )
+            n = int(res["rec_n"])
+            if n:
+                tcs.append(np.asarray(res["rec_tc"])[:n])
+                rect = np.asarray(res["rec_t"])[:n]
+                t_hi_list.append(rect[:, 0])
+                t_lo_list.append(rect[:, 1])
+            self._state = res["state"]
+            self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+            self._last_h = res["last_h"]
+            self._tc = res["tc"]
+            min_h = min(min_h, float(res["min_h"]))
+            max_h = max(max_h, float(res["max_h"]))
+            nsteps += int(res["nsteps"])
+            if bool(res["done"]) or int(res["nsteps"]) == 0:
+                outcome = TaylorOutcome(int(res["outcome"]))
+                break
+
+        if tcs:
+            all_tc = np.concatenate(tcs)[:, :, : self.dim]
+            th = np.concatenate(t_hi_list + [np.asarray(self._t_hi)[None]])
+            tl = np.concatenate(t_lo_list + [np.asarray(self._t_lo)[None]])
+        else:
+            all_tc = np.zeros((0, self._order + 1, self.dim), self._dtype)
+            th = np.asarray(self._t_hi)[None]
+            tl = np.asarray(self._t_lo)[None]
+        c_out = ContinuousOutput(th, tl, all_tc, self._order, self.dim, fwd)
+        return outcome, min_h, max_h, nsteps, c_out
 
     def _propagate_until_stepwise(self, t, max_delta_t, max_steps, callback):
         # host-driven loop used when per-step host callbacks / events demand it

@@ -204,14 +204,27 @@ class TaylorAdaptiveBatch:
 
     # -- propagation ---------------------------------------------------------------
 
-    def propagate_until(self, t, *, max_delta_t=None, max_steps=0):
-        """Per-lane propagate-until; ``t`` may be scalar or per-lane."""
+    @cached_property
+    def _pu_cout_jit(self):
+        from .continuous import make_propagate_until_cout
+
+        pu = make_propagate_until_cout(self._fns, 1024)
+        return jax.jit(jax.vmap(pu, in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
+
+    def propagate_until(self, t, *, max_delta_t=None, max_steps=0, c_output=False):
+        """Per-lane propagate-until; ``t`` may be scalar or per-lane.
+
+        With ``c_output=True``, a :class:`ContinuousOutputBatch` is appended
+        to the result tuple (heyoka ``taylor_adaptive_batch`` + c_output).
+        """
         t = np.broadcast_to(np.asarray(t, dtype=self._dtype), (self._batch,))
         if max_delta_t is None:
             max_delta_t = _pymath.inf
         mdt = np.broadcast_to(
             np.asarray(max_delta_t, dtype=self._dtype), (self._batch,)
         )
+        if c_output:
+            return self._propagate_until_cout(t, mdt, int(max_steps))
         res = self._pu_jit(
             self._state,
             self._pars,
@@ -237,6 +250,76 @@ class TaylorAdaptiveBatch:
             np.asarray(res["max_h"]),
             np.asarray(res["nsteps"]),
         )
+
+    def _propagate_until_cout(self, t, mdt, max_steps):
+        """Chunked per-lane continuous-output recording: re-enter the vmapped
+        bounded recorder until every lane reaches its target, concatenating
+        per-lane records host-side and padding to the longest lane."""
+        from .continuous import ContinuousOutputBatch
+
+        fwd = t >= self.time
+        lane_tc = [[] for _ in range(self._batch)]
+        lane_th = [[] for _ in range(self._batch)]
+        lane_tl = [[] for _ in range(self._batch)]
+        min_h = np.full((self._batch,), _pymath.inf)
+        max_h = np.zeros((self._batch,))
+        nsteps = np.zeros((self._batch,), np.int64)
+        while True:
+            res = self._pu_cout_jit(
+                self._state, self._pars, self._t_hi, self._t_lo,
+                jnp.asarray(t), jnp.zeros((self._batch,), self._dtype),
+                jnp.asarray(mdt), jnp.asarray(int(max_steps), jnp.int64),
+            )
+            rec_n = np.asarray(res["rec_n"])
+            rec_tc = np.asarray(res["rec_tc"])
+            rec_t = np.asarray(res["rec_t"])
+            for i in range(self._batch):
+                n = int(rec_n[i])
+                if n:
+                    lane_tc[i].append(rec_tc[i, :n])
+                    lane_th[i].append(rec_t[i, :n, 0])
+                    lane_tl[i].append(rec_t[i, :n, 1])
+            self._state = res["state"]
+            self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+            self._last_h = res["last_h"]
+            self._tc = res["tc"]
+            min_h = np.minimum(min_h, np.asarray(res["min_h"]))
+            max_h = np.maximum(max_h, np.asarray(res["max_h"]))
+            chunk_steps = np.asarray(res["nsteps"])
+            nsteps += chunk_steps
+            if bool(np.all(np.asarray(res["done"]))) or int(chunk_steps.max()) == 0:
+                oc = np.asarray(res["outcome"])
+                break
+
+        # pad lanes to the longest step count; pad boundaries at +-inf so the
+        # searchsorted never selects a pad slot
+        fin_th = np.asarray(self._t_hi)
+        fin_tl = np.asarray(self._t_lo)
+        counts = np.array([sum(a.shape[0] for a in lane_tc[i]) for i in range(self._batch)])
+        cap = max(1, int(counts.max()))
+        tcs = np.zeros((self._batch, cap, self._order + 1, self.dim), self._dtype)
+        th = np.zeros((self._batch, cap + 1), self._dtype)
+        tl = np.zeros((self._batch, cap + 1), self._dtype)
+        for i in range(self._batch):
+            n = int(counts[i])
+            pad = np.inf if fwd[i] else -np.inf
+            th[i, :] = pad
+            tl[i, :] = 0.0
+            if n:
+                tcs[i, :n] = np.concatenate(lane_tc[i])
+                th[i, :n] = np.concatenate(lane_th[i])
+                tl[i, :n] = np.concatenate(lane_tl[i])
+            th[i, n] = fin_th[i]
+            tl[i, n] = fin_tl[i]
+        c_out = ContinuousOutputBatch(
+            th, tl, tcs, counts, self._order, self.dim, jnp.asarray(fwd)
+        )
+        outcomes = [TaylorOutcome(int(o)) for o in oc]
+        self._last_res = [
+            (outcomes[i], float(np.asarray(self._last_h)[i]))
+            for i in range(self._batch)
+        ]
+        return outcomes, min_h, max_h, nsteps, c_out
 
     def propagate_for(self, delta_t, **kw):
         target = self.time + np.broadcast_to(
