@@ -64,6 +64,7 @@ from .taylor.events import t_event, nt_event, EventDirection  # noqa: E402
 from .cfunc import cfunc, make_cfunc  # noqa: E402
 from .lagham import lagrangian, hamiltonian  # noqa: E402
 from .varsys import var_ode_sys, VarArgs  # noqa: E402
+from .eop_sw import EOPData, SWData, eop_data, sw_data  # noqa: E402
 from .ensemble import (  # noqa: E402
     ensemble_propagate_until,
     ensemble_propagate_for,

@@ -28,9 +28,26 @@ from .kepler import (  # noqa: F401
     cartesian_to_kepler,
     lagrange_prop,
 )
+from .sh_gravity import (  # noqa: F401
+    sh_gravity_pot,
+    sh_gravity_acc,
+    egm2008_pot,
+    egm2008_acc,
+    get_egm2008_mu,
+    get_egm2008_a,
+    get_egm2008_CS,
+)
 from .sgp4 import (  # noqa: F401
     sgp4,
     gpe_is_deep_space,
     SGP4Propagator,
     sgp4_propagator,
+)
+from . import eop  # noqa: F401
+from . import sw  # noqa: F401
+from .eop import (  # noqa: F401
+    era, erap, gmst82, gmst82p, pm_x, pm_xp, pm_y, pm_yp, dX, dXp, dY, dYp,
+)
+from .sw import (  # noqa: F401
+    Ap_avg, Ap_avgp, f107, f107p, f107a_center81, f107a_center81p,
 )
