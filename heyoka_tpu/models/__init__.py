@@ -51,3 +51,12 @@ from .eop import (  # noqa: F401
 from .sw import (  # noqa: F401
     Ap_avg, Ap_avgp, f107, f107p, f107a_center81, f107a_center81p,
 )
+from .iau2006 import iau2006  # noqa: F401
+from .frames import (  # noqa: F401
+    rot_fk5j2000_icrs, rot_icrs_fk5j2000, rot_itrs_icrs, rot_icrs_itrs,
+    rot_itrs_teme, rot_teme_itrs,
+    state_to_rsw, state_to_rsw_inertial, state_from_rsw, state_from_rsw_inertial,
+)
+from .cart2geo import cart2geo, geo2cart  # noqa: F401
+from .time_conversions import delta_tt_tai, delta_tdb_tt  # noqa: F401
+from .dayfrac import dayfrac  # noqa: F401
