@@ -60,3 +60,18 @@ from .frames import (  # noqa: F401
 from .cart2geo import cart2geo, geo2cart  # noqa: F401
 from .time_conversions import delta_tt_tai, delta_tdb_tt  # noqa: F401
 from .dayfrac import dayfrac  # noqa: F401
+from .thermonets import nrlmsise00_tn, jb08_tn  # noqa: F401
+from .elp2000 import (  # noqa: F401
+    elp2000_spherical,
+    elp2000_cartesian,
+    elp2000_cartesian_e2000,
+    elp2000_cartesian_fk5,
+    get_elp2000_mus,
+)
+from .vsop2013 import (  # noqa: F401
+    vsop2013_elliptic,
+    vsop2013_cartesian,
+    vsop2013_cartesian_icrf,
+    get_vsop2013_mus,
+)
+from .eo_dynamics import eo_dynamics  # noqa: F401

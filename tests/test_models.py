@@ -150,14 +150,21 @@ def test_ffnn():
     w = rng.standard_normal(npar)
     cf = hy.make_cfunc(outs, vars=[x])
     got = float(np.asarray(cf(np.array([0.7]), pars=w))[0])
-    # manual forward pass
+    # manual forward pass: reference flattened layout = all weights first
+    # (row-major per layer), then all biases (ffnn.cpp:76-78)
     W1 = w[0:3].reshape(3, 1)
-    b1 = w[3:6]
-    W2 = w[6:9].reshape(1, 3)
+    W2 = w[3:6].reshape(1, 3)
+    b1 = w[6:9]
     b2 = w[9:10]
     h = np.tanh(W1 @ np.array([0.7]) + b1)
-    want = float(W2 @ h + b2)
+    want = float((W2 @ h + b2)[0])
     assert abs(got - want) < 1e-12
+
+    # explicit weights via nn_wb give the same result without params
+    outs2 = models.ffnn([x], [3], 1, [hy.tanh, lambda e: e], nn_wb=w)
+    cf2 = hy.make_cfunc(outs2, vars=[x])
+    got2 = float(np.asarray(cf2(np.array([0.7])))[0])
+    assert abs(got2 - want) < 1e-12
 
 
 def test_lagrange_prop_circular():
