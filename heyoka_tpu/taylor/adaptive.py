@@ -108,7 +108,8 @@ class TaylorAdaptive:
         )
 
         self._fns = _loops.make_step_fns(
-            self._tape, self._order, self._dtype, self._high_accuracy
+            self._tape, self._order, self._dtype, self._high_accuracy,
+            compact_mode=self._compact_mode,
         )
         if self._t_events or self._nt_events:
             from .events import make_event_step

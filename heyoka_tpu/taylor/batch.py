@@ -51,6 +51,7 @@ class TaylorAdaptiveBatch:
         self._tol = float(tol)
         self._order = _st.taylor_order_from_tol(self._tol)
         self._high_accuracy = bool(high_accuracy)
+        self._compact_mode = bool(compact_mode)
         self._tape: Tape = taylor_decompose_sys(self._sys)
 
         n_eq = self._tape.n_eq
@@ -83,7 +84,8 @@ class TaylorAdaptiveBatch:
         self._tc = jnp.zeros((self._batch, self._order + 1, n_eq), self._dtype)
 
         self._fns = _loops.make_step_fns(
-            self._tape, self._order, self._dtype, self._high_accuracy
+            self._tape, self._order, self._dtype, self._high_accuracy,
+            compact_mode=self._compact_mode,
         )
         self._last_res = [(TaylorOutcome.success, 0.0)] * self._batch
 

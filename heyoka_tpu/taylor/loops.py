@@ -36,10 +36,17 @@ class StepFns(NamedTuple):
     update: Callable  # (tc, h) -> new_state  (horner or ceval)
 
 
-def make_step_fns(tape, order: int, dtype, high_accuracy: bool) -> StepFns:
-    from .jet import make_jet_fn
+def make_step_fns(
+    tape, order: int, dtype, high_accuracy: bool, compact_mode: bool = False
+) -> StepFns:
+    if compact_mode:
+        from .compact import make_jet_fn_compact
 
-    jetf = make_jet_fn(tape, order, dtype=dtype)
+        jetf = make_jet_fn_compact(tape, order, dtype=dtype)
+    else:
+        from .jet import make_jet_fn
+
+        jetf = make_jet_fn(tape, order, dtype=dtype)
     n_eq = tape.n_eq
     if high_accuracy:
         upd = lambda tc, h: _st.ceval_update(tc, h, order, n_eq)  # noqa: E731

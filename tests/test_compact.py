@@ -1,0 +1,114 @@
+"""Compact-mode jet engine tests (reference analog: the compact_mode=true
+sweeps of the test/taylor_* suite): compact must agree with the unrolled
+engine to roundoff on every op family, and integrators must accept
+compact_mode=True."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import heyoka_tpu as hy
+from heyoka_tpu.expr.decompose import taylor_decompose_sys
+from heyoka_tpu.taylor.compact import make_jet_fn_compact
+from heyoka_tpu.taylor.jet import make_jet_fn
+from heyoka_tpu.models import pendulum, nbody
+
+ORDER = 9
+
+x, y = hy.make_vars("x", "y")
+
+CASES = [
+    ("pendulum", pendulum(), [0.05, 0.025], []),
+    (
+        "trig",
+        [
+            (x, hy.sin(x) * hy.cos(y) + hy.tan(0.3 * x)),
+            (y, hy.exp(-y) + hy.atan2(x, y) + x ** -1.5),
+        ],
+        [0.7, 1.3],
+        [],
+    ),
+    (
+        "kepE",
+        [(x, hy.kepE(0.3, y)), (y, hy.sqrt(x) + hy.log(y) + hy.erf(x))],
+        [1.2, 0.8],
+        [],
+    ),
+    (
+        "kepFDE",
+        [
+            (x, hy.kepF(0.1, 0.2, y)),
+            (y, hy.kepDE(0.1, 0.2, x) + hy.asin(0.3 * x) + hy.tanh(y)
+             + hy.sigmoid(x)),
+        ],
+        [0.9, 0.7],
+        [],
+    ),
+    (
+        "select",
+        [
+            (x, hy.select(hy.gt(x, 0.0), x * x, -x) + hy.relu(y)),
+            (y, hy.sigmoid(x) + hy.atan(y) + hy.acos(0.2 * x) + hy.sinh(y)),
+        ],
+        [0.5, -0.3],
+        [],
+    ),
+    (
+        "par_time",
+        [(x, hy.par[0] * hy.sin(hy.time) + hy.par[1] * x), (y, hy.time * y)],
+        [0.4, 0.6],
+        [1.1, -0.2],
+    ),
+]
+
+
+@pytest.mark.parametrize("name,sys_,st,pars", CASES, ids=[c[0] for c in CASES])
+def test_compact_matches_unrolled(name, sys_, st, pars):
+    tape = taylor_decompose_sys(sys_)
+    stj = jnp.asarray(np.asarray(st, float))
+    pj = jnp.asarray(np.asarray(pars, float))
+    t = jnp.asarray(0.3)
+    a = np.asarray(make_jet_fn(tape, ORDER)(stj, pj, t))
+    b = np.asarray(make_jet_fn_compact(tape, ORDER)(stj, pj, t))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-13 * np.maximum(1.0, np.abs(a)).max())
+
+
+def test_compact_nbody():
+    rng = np.random.default_rng(0)
+    base = np.array(
+        [0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 1.5, 0, -0.8, 0, 0], float
+    )
+    st = jnp.asarray(base + 0.01 * rng.standard_normal(18))
+    tape = taylor_decompose_sys(nbody(3, masses=[1.0, 1e-3, 2e-3]))
+    a = np.asarray(make_jet_fn(tape, 11)(st, jnp.zeros(0), jnp.asarray(0.0)))
+    b = np.asarray(make_jet_fn_compact(tape, 11)(st, jnp.zeros(0), jnp.asarray(0.0)))
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15)
+
+
+def test_compact_integrator_end_to_end():
+    ta_c = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=1e-12, compact_mode=True
+    )
+    assert ta_c.compact_mode
+    ta_u = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-12)
+    ta_c.propagate_until(10.0)
+    ta_u.propagate_until(10.0)
+    np.testing.assert_allclose(ta_c.state, ta_u.state, rtol=0, atol=5e-13)
+
+
+def test_compact_with_eop_fallback():
+    # data-driven interpolation ops run through the scalar-rule fallback
+    from heyoka_tpu.models import pm_x
+    from heyoka_tpu.utils.timeconv import cal_to_jd, jd_utc_to_tt
+
+    t1, t2 = jd_utc_to_tt(cal_to_jd(2020, 1, 1), 0.0)
+    t0 = float(((t1 - 2451545.0) + t2) / 36525.0)
+    sys_ = [(x, pm_x() * 1e6 + 0.0 * x)]
+    tape = taylor_decompose_sys(sys_)
+    a = np.asarray(
+        make_jet_fn(tape, 5)(jnp.asarray([0.1]), jnp.zeros(0), jnp.asarray(t0))
+    )
+    b = np.asarray(
+        make_jet_fn_compact(tape, 5)(jnp.asarray([0.1]), jnp.zeros(0), jnp.asarray(t0))
+    )
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-18)
