@@ -65,6 +65,17 @@ from .cfunc import cfunc, make_cfunc  # noqa: E402
 from .lagham import lagrangian, hamiltonian  # noqa: E402
 from .varsys import var_ode_sys, VarArgs  # noqa: E402
 from .eop_sw import EOPData, SWData, eop_data, sw_data  # noqa: E402
+from . import s11n  # noqa: E402
+from . import gp  # noqa: E402
+from .callback import AngleReducer, StepCallbackSet, angle_reducer  # noqa: E402
+from . import logging  # noqa: E402
+from .logging import (  # noqa: E402
+    set_logger_level_trace,
+    set_logger_level_debug,
+    set_logger_level_info,
+    set_logger_level_warn,
+    set_logger_level_err,
+)
 from .ensemble import (  # noqa: E402
     ensemble_propagate_until,
     ensemble_propagate_for,

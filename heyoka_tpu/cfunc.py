@@ -130,6 +130,16 @@ class cfunc:
             return self._multi(inputs, pars, t)
         raise ValueError("inputs must be 1-D or 2-D")
 
+    def __getstate__(self):
+        return {
+            "fns": self.fns,
+            "vars": self.tape.var_names,
+            "dtype": self.dtype.name,
+        }
+
+    def __setstate__(self, st):
+        self.__init__(st["fns"], vars=st["vars"], dtype=st["dtype"])
+
     def __repr__(self):
         return (
             f"cfunc(n_vars={self.n_vars}, n_outs={self.n_outs}, "

@@ -528,6 +528,32 @@ def _const_interp_recurrence(name: str):
     return rule
 
 
+def _resolve_op(name: str) -> None:
+    """Registry resolver: re-register a dataset op after unpickling.
+
+    Builtin datasets rehydrate automatically from the packaged snapshots;
+    custom datasets must be re-created (their :func:`make_quantity_expr`
+    call re-registers the ops).
+    """
+    if "%" not in name:
+        return
+    _, key = name.split("%", 1)
+    if key in _STORE:
+        # arrays exist; only the op table entries are missing (fresh process)
+        kind = key.split(":", 1)[0]
+        quantities = _EOP_QUANTITIES if kind == "eop" else _SW_QUANTITIES
+        _register_ops(kind, key, list(quantities))
+        return
+    for cls in (EOPData, SWData):
+        b = cls()
+        if b.data_key == key:
+            _prepare(b)
+            return
+
+
+_reg.register_resolver(_resolve_op)
+
+
 def make_quantity_expr(data: _DataBase, qty: str, time_expr=None, deriv=False):
     """Expression node interpolating ``qty`` of ``data`` at ``time_expr``
     (default: heyoka time), in TT Julian centuries since J2000.0."""

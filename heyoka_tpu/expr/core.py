@@ -488,7 +488,16 @@ def _pow(a, b) -> Expr:
     if isinstance(b, Number):
         ev = b.value
         if isinstance(a, Number):
-            return Number(a.value**ev)
+            # fold only when the result is real: a negative base with a
+            # non-integer exponent evaluates to nan numerically (jnp.power),
+            # and the fold must agree with that rather than go complex
+            try:
+                folded = a.value ** ev
+            except (OverflowError, ZeroDivisionError):
+                folded = _pymath.nan
+            if isinstance(folded, complex):
+                folded = _pymath.nan
+            return Number(folded)
         if ev == 0.0:
             return ONE
         if ev == 1.0:

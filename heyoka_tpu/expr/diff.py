@@ -232,6 +232,14 @@ def diff(e: Expr, x) -> Expr:
             assert isinstance(node, Func)
             rule = _GRAD.get(node.op)
             if rule is None:
+                # dynamically-registered ops (dataset interpolants) may need
+                # re-registration after unpickling; the registry resolver
+                # also installs their gradient rules
+                from . import registry as _reg
+
+                _reg.opdef(node.op)
+                rule = _GRAD.get(node.op)
+            if rule is None:
                 raise NotImplementedError(f"no gradient rule for op {node.op!r}")
             grads = rule(*node.fargs)
             terms = []

@@ -34,8 +34,25 @@ def register(op: OpDef):
     _REGISTRY[op.name] = op
 
 
+#: lazy resolvers for dynamically-registered ops (e.g. dataset-backed
+#: interpolants after unpickling) — each gets the missing name and may
+#: register it
+_RESOLVERS: list = []
+
+
+def register_resolver(fn):
+    _RESOLVERS.append(fn)
+
+
 def opdef(name: str) -> OpDef:
-    return _REGISTRY[name]
+    od = _REGISTRY.get(name)
+    if od is None:
+        for r in _RESOLVERS:
+            r(name)
+        od = _REGISTRY.get(name)
+        if od is None:
+            raise KeyError(f"unknown op {name!r}")
+    return od
 
 
 def have_op(name: str) -> bool:

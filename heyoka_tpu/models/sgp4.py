@@ -527,6 +527,18 @@ class SGP4Propagator:
             self._eval2_fn = jax.jit(jax.vmap(e1, in_axes=(None, 0)))
         return self._eval2_fn
 
+    def __getstate__(self):
+        return {
+            "sat_data": self._sat_data,
+            "diff_order": self._diff_order,
+            "dtype": self._dtype.name,
+        }
+
+    def __setstate__(self, st):
+        self.__init__(
+            st["sat_data"], diff_order=st["diff_order"], dtype=st["dtype"]
+        )
+
     def __repr__(self):
         return (
             f"SGP4Propagator(nsats={self.nsats}, nouts={self.nouts}, "

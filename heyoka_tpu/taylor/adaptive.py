@@ -319,6 +319,35 @@ class TaylorAdaptive:
                     "c_output cannot be combined with events/callbacks yet"
                 )
             return self._propagate_until_cout(t, float(max_delta_t), int(max_steps))
+        # in-graph callbacks (AngleReducer, StepCallbackSet, anything with
+        # in_graph=True) are traced into the on-device loop; plain host
+        # callables fall back to the stepwise driver
+        in_graph_cb = callback is not None and (
+            getattr(callback, "in_graph", False)
+            or hasattr(callback, "pre_hook")
+        )
+        if in_graph_cb and self._ev_step is None:
+            if hasattr(callback, "pre_hook"):
+                callback.pre_hook(self)
+            pu = jax.jit(
+                _loops.make_propagate_until(self._fns, step_callback=callback)
+            )
+            res = pu(
+                self._state, self._pars, self._t_hi, self._t_lo,
+                jnp.asarray(t, self._dtype), jnp.asarray(0.0, self._dtype),
+                jnp.asarray(float(max_delta_t), self._dtype),
+                jnp.asarray(int(max_steps), jnp.int64),
+            )
+            self._state = res["state"]
+            self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+            self._last_h = res["last_h"]
+            self._tc = res["tc"]
+            return (
+                TaylorOutcome(int(res["outcome"])),
+                float(res["min_h"]),
+                float(res["max_h"]),
+                int(res["nsteps"]),
+            )
         if self._ev_step is not None or callback is not None:
             return self._propagate_until_stepwise(
                 t, float(max_delta_t), int(max_steps), callback
@@ -478,6 +507,49 @@ class TaylorAdaptive:
             )
             rel = rh + rl
         return np.asarray(self._dout_jit(self._tc, rel))[: self.dim]
+
+    # -- serialization (reference: Boost.Serialization of the integrator
+    # mid-flight incl. dfloat time and cooldowns, taylor.hpp:1217-1240;
+    # compiled drivers rebuild lazily, obj-code reuse comes from the jax
+    # persistent compilation cache) ------------------------------------------
+
+    def __getstate__(self):
+        return {
+            "sys": self._sys,
+            "tol": self._tol,
+            "high_accuracy": self._high_accuracy,
+            "compact_mode": self._compact_mode,
+            "dtype": self._dtype.name,
+            "t_events": self._t_events,
+            "nt_events": self._nt_events,
+            "state": np.asarray(self._state),
+            "pars": np.asarray(self._pars),
+            "t_hi": float(self._t_hi),
+            "t_lo": float(self._t_lo),
+            "last_h": float(self._last_h),
+            "tc": np.asarray(self._tc),
+            "cooldowns": np.asarray(self._te_cooldowns),
+            "event_stop": self._event_stop,
+        }
+
+    def __setstate__(self, st):
+        self.__init__(
+            st["sys"],
+            st["state"],
+            pars=st["pars"],
+            tol=st["tol"],
+            high_accuracy=st["high_accuracy"],
+            compact_mode=st["compact_mode"],
+            dtype=st["dtype"],
+            t_events=st["t_events"],
+            nt_events=st["nt_events"],
+        )
+        self._t_hi = jnp.asarray(st["t_hi"], self._dtype)
+        self._t_lo = jnp.asarray(st["t_lo"], self._dtype)
+        self._last_h = jnp.asarray(st["last_h"], self._dtype)
+        self._tc = jnp.asarray(st["tc"], self._dtype)
+        self._te_cooldowns = jnp.asarray(st["cooldowns"], self._dtype)
+        self._event_stop = st["event_stop"]
 
     def __repr__(self):
         return (

@@ -363,3 +363,37 @@ class TaylorAdaptiveBatch:
 
 def taylor_adaptive_batch(sys, state, **kw) -> TaylorAdaptiveBatch:
     return TaylorAdaptiveBatch(sys, state, **kw)
+
+    # -- serialization ---------------------------------------------------------
+
+
+def _batch_getstate(self):
+    return {
+        "sys": self._sys,
+        "tol": self._tol,
+        "high_accuracy": self._high_accuracy,
+        "compact_mode": self._compact_mode,
+        "dtype": self._dtype.name,
+        "state": np.asarray(self._state),
+        "pars": np.asarray(self._pars),
+        "t_hi": np.asarray(self._t_hi),
+        "t_lo": np.asarray(self._t_lo),
+        "last_h": np.asarray(self._last_h),
+        "tc": np.asarray(self._tc),
+    }
+
+
+def _batch_setstate(self, st):
+    self.__init__(
+        st["sys"], st["state"], pars=st["pars"], tol=st["tol"],
+        high_accuracy=st["high_accuracy"], compact_mode=st["compact_mode"],
+        dtype=st["dtype"],
+    )
+    self._t_hi = jnp.asarray(st["t_hi"], self._dtype)
+    self._t_lo = jnp.asarray(st["t_lo"], self._dtype)
+    self._last_h = jnp.asarray(st["last_h"], self._dtype)
+    self._tc = jnp.asarray(st["tc"], self._dtype)
+
+
+TaylorAdaptiveBatch.__getstate__ = _batch_getstate
+TaylorAdaptiveBatch.__setstate__ = _batch_setstate

@@ -196,6 +196,22 @@ class ContinuousOutput:
             res = tc[:, self._order - i, :] + res * rel[:, None]
         return res
 
+    def __getstate__(self):
+        return {
+            "times_hi": np.asarray(self._times_hi),
+            "times_lo": np.asarray(self._times_lo),
+            "tcs": np.asarray(self._tcs),
+            "order": self._order,
+            "dim": self._dim,
+            "fwd": self._fwd,
+        }
+
+    def __setstate__(self, st):
+        self.__init__(
+            st["times_hi"], st["times_lo"], st["tcs"], st["order"],
+            st["dim"], st["fwd"],
+        )
+
     def __call__(self, t):
         scalar = np.ndim(t) == 0
         t = jnp.atleast_1d(jnp.asarray(t, self._tcs.dtype))
@@ -245,6 +261,23 @@ class ContinuousOutputBatch:
 
         return jax.vmap(lane)(
             self._times_hi, self._times_lo, self._tcs, self._n_steps, self._fwd, ts
+        )
+
+    def __getstate__(self):
+        return {
+            "times_hi": np.asarray(self._times_hi),
+            "times_lo": np.asarray(self._times_lo),
+            "tcs": np.asarray(self._tcs),
+            "n_steps": np.asarray(self._n_steps),
+            "order": self._order,
+            "dim": self._dim,
+            "fwd": np.asarray(self._fwd),
+        }
+
+    def __setstate__(self, st):
+        self.__init__(
+            st["times_hi"], st["times_lo"], st["tcs"], st["n_steps"],
+            st["order"], st["dim"], jnp.asarray(st["fwd"]),
         )
 
     def __call__(self, t):

@@ -68,7 +68,14 @@ def rule(name):
 
 
 def get_rule(name: str) -> Callable:
-    return _RULES[name]
+    r = _RULES.get(name)
+    if r is None:
+        # trigger dynamic-op resolution (see registry.register_resolver)
+        from ..expr import registry as _reg
+
+        _reg.opdef(name)
+        r = _RULES[name]
+    return r
 
 
 def have_rule(name: str) -> bool:
