@@ -459,6 +459,11 @@ class TaylorAdaptive:
     def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0):
         """Dense-output sampling at the points of a monotonic time grid;
         returns (outcome, min_h, max_h, nsteps, out[len(grid), dim])."""
+        if self._ev_step is not None:
+            raise NotImplementedError(
+                "propagate_grid with events is not supported yet; use "
+                "propagate_until + update_d_output"
+            )
         grid = np.asarray(grid, dtype=self._dtype)
         if grid.ndim != 1 or grid.size == 0:
             raise ValueError("grid must be a non-empty 1-D array")

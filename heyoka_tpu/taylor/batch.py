@@ -43,6 +43,8 @@ class TaylorAdaptiveBatch:
         high_accuracy=False,
         compact_mode=False,
         dtype=jnp.float64,
+        t_events=(),
+        nt_events=(),
     ):
         self._sys = _normalize_sys(sys)
         self._dtype = jnp.dtype(dtype)
@@ -52,7 +54,12 @@ class TaylorAdaptiveBatch:
         self._order = _st.taylor_order_from_tol(self._tol)
         self._high_accuracy = bool(high_accuracy)
         self._compact_mode = bool(compact_mode)
-        self._tape: Tape = taylor_decompose_sys(self._sys)
+        self._t_events = list(t_events)
+        self._nt_events = list(nt_events)
+        ev_eqs = [ev.expression for ev in self._t_events] + [
+            ev.expression for ev in self._nt_events
+        ]
+        self._tape: Tape = taylor_decompose_sys(self._sys, extra_outputs=ev_eqs)
 
         n_eq = self._tape.n_eq
         state = np.asarray(state, dtype=self._dtype)
@@ -86,6 +93,23 @@ class TaylorAdaptiveBatch:
         self._fns = _loops.make_step_fns(
             self._tape, self._order, self._dtype, self._high_accuracy,
             compact_mode=self._compact_mode,
+        )
+        if self._t_events or self._nt_events:
+            # the scalar in-graph event step vmaps directly over the lanes
+            # (reference: ed_data_batch::detect_events,
+            # src/detail/event_detection.cpp:1733 — here it is the same
+            # kernel under a batch axis)
+            from .events_impl import build_event_step
+
+            make = build_event_step(
+                self._fns, self._tape, self._t_events, self._nt_events,
+                self._dtype,
+            )
+            self._ev_step = jax.jit(jax.vmap(make(self._tol)))
+        else:
+            self._ev_step = None
+        self._te_cooldowns = jnp.zeros(
+            (self._batch, len(self._t_events)), self._dtype
         )
         self._last_res = [(TaylorOutcome.success, 0.0)] * self._batch
 
@@ -187,6 +211,8 @@ class TaylorAdaptiveBatch:
             mdt = jnp.broadcast_to(
                 jnp.asarray(max_delta_t, self._dtype), (self._batch,)
             )
+        if self._ev_step is not None:
+            return self._step_events(mdt)
         new_state, h, tc, outcome, nt_hi, nt_lo = self._step_jit(
             self._state, self._pars, self._t_hi, self._t_lo, mdt
         )
@@ -197,6 +223,63 @@ class TaylorAdaptiveBatch:
         self._last_res = [
             (TaylorOutcome(int(oc[i])), float(hh[i])) for i in range(self._batch)
         ]
+
+    def _step_events(self, mdt):
+        res = self._ev_step(
+            self._state, self._pars, self._t_hi, self._t_lo, mdt,
+            self._te_cooldowns,
+        )
+        self._state = res["state"]
+        self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+        self._last_h = res["last_h"]
+        self._tc = res["tc"]
+        self._te_cooldowns = res["cooldowns"]
+        oc = np.asarray(res["outcome"])
+        hh = np.asarray(res["last_h"])
+        self._last_res = [
+            (
+                TaylorOutcome(int(oc[i])) if int(oc[i]) < 0 else int(oc[i]),
+                float(hh[i]),
+            )
+            for i in range(self._batch)
+        ]
+        # chronological per-lane callback dispatch (reference:
+        # taylor_adaptive_batch event branch)
+        self._event_stop = np.zeros((self._batch,), bool)
+        te_idx = np.asarray(res["te_idx"])
+        nt_mask = np.asarray(res["nt_mask"])
+        nt_times = np.asarray(res["nt_times"])
+        nt_idx = np.asarray(res["nt_idx"])
+        nt_sgn = np.asarray(res["nt_sgn"])
+        for i in range(self._batch):
+            if self._nt_events and nt_mask[i].any():
+                t0 = float(np.asarray(self._t_hi)[i]) - float(hh[i])
+                order = np.argsort(
+                    np.abs(nt_times[i][nt_mask[i]] - t0), kind="stable"
+                )
+                sel_t = nt_times[i][nt_mask[i]]
+                sel_i = nt_idx[i][nt_mask[i]]
+                sel_s = nt_sgn[i][nt_mask[i]]
+                for k in order:
+                    ev = self._nt_events[int(sel_i[k])]
+                    if ev.callback is not None:
+                        ev.callback(self, float(sel_t[k]), int(sel_s[k]), i)
+            ti = int(te_idx[i])
+            if ti >= 0 and self._t_events:
+                ev = self._t_events[ti]
+                if ev.callback is None:
+                    self._event_stop[i] = True
+                else:
+                    cont = ev.callback(self, int(np.asarray(res["te_sgn"])[i]), i)
+                    self._event_stop[i] = cont is False
+
+    @property
+    def t_events(self):
+        return list(self._t_events)
+
+    @property
+    def nt_events(self):
+        return list(self._nt_events)
 
     def step_backward(self):
         self.step(max_delta_t=-_pymath.inf)
@@ -226,7 +309,13 @@ class TaylorAdaptiveBatch:
             np.asarray(max_delta_t, dtype=self._dtype), (self._batch,)
         )
         if c_output:
+            if self._ev_step is not None:
+                raise NotImplementedError(
+                    "c_output with events is not supported in batch mode"
+                )
             return self._propagate_until_cout(t, mdt, int(max_steps))
+        if self._ev_step is not None:
+            return self._propagate_until_events(t, mdt, int(max_steps))
         res = self._pu_jit(
             self._state,
             self._pars,
@@ -323,6 +412,49 @@ class TaylorAdaptiveBatch:
         ]
         return outcomes, min_h, max_h, nsteps, c_out
 
+    def _propagate_until_events(self, t, mdt, max_steps):
+        """Host-driven per-lane propagate-until in the presence of events:
+        lanes step in lockstep with per-lane caps; a lane stops at its
+        target, a stopping terminal event, or non-finite state."""
+        min_h = np.full((self._batch,), _pymath.inf)
+        max_h = np.zeros((self._batch,))
+        nsteps = np.zeros((self._batch,), np.int64)
+        outcomes = [TaylorOutcome.time_limit] * self._batch
+        fwd = t >= self.time
+        done = np.zeros((self._batch,), bool)
+        while not done.all():
+            rem = t - self.time
+            arrived = np.where(fwd, rem <= 0, rem >= 0)
+            done |= arrived
+            if done.all():
+                break
+            cap = np.minimum(np.abs(rem), mdt)
+            cap = np.where(done, 0.0, cap)
+            step_mdt = np.where(fwd, cap, -cap)
+            self.step(max_delta_t=step_mdt)
+            for i in range(self._batch):
+                if done[i]:
+                    continue
+                oc, h = self._last_res[i]
+                nsteps[i] += 1
+                min_h[i] = min(min_h[i], abs(h))
+                max_h[i] = max(max_h[i], abs(h))
+                if oc == TaylorOutcome.err_nf_state:
+                    outcomes[i] = oc
+                    done[i] = True
+                elif isinstance(oc, int) and self._event_stop[i]:
+                    outcomes[i] = oc
+                    done[i] = True
+            if max_steps and int(nsteps.max()) >= max_steps:
+                for i in range(self._batch):
+                    if not done[i]:
+                        outcomes[i] = TaylorOutcome.step_limit
+                break
+        self._last_res = [
+            (outcomes[i], self._last_res[i][1]) for i in range(self._batch)
+        ]
+        return outcomes, min_h, max_h, nsteps
+
     def propagate_for(self, delta_t, **kw):
         target = self.time + np.broadcast_to(
             np.asarray(delta_t, dtype=self._dtype), (self._batch,)
@@ -332,6 +464,10 @@ class TaylorAdaptiveBatch:
     def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0):
         """Shared time grid, per-lane dense output:
         returns (outcomes, min_h, max_h, nsteps, out[batch, len(grid), dim])."""
+        if self._ev_step is not None:
+            raise NotImplementedError(
+                "propagate_grid with events is not supported yet"
+            )
         grid = np.asarray(grid, dtype=self._dtype)
         if max_delta_t is None:
             max_delta_t = _pymath.inf

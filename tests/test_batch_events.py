@@ -1,0 +1,80 @@
+"""Batch event-detection tests (reference analog:
+test/batch_event_detection.cpp): per-lane terminal/non-terminal events must
+match the scalar integrator lane by lane."""
+
+import numpy as np
+import pytest
+
+import heyoka_tpu as hy
+from heyoka_tpu import TaylorOutcome, nt_event, t_event
+from heyoka_tpu.models import pendulum
+
+BATCH = 4
+
+
+@pytest.fixture
+def states(rng):
+    return 0.05 + 0.01 * rng.standard_normal((BATCH, 2))
+
+
+def test_batch_t_event_matches_scalar(states):
+    x, v = hy.make_vars("x", "v")
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-12, t_events=[t_event(v)]
+    )
+    ocs, mn, mx, ns = tab.propagate_until(100.0)
+    # every lane stops at its first turning point (terminal event index 0)
+    assert all(oc == 0 for oc in ocs)
+    assert np.max(np.abs(tab.state[:, 1])) < 1e-10
+    for i in range(BATCH):
+        ta = hy.taylor_adaptive(
+            pendulum(), states[i], tol=1e-12, t_events=[t_event(v)]
+        )
+        ta.propagate_until(100.0)
+        assert tab.time[i] == ta.time
+        np.testing.assert_array_equal(tab.state[i], ta.state)
+
+
+def test_batch_nt_event_counts(states):
+    x, v = hy.make_vars("x", "v")
+    hits = [[] for _ in range(BATCH)]
+    ev = nt_event(x, lambda tb, t, d, lane: hits[lane].append((t, d)))
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-12, nt_events=[ev]
+    )
+    ocs, *_ = tab.propagate_until(10.0)
+    assert all(oc == TaylorOutcome.time_limit for oc in ocs)
+    # pendulum angle crosses zero twice per ~2.007 s period
+    for h in hits:
+        assert len(h) == 10
+        # alternating directions
+        dirs = [d for _, d in h]
+        assert all(a != b for a, b in zip(dirs, dirs[1:]))
+
+
+def test_batch_t_event_callback_continue(states):
+    x, v = hy.make_vars("x", "v")
+    count = [0] * BATCH
+
+    def cb(tb, d_sgn, lane):
+        count[lane] += 1
+        return True
+
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-12, t_events=[t_event(v, callback=cb)]
+    )
+    ocs, *_ = tab.propagate_until(20.0)
+    assert all(oc == TaylorOutcome.time_limit for oc in ocs)
+    np.testing.assert_allclose(tab.time, 20.0, atol=1e-12)
+    # ~2 turning points per 2.007 s period
+    for c in count:
+        assert abs(c - 20.0) <= 2
+
+
+def test_batch_grid_with_events_raises(states):
+    x, v = hy.make_vars("x", "v")
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-12, t_events=[t_event(v)]
+    )
+    with pytest.raises(NotImplementedError):
+        tab.propagate_grid(np.linspace(0, 1, 5))
