@@ -1,0 +1,206 @@
+"""Native CPU runtime bindings.
+
+Builds (once, cached) and loads the C++ tape-interpreter runtime
+(``heyoka_tpu/_native/taperun.cpp``) via ctypes, and packs decomposition
+tapes into its flat encoding.  See the C++ file header for the design
+rationale (the native companion of the XLA compute path; reference backend
+for compiled-vs-independent equivalence testing, SURVEY.md §4).
+
+Public surface:
+
+- :func:`native_available` — True when the runtime compiled.
+- :func:`native_jet` — Taylor-coefficient jet via the native runtime.
+- :func:`native_propagate_until` — adaptive propagation on the host CPU.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import tempfile
+from functools import lru_cache
+
+import numpy as np
+
+from .expr.decompose import Tape
+
+_MAXA = 8
+
+_OPCODES = {
+    "sum": 0, "mul": 1, "div": 2, "pow": 3, "sin": 4, "cos": 5, "sinh": 6,
+    "cosh": 7, "tan": 8, "tanh": 9, "exp": 10, "log": 11, "sqrt": 12,
+    "sigmoid": 13, "asin": 14, "acos": 15, "atan": 16, "asinh": 17,
+    "acosh": 18, "atanh": 19, "erf": 20, "atan2": 21, "relu": 22,
+    "relup": 23, "select": 24, "lt": 25, "le": 26, "gt": 27, "ge": 28,
+    "eq": 29, "ne": 30, "logical_and": 31, "logical_or": 32,
+    "logical_not": 33, "kepE": 34, "kepF": 35, "kepDE": 36,
+}
+
+
+@lru_cache(maxsize=1)
+def _lib():
+    """Compile (if needed) and load the native runtime; None when no
+    compiler is available."""
+    src = os.path.join(os.path.dirname(__file__), "_native", "taperun.cpp")
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "heyoka_tpu",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so = os.path.join(cache_dir, "taperun.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        cxx = os.environ.get("CXX", "g++")
+        cmd = [
+            cxx, "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            src, "-o", so + ".tmp",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(so + ".tmp", so)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    lib.ht_jet.restype = None
+    lib.ht_jet.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        f64p, f64p, ctypes.c_double, ctypes.c_int32, f64p,
+    ]
+    lib.ht_propagate_until.restype = ctypes.c_int64
+    lib.ht_propagate_until.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        f64p, f64p, ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
+    ]
+    return lib
+
+
+def native_available() -> bool:
+    return _lib() is not None
+
+
+def pack_tape(tape: Tape):
+    """Flatten a decomposition tape into the native runtime's encoding."""
+    if tape.rhs is None:
+        raise ValueError("pack_tape requires an ODE tape")
+    n_ops = len(tape.ops)
+    consts: list[float] = []
+    cmap: dict[float, int] = {}
+
+    def code(operand) -> int:
+        kind = operand[0]
+        if kind == "u":
+            return int(operand[1])
+        if kind == "c":
+            v = float(operand[1])
+            if v not in cmap:
+                cmap[v] = len(consts)
+                consts.append(v)
+            return -1 - cmap[v]
+        if kind == "p":
+            return -1000000 - int(operand[1])
+        if kind == "t":
+            return -2000000
+        raise ValueError(operand)
+
+    opcodes = np.zeros(n_ops, np.int32)
+    arity = np.zeros(n_ops, np.int32)
+    inputs = np.zeros((n_ops, _MAXA), np.int32)
+    meta = np.full((n_ops, 2), -1, np.int32)
+    alpha = np.zeros(n_ops, np.float64)
+    for i, op in enumerate(tape.ops):
+        if op.op not in _OPCODES:
+            raise NotImplementedError(
+                f"op {op.op!r} is not supported by the native runtime"
+            )
+        if len(op.inputs) > _MAXA:
+            raise NotImplementedError(
+                f"native runtime supports arity <= {_MAXA}; op {op.op!r} has "
+                f"{len(op.inputs)} (decompose with sum splitting)"
+            )
+        opcodes[i] = _OPCODES[op.op]
+        arity[i] = len(op.inputs)
+        for a, operand in enumerate(op.inputs):
+            inputs[i, a] = code(operand)
+        if "pair" in op.meta:
+            meta[i, 0] = int(op.meta["pair"])
+        if "sq" in op.meta:
+            meta[i, 0] = int(op.meta["sq"])
+        if "sin" in op.meta:
+            meta[i, 0] = int(op.meta["sin"])
+            meta[i, 1] = int(op.meta["cos"])
+        if op.op == "pow":
+            alpha[i] = float(op.meta["alpha"])
+    rhs = np.array([code(o) for o in tape.rhs], np.int32)
+    return dict(
+        n_eq=np.int32(tape.n_eq),
+        n_ops=np.int32(n_ops),
+        n_pars=np.int32(tape.n_pars),
+        opcodes=opcodes,
+        arity=arity,
+        inputs=np.ascontiguousarray(inputs),
+        meta=np.ascontiguousarray(meta),
+        alpha=alpha,
+        consts=np.asarray(consts if consts else [0.0], np.float64),
+        n_consts=np.int32(len(consts) if consts else 1),
+        rhs=rhs,
+    )
+
+
+def native_jet(tape: Tape, state, pars, t: float, order: int) -> np.ndarray:
+    """Normalized Taylor coefficients (order+1, n_uvars) via the native
+    runtime."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ compiler?)")
+    p = pack_tape(tape)
+    n_u = tape.n_uvars
+    out = np.zeros(((order + 1), n_u), np.float64)
+    state = np.ascontiguousarray(state, np.float64)
+    pars = np.ascontiguousarray(
+        pars if pars is not None and len(pars) else [0.0], np.float64
+    )
+    lib.ht_jet(
+        p["n_eq"], p["n_ops"], p["n_pars"], p["opcodes"], p["arity"],
+        p["inputs"], p["meta"], p["alpha"], p["consts"], p["n_consts"],
+        p["rhs"], state, pars, float(t), np.int32(order),
+        out.reshape(-1),
+    )
+    return out
+
+
+def native_propagate_until(
+    tape: Tape, state, pars, t0: float, target: float, order: int,
+    *, max_delta_t: float = np.inf, max_steps: int = 0,
+):
+    """Adaptive Taylor propagation entirely on the host CPU; returns
+    (state, time, nsteps)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ compiler?)")
+    p = pack_tape(tape)
+    state = np.array(state, np.float64)
+    pars = np.ascontiguousarray(
+        pars if pars is not None and len(pars) else [0.0], np.float64
+    )
+    t = ctypes.c_double(float(t0))
+    steps = lib.ht_propagate_until(
+        p["n_eq"], p["n_ops"], p["n_pars"], p["opcodes"], p["arity"],
+        p["inputs"], p["meta"], p["alpha"], p["consts"], p["n_consts"],
+        p["rhs"], state, pars, ctypes.byref(t), float(target),
+        float(max_delta_t), np.int64(max_steps), np.int32(order),
+    )
+    if steps < 0:
+        raise FloatingPointError(
+            f"non-finite state after {-steps} steps at t={t.value}"
+        )
+    return state, t.value, int(steps)

@@ -1,0 +1,107 @@
+"""Native CPU runtime tests: the C++ tape interpreter is an independent
+backend and must agree with the XLA jet engines to roundoff (the analog of
+the reference's opt-level-0 vs optimized-code equivalence sweeps,
+SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import heyoka_tpu as hy
+from heyoka_tpu import native
+from heyoka_tpu.expr.decompose import taylor_decompose_sys
+from heyoka_tpu.taylor.jet import make_jet_fn
+from heyoka_tpu.models import pendulum, nbody
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="no C++ toolchain"
+)
+
+x, y = hy.make_vars("x", "y")
+
+
+@pytest.mark.parametrize(
+    "sys_,st,pars",
+    [
+        (pendulum(), [0.05, 0.025], []),
+        (
+            [
+                (x, hy.sin(x) * hy.cos(y) + hy.tan(0.3 * x)),
+                (y, hy.exp(-y) + hy.atan2(x, y) + x ** -1.5),
+            ],
+            [0.7, 1.3],
+            [],
+        ),
+        (
+            [
+                (x, hy.kepE(0.3, y) + hy.sigmoid(x)),
+                (y, hy.sqrt(x) + hy.log(y) + hy.erf(x)
+                 + hy.kepF(0.1, 0.2, x) + hy.kepDE(0.1, 0.2, y)),
+            ],
+            [1.2, 0.8],
+            [],
+        ),
+        (
+            [(x, hy.par[0] * hy.asin(0.2 * x) + hy.time), (y, hy.tanh(x * y))],
+            [0.4, 0.6],
+            [1.3],
+        ),
+    ],
+)
+def test_native_jet_matches_xla(sys_, st, pars):
+    tape = taylor_decompose_sys(sys_)
+    a = np.asarray(
+        make_jet_fn(tape, 9)(
+            jnp.asarray(np.asarray(st, float)),
+            jnp.asarray(np.asarray(pars, float)),
+            jnp.asarray(0.3),
+        )
+    )
+    b = native.native_jet(tape, st, pars, 0.3, 9)[:, : a.shape[1]]
+    np.testing.assert_allclose(b, a, rtol=1e-13, atol=1e-15)
+
+
+def test_native_propagate_matches_integrator():
+    tape = taylor_decompose_sys(pendulum())
+    ta = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15)
+    ta.propagate_until(50.0)
+    st, t, ns = native.native_propagate_until(
+        tape, [0.05, 0.025], [], 0.0, 50.0, ta.order
+    )
+    assert t == pytest.approx(50.0, abs=1e-12)
+    assert ns > 100
+    np.testing.assert_allclose(st, ta.state, rtol=0, atol=1e-13)
+
+
+def test_native_nbody_energy():
+    masses = [1.0, 1e-3, 2e-3]
+    sys_ = nbody(3, masses=masses)
+    tape = taylor_decompose_sys(sys_)
+    st0 = np.array(
+        [0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 1.5, 0, -0.8, 0, 0], float
+    )
+    from heyoka_tpu.models import nbody_energy
+
+    cf = hy.make_cfunc([nbody_energy(3, masses=masses)])
+    names = cf.tape.var_names
+    sys_names = [lhs.name for lhs, _ in sys_]
+    perm = [sys_names.index(n) for n in names]
+    e0 = float(cf(st0[perm])[0])
+    st, t, ns = native.native_propagate_until(tape, st0, [], 0.0, 20.0, 20)
+    e1 = float(cf(st[perm])[0])
+    assert abs((e1 - e0) / e0) < 1e-12
+
+
+def test_native_max_steps_and_nonfinite():
+    tape = taylor_decompose_sys(pendulum())
+    st, t, ns = native.native_propagate_until(
+        tape, [0.05, 0.025], [], 0.0, 1000.0, 20, max_steps=5
+    )
+    assert ns == 5
+    assert t < 1000.0
+
+    # x' = x^2 blows up in finite time -> non-finite detection
+    blow = [(x, x * x)]
+    tape2 = taylor_decompose_sys(blow)
+    with pytest.raises(FloatingPointError):
+        native.native_propagate_until(tape2, [1.0], [], 0.0, 10.0, 20)
