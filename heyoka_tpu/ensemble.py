@@ -76,9 +76,14 @@ def _mesh_shard(fun, mesh, n_args):
 
     axis = mesh.axis_names[0]
     specs = tuple(P(axis) for _ in range(n_args))
-    return shard_map(
-        fun, mesh=mesh, in_specs=specs, out_specs=P(axis), check_rep=False
-    )
+    try:
+        return shard_map(
+            fun, mesh=mesh, in_specs=specs, out_specs=P(axis), check_rep=False
+        )
+    except TypeError:  # jax >= 0.8: check_rep became check_vma
+        return shard_map(
+            fun, mesh=mesh, in_specs=specs, out_specs=P(axis), check_vma=False
+        )
 
 
 def ensemble_propagate_until(

@@ -42,6 +42,7 @@ class _Group:
     aux: dict = field(default_factory=dict)  # name -> (m,) column arrays
     alpha: np.ndarray | None = None  # pow exponents
     ops: list = field(default_factory=list)  # original (op, out_col) for fallback
+    out_start: int = -1  # first column of the (contiguous) output range
 
 
 @dataclass
@@ -181,6 +182,43 @@ def build_plan(tape: Tape, order: int) -> _Plan:
         if tape.rhs is not None else np.zeros(0, np.int64)
     out_cols = np.array([col_of(o) for o in tape.outputs], dtype=np.int64)
 
+    # -- column permutation: contiguous groups ---------------------------------
+    # Renumber the op u-vars so every group's outputs occupy a contiguous
+    # column range: the per-order updates become static slice stores instead
+    # of scatters (the layout freedom heyoka gets from its index tables,
+    # exploited here for the TPU's preference for dense slices).
+    old2new = np.arange(next_col, dtype=np.int64)
+    nxt = n_eq
+    for lv in levels:
+        for g in lv:
+            for u in g.out_cols:
+                old2new[u] = nxt
+                nxt += 1
+    assert nxt == n_u
+
+    def remap(a):
+        return old2new[a]
+
+    for lv in levels:
+        for g in lv:
+            g.out_start = int(old2new[g.out_cols[0]])
+            g.out_cols = remap(g.out_cols)
+            assert np.array_equal(
+                g.out_cols,
+                np.arange(g.out_start, g.out_start + g.out_cols.size),
+            )
+            g.in_cols = remap(g.in_cols)
+            g.aux = {k: remap(v) for k, v in g.aux.items()}
+            g.ops = [
+                (
+                    _remap_op_meta(op, old2new), int(old2new[u]),
+                    [int(old2new[c]) for c in incols],
+                )
+                for op, u, incols in g.ops
+            ]
+    rhs_cols = remap(rhs_cols)
+    out_cols = remap(out_cols)
+
     return _Plan(
         width=next_col,
         n_eq=n_eq,
@@ -198,6 +236,18 @@ def build_plan(tape: Tape, order: int) -> _Plan:
 # ---------------------------------------------------------------------------
 # vectorized order-k recurrences
 # ---------------------------------------------------------------------------
+
+def _remap_op_meta(op, old2new):
+    from ..expr.decompose import TapeOp
+
+    if not op.meta:
+        return op
+    meta = dict(op.meta)
+    for mk in ("pair", "sq", "sin", "cos"):
+        if mk in meta:
+            meta[mk] = int(old2new[int(meta[mk])])
+    return TapeOp(op.op, op.inputs, meta)
+
 
 def _conv(A, B, k):
     """sum_{j=0..k} A[j] * B[k-j] over (K+1, m) histories; static k."""
@@ -573,7 +623,10 @@ def make_jet_fn_compact(tape: Tape, order: int, *, dtype=None):
                     vals = ins[0] * ins[1]
                 else:
                     vals = _reg.opdef(g.name).evaluate(*ins)
-                tc = tc.at[0, g.out_cols].set(vals.astype(dtype))
+                m = g.out_cols.size
+                tc = tc.at[0, g.out_start : g.out_start + m].set(
+                    vals.astype(dtype)
+                )
 
         # orders 1..K
         for k in range(1, K + 1):
@@ -583,7 +636,8 @@ def make_jet_fn_compact(tape: Tape, order: int, *, dtype=None):
                 for g in lv:
                     rule = _VEC_RULES.get(g.name, _fallback_rule)
                     vals = rule(jnp, tc, k, g)
-                    tc = tc.at[k, g.out_cols].set(
+                    m = g.out_cols.size
+                    tc = tc.at[k, g.out_start : g.out_start + m].set(
                         jnp.asarray(vals, dtype)
                     )
 

@@ -30,6 +30,12 @@ os.environ.setdefault("XLA_FLAGS", _WANT["XLA_FLAGS"])
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# persistent XLA compilation cache: reuses compiled integrator loops across
+# test processes (the test-suite analog of the reference's on-disk JIT cache)
+import heyoka_tpu as _hy  # noqa: E402
+
+_hy.s11n.enable_compilation_cache()
+
 
 @pytest.fixture
 def rng():
