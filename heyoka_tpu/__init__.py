@@ -80,6 +80,9 @@ from .ensemble import (  # noqa: E402
     ensemble_propagate_until,
     ensemble_propagate_for,
     ensemble_propagate_grid,
+    ensemble_propagate_until_batch,
+    ensemble_propagate_for_batch,
+    ensemble_propagate_grid_batch,
 )
 
 time = time_

@@ -115,16 +115,48 @@ class cfunc:
 
         return jax.jit(jax.vmap(f1, in_axes=(0, 0, None)))
 
+    @cached_property
+    def _multi_time(self):
+        tape, dtype = self.tape, self.dtype
+
+        def f1(inputs, pars, t):
+            outs = tape_eval(tape, inputs, pars, t)
+            return jnp.stack([jnp.asarray(o, dtype=dtype) for o in outs])
+
+        return jax.jit(jax.vmap(f1, in_axes=(0, None, 0)))
+
+    @cached_property
+    def _multi_batch_pars_time(self):
+        tape, dtype = self.tape, self.dtype
+
+        def f1(inputs, pars, t):
+            outs = tape_eval(tape, inputs, pars, t)
+            return jnp.stack([jnp.asarray(o, dtype=dtype) for o in outs])
+
+        return jax.jit(jax.vmap(f1, in_axes=(0, 0, 0)))
+
     def __call__(self, inputs, pars=None, time=0.0):
         inputs = jnp.asarray(inputs, dtype=self.dtype)
         if pars is None:
             pars = jnp.zeros((self.n_pars,), self.dtype)
         else:
             pars = jnp.asarray(pars, dtype=self.dtype)
-        t = jnp.asarray(float(time), self.dtype)
+        t_arr = np.asarray(time)
         if inputs.ndim == 1:
-            return self._single(inputs, pars, t)
+            return self._single(
+                inputs, pars, jnp.asarray(float(time), self.dtype)
+            )
         if inputs.ndim == 2:
+            # per-evaluation times are supported in multi-eval (the
+            # reference's time-batched cfunc evaluation, cfunc_class.cpp)
+            if t_arr.ndim == 1:
+                t = jnp.asarray(t_arr, self.dtype)
+                if t.shape[0] != inputs.shape[0]:
+                    raise ValueError("time must have shape (n_evals,)")
+                if pars.ndim == 2:
+                    return self._multi_batch_pars_time(inputs, pars, t)
+                return self._multi_time(inputs, pars, t)
+            t = jnp.asarray(float(time), self.dtype)
             if pars.ndim == 2:
                 return self._multi_batch_pars(inputs, pars, t)
             return self._multi(inputs, pars, t)

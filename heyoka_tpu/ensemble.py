@@ -178,3 +178,74 @@ def ensemble_propagate_grid(
         "max_h": res["max_h"],
         "nsteps": res["nsteps"],
     }
+
+
+# -- batch variants -------------------------------------------------------------
+# Reference parity: ensemble_propagate_*_batch (ensemble_propagate.hpp:180-269)
+# run N copies of a *batch* integrator.  Under vmap the scalar and batch
+# ensembles are the same computation, so these wrappers flatten the
+# (n_iter, batch) axes into one trajectory axis and reshape the results.
+
+
+def _flatten_batch_gen(tab, n_iter, gen):
+    b = tab.batch_size
+    if not isinstance(gen, dict):
+        raise TypeError("batch ensembles take a dict of stacked arrays")
+    states = np.asarray(gen["state"], dtype=tab._dtype)
+    if states.shape[:2] != (n_iter, b):
+        raise ValueError(f"state must have shape ({n_iter}, {b}, dim)")
+    out = {"state": states.reshape(n_iter * b, -1)}
+    if "pars" in gen and gen["pars"] is not None:
+        out["pars"] = np.asarray(gen["pars"], dtype=tab._dtype).reshape(
+            n_iter * b, -1
+        )
+    if "time" in gen and gen["time"] is not None:
+        out["time"] = np.broadcast_to(
+            np.asarray(gen["time"], dtype=tab._dtype), (n_iter, b)
+        ).reshape(n_iter * b)
+    return out
+
+
+class _BatchShim:
+    """Adapts a TaylorAdaptiveBatch to the scalar ensemble driver."""
+
+    def __init__(self, tab):
+        self.dim = tab.dim
+        self._tape = tab._tape
+        self._dtype = tab._dtype
+        self._fns = tab._fns
+        self.state = tab.state[0]
+        self.pars = tab.pars[0]
+        self.time = float(np.asarray(tab.time)[0])
+
+
+def _reshape_res(res, n_iter, b):
+    out = {}
+    for k, v in res.items():
+        v = np.asarray(v)
+        out[k] = v.reshape((n_iter, b) + v.shape[1:])
+    return out
+
+
+def ensemble_propagate_until_batch(tab, t, n_iter: int, gen, **kw):
+    res = ensemble_propagate_until(
+        _BatchShim(tab), t, n_iter * tab.batch_size,
+        _flatten_batch_gen(tab, n_iter, gen), **kw
+    )
+    return _reshape_res(res, n_iter, tab.batch_size)
+
+
+def ensemble_propagate_for_batch(tab, delta_t, n_iter: int, gen, **kw):
+    res = ensemble_propagate_for(
+        _BatchShim(tab), delta_t, n_iter * tab.batch_size,
+        _flatten_batch_gen(tab, n_iter, gen), **kw
+    )
+    return _reshape_res(res, n_iter, tab.batch_size)
+
+
+def ensemble_propagate_grid_batch(tab, grid, n_iter: int, gen, **kw):
+    res = ensemble_propagate_grid(
+        _BatchShim(tab), grid, n_iter * tab.batch_size,
+        _flatten_batch_gen(tab, n_iter, gen), **kw
+    )
+    return _reshape_res(res, n_iter, tab.batch_size)

@@ -287,6 +287,29 @@ class TaylorAdaptiveBatch:
     def get_step_res(self):
         return list(self._last_res)
 
+    # -- dense output -----------------------------------------------------------
+
+    def update_d_output(self, t, rel_time: bool = False) -> np.ndarray:
+        """Per-lane dense output of the last step at time(s) ``t`` (scalar
+        or per-lane array); shape (batch, dim) (reference
+        ``taylor_adaptive_batch::update_d_output``)."""
+        t = np.broadcast_to(np.asarray(t, dtype=self._dtype), (self._batch,))
+        if rel_time:
+            rel = jnp.asarray(t)
+        else:
+            start = self.time - self.last_h
+            rel = jnp.asarray(t - start)
+        order = self._order
+
+        def one(tc, r):
+            res = tc[order]
+            for i in range(1, order + 1):
+                res = tc[order - i] + res * r
+            return res
+
+        out = jax.vmap(one)(self._tc, rel)
+        return np.asarray(out)[:, : self.dim]
+
     # -- propagation ---------------------------------------------------------------
 
     @cached_property

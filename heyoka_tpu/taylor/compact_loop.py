@@ -1,0 +1,376 @@
+"""Looped compact-mode jet engine: ``fori_loop`` over the Taylor orders.
+
+The compact engine in :mod:`compact` unrolls the order loop at trace time
+(XLA graph ~ order x groups).  For big systems/orders the compile time is
+still minutes on a cold cache; this variant wraps the per-order update in a
+single ``lax.fori_loop`` body, shrinking the graph to O(groups) — the full
+analog of heyoka's compact mode, whose IR loops over orders at *runtime*
+(``taylor_compute_jet_compact_mode``, ``src/taylor_02.cpp:1194``).
+
+The recurrences here are dynamic-k: convolutions run over the full
+coefficient history with masks (rows at orders > current k hold zeros, so
+full-length contractions truncate automatically).  Selected with
+``make_jet_fn_compact(..., loop_orders=True)`` / integrator kwarg
+``compact_mode="loop"``.
+
+Ops without a vectorized dynamic rule (the dataset-backed interpolants) are
+not supported here — the builder raises and callers fall back to the
+unrolled compact engine.
+"""
+
+from __future__ import annotations
+
+import math as _pymath
+
+import numpy as np
+
+from ..expr.decompose import Tape
+from ..expr import registry as _reg
+from .compact import _EVAL_ARITY, _pow0_vec, build_plan
+
+
+class UnsupportedLoopOp(Exception):
+    pass
+
+
+def _helpers(jnp, K: int):
+    """Dynamic-k contraction helpers over (K+1, m) histories."""
+    j = jnp.arange(K + 1)
+
+    def rows_rev(B, k):
+        # R[i] = B[k - i] for i <= k else 0
+        idx = jnp.clip(k - j, 0, K)
+        return B[idx] * (j <= k)[:, None]
+
+    def conv(A, B, k, wA=None, wB_rev=None):
+        # sum_{i=0..k} wA[i] * A[i] * wB(k-i) * B[k-i]
+        term = A * rows_rev(B, k)
+        if wA is not None:
+            term = term * wA[:, None]
+        if wB_rev is not None:
+            # weight as a function of (k - i), applied to the reversed rows
+            term = term * wB_rev(k - j)[:, None]
+        return term.sum(0)
+
+    return j, rows_rev, conv
+
+
+def make_jet_fn_compact_loop(tape: Tape, order: int, *, dtype=None):
+    import jax.numpy as jnp
+    from jax import lax
+
+    if dtype is None:
+        dtype = jnp.float64
+    if tape.rhs is None:
+        raise ValueError("requires an ODE tape")
+    plan = build_plan(tape, order)
+    n_eq = plan.n_eq
+    K = order
+
+    # triangular convolution tensor for the Kepler solvers:
+    # S[m, a, b] = 1 iff a + b == m
+    _kep_groups = any(
+        g.name in ("kepE", "kepF", "kepDE") for lv in plan.levels for g in lv
+    )
+    if _kep_groups:
+        S = np.zeros((K + 1, K + 1, K + 1))
+        for m in range(K + 1):
+            for a in range(m + 1):
+                S[m, a, m - a] = 1.0
+        S_j = jnp.asarray(S, dtype)
+
+    for lv in plan.levels:
+        for g in lv:
+            if g.name not in _LOOP_RULES:
+                raise UnsupportedLoopOp(g.name)
+
+    const_cols = np.array([c for c, _ in plan.const_cols], dtype=np.int64)
+    const_vals = np.array([v for _, v in plan.const_cols])
+    par_cols = np.array([c for c, _ in plan.par_cols], dtype=np.int64)
+    par_idx = np.array([j for _, j in plan.par_cols], dtype=np.int64)
+
+    def jet(state, pars, t):
+        jv, rows_rev, conv = _helpers(jnp, K)
+
+        def tri(A, B):
+            # full triangular convolution: Q[m] = sum_{a<=m} A[a] B[m-a]
+            return jnp.einsum("ac,bc,mab->mc", A, B, S_j)
+
+        tc = jnp.zeros((K + 1, plan.width), dtype)
+        tc = tc.at[0, :n_eq].set(state.astype(dtype))
+        if const_cols.size:
+            tc = tc.at[0, const_cols].set(jnp.asarray(const_vals, dtype))
+        if par_cols.size:
+            tc = tc.at[0, par_cols].set(pars[par_idx].astype(dtype))
+        if plan.time_col is not None:
+            tc = tc.at[0, plan.time_col].set(jnp.asarray(t, dtype))
+            tc = tc.at[1, plan.time_col].set(jnp.asarray(1.0, dtype))
+
+        # order 0 (level by level, identical to the unrolled engine)
+        for lv in plan.levels:
+            for g in lv:
+                ar = _EVAL_ARITY.get(g.name, None)
+                ins = [
+                    tc[0, g.in_cols[:, c]]
+                    for c in range(g.in_cols.shape[1] if ar is None else ar)
+                ]
+                if g.name == "sum":
+                    vals = tc[0, g.in_cols].sum(axis=1)
+                elif g.name == "pow":
+                    vals = _pow0_vec(jnp, ins[0], g.alpha)
+                elif g.name == "mul":
+                    vals = ins[0] * ins[1]
+                else:
+                    vals = _reg.opdef(g.name).evaluate(*ins)
+                m = g.out_cols.size
+                tc = tc.at[0, g.out_start : g.out_start + m].set(
+                    vals.astype(dtype)
+                )
+
+        ctx = dict(jv=jv, rows_rev=rows_rev, conv=conv, jnp=jnp, dtype=dtype,
+                   tri=tri if _kep_groups else None)
+
+        def body(k, tc):
+            kf = k.astype(dtype)
+            sv = tc[k - 1, plan.rhs_cols] / kf
+            tc = tc.at[k, :n_eq].set(sv)
+            for lv in plan.levels:
+                for g in lv:
+                    vals = _LOOP_RULES[g.name](ctx, tc, k, kf, g)
+                    m = g.out_cols.size
+                    tc = tc.at[k, g.out_start : g.out_start + m].set(
+                        jnp.asarray(vals, dtype)
+                    )
+            return tc
+
+        tc = lax.fori_loop(1, K + 1, body, tc)
+        cols = np.concatenate([np.arange(n_eq), plan.out_cols]) \
+            if plan.out_cols.size else np.arange(n_eq)
+        return tc[:, cols]
+
+    return jet
+
+
+# ---------------------------------------------------------------------------
+# dynamic-k rules (k traced; kf = float(k))
+# ---------------------------------------------------------------------------
+
+_LOOP_RULES: dict = {}
+
+
+def _rule(name):
+    def deco(fn):
+        _LOOP_RULES[name] = fn
+        return fn
+
+    return deco
+
+
+@_rule("sum")
+def _l_sum(ctx, tc, k, kf, g):
+    return tc[k, g.in_cols].sum(axis=1)
+
+
+@_rule("mul")
+def _l_mul(ctx, tc, k, kf, g):
+    return ctx["conv"](tc[:, g.in_cols[:, 0]], tc[:, g.in_cols[:, 1]], k)
+
+
+@_rule("div")
+def _l_div(ctx, tc, k, kf, g):
+    b, c = g.in_cols[:, 0], g.in_cols[:, 1]
+    jv = ctx["jv"]
+    # sum_{i=0..k-1} a_i c_{k-i}: mask out the i == k term
+    A = tc[:, g.out_cols] * (jv < k)[:, None]
+    num = ctx["conv"](A, tc[:, c], k)
+    return (tc[k, b] - num) / tc[0, c]
+
+
+def _l_pair(sign):
+    def impl(ctx, tc, k, kf, g):
+        b = g.in_cols[:, 0]
+        jv = ctx["jv"]
+        A = tc[:, b] * jv[:, None]  # j * b_j (j=0 term vanishes)
+        s = ctx["conv"](A, tc[:, g.aux["pair"]], k)
+        return sign * s / kf
+
+    return impl
+
+
+_LOOP_RULES["sin"] = _l_pair(1.0)
+_LOOP_RULES["sinh"] = _l_pair(1.0)
+_LOOP_RULES["cosh"] = _l_pair(1.0)
+_LOOP_RULES["cos"] = _l_pair(-1.0)
+
+
+@_rule("exp")
+def _l_exp(ctx, tc, k, kf, g):
+    jv = ctx["jv"]
+    A = tc[:, g.in_cols[:, 0]] * jv[:, None]
+    return ctx["conv"](A, tc[:, g.out_cols], k) / kf
+
+
+@_rule("log")
+def _l_log(ctx, tc, k, kf, g):
+    b = g.in_cols[:, 0]
+    jv = ctx["jv"]
+    # sum_{i=1..k-1} i a_i b_{k-i}
+    A = tc[:, g.out_cols] * (jv * (jv < k))[:, None]
+    s = ctx["conv"](A, tc[:, b], k)
+    # the i = k term of conv is a_k * k * b_0, but a_k is still 0 at this
+    # point of order k's computation, so no correction needed
+    return (tc[k, b] - s / kf) / tc[0, b]
+
+
+@_rule("sqrt")
+def _l_sqrt(ctx, tc, k, kf, g):
+    b = g.in_cols[:, 0]
+    jv = ctx["jv"]
+    A = tc[:, g.out_cols] * ((jv >= 1) & (jv < k))[:, None]
+    s = ctx["conv"](A, tc[:, g.out_cols], k)
+    return (tc[k, b] - s) / (2.0 * tc[0, g.out_cols])
+
+
+@_rule("pow")
+def _l_pow(ctx, tc, k, kf, g):
+    b = g.in_cols[:, 0]
+    jv = ctx["jv"]
+    jnp = ctx["jnp"]
+    alpha = jnp.asarray(g.alpha, ctx["dtype"])
+    # sum_{i=0..k-1} (alpha (k-i) - i) a_i b_{k-i}
+    A = tc[:, g.out_cols] * (jv < k)[:, None]
+    t1 = ctx["conv"](A, tc[:, b], k, wB_rev=lambda r: r) * alpha
+    t2 = ctx["conv"](A * jv[:, None], tc[:, b], k)
+    return (t1 - t2) / (kf * tc[0, b])
+
+
+def _l_sq(sign):
+    def impl(ctx, tc, k, kf, g):
+        b = g.in_cols[:, 0]
+        jv = ctx["jv"]
+        A = tc[:, g.aux["sq"]] * (jv < k)[:, None]
+        s = ctx["conv"](A, tc[:, b], k, wB_rev=lambda r: r)
+        return tc[k, b] + sign * s / kf
+
+    return impl
+
+
+_LOOP_RULES["tan"] = _l_sq(1.0)
+_LOOP_RULES["tanh"] = _l_sq(-1.0)
+
+
+@_rule("sigmoid")
+def _l_sigmoid(ctx, tc, k, kf, g):
+    b = g.in_cols[:, 0]
+    jv = ctx["jv"]
+    A = (tc[:, g.out_cols] - tc[:, g.aux["sq"]]) * (jv < k)[:, None]
+    return ctx["conv"](A, tc[:, b], k, wB_rev=lambda r: r) / kf
+
+
+def _l_inv(sign):
+    def impl(ctx, tc, k, kf, g):
+        b, c = g.in_cols[:, 0], g.in_cols[:, 1]
+        jv = ctx["jv"]
+        # sum_{m=1..k-1} c_m (k-m) a_{k-m}; mask m==0 (weight (k-m)=k) and
+        # m==k (a_0 weight 0 via (k-m)=0)
+        C = tc[:, c] * (jv >= 1)[:, None]
+        s = ctx["conv"](C, tc[:, g.out_cols], k, wB_rev=lambda r: r)
+        return (sign * kf * tc[k, b] - s) / (kf * tc[0, c])
+
+    return impl
+
+
+for _n in ("asin", "atan", "atanh", "asinh", "acosh"):
+    _LOOP_RULES[_n] = _l_inv(1.0)
+_LOOP_RULES["acos"] = _l_inv(-1.0)
+
+
+@_rule("erf")
+def _l_erf(ctx, tc, k, kf, g):
+    b, e = g.in_cols[:, 0], g.in_cols[:, 1]
+    s = ctx["conv"](tc[:, e], tc[:, b], k, wB_rev=lambda r: r)
+    return (2.0 / _pymath.sqrt(_pymath.pi)) * s / kf
+
+
+@_rule("atan2")
+def _l_atan2(ctx, tc, k, kf, g):
+    y, x, d = g.in_cols[:, 0], g.in_cols[:, 1], g.in_cols[:, 2]
+    jv = ctx["jv"]
+    r1 = ctx["conv"](tc[:, x], tc[:, y], k, wB_rev=lambda r: r)
+    r2 = ctx["conv"](tc[:, y], tc[:, x], k, wB_rev=lambda r: r)
+    D = tc[:, d] * (jv >= 1)[:, None]
+    s = ctx["conv"](D, tc[:, g.out_cols], k, wB_rev=lambda r: r)
+    return (r1 - r2 - s) / (kf * tc[0, d])
+
+
+@_rule("relu")
+def _l_relu(ctx, tc, k, kf, g):
+    jnp = ctx["jnp"]
+    b = g.in_cols[:, 0]
+    return jnp.where(tc[0, b] > 0.0, tc[k, b], 0.0)
+
+
+@_rule("relup")
+def _l_relup(ctx, tc, k, kf, g):
+    return ctx["jnp"].zeros(g.out_cols.size, tc.dtype)
+
+
+@_rule("select")
+def _l_select(ctx, tc, k, kf, g):
+    jnp = ctx["jnp"]
+    c, a, b = g.in_cols[:, 0], g.in_cols[:, 1], g.in_cols[:, 2]
+    return jnp.where(tc[0, c] != 0.0, tc[k, a], tc[k, b])
+
+
+def _l_const(ctx, tc, k, kf, g):
+    return ctx["jnp"].zeros(g.out_cols.size, tc.dtype)
+
+
+for _n in ("lt", "le", "gt", "ge", "eq", "ne",
+           "logical_and", "logical_or", "logical_not"):
+    _LOOP_RULES[_n] = _l_const
+
+
+@_rule("kepE")
+def _l_kepE(ctx, tc, k, kf, g):
+    jv = ctx["jv"]
+    e, M = g.in_cols[:, 0], g.in_cols[:, 1]
+    s_i, c_i = g.aux["sin"], g.aux["cos"]
+    Q = ctx["tri"](tc[:, e], tc[:, c_i])  # Q[m] = (e*cos)_m for all m
+    t1 = kf * tc[k, M]
+    t2 = ctx["conv"](tc[:, e] * jv[:, None], tc[:, s_i], k)
+    Qm = Q * (jv >= 1)[:, None]
+    t3 = ctx["conv"](Qm, tc[:, g.out_cols], k, wB_rev=lambda r: r)
+    return (t1 + t2 + t3) / (kf * (1.0 - Q[0]))
+
+
+@_rule("kepF")
+def _l_kepF(ctx, tc, k, kf, g):
+    jv = ctx["jv"]
+    h, kk, lam = g.in_cols[:, 0], g.in_cols[:, 1], g.in_cols[:, 2]
+    s_i, c_i = g.aux["sin"], g.aux["cos"]
+    W = ctx["tri"](tc[:, h], tc[:, s_i]) + ctx["tri"](tc[:, kk], tc[:, c_i])
+    t1 = kf * tc[k, lam]
+    t2 = -ctx["conv"](tc[:, h] * jv[:, None], tc[:, c_i], k)
+    t3 = ctx["conv"](tc[:, kk] * jv[:, None], tc[:, s_i], k)
+    Wm = W * (jv >= 1)[:, None]
+    t4 = ctx["conv"](Wm, tc[:, g.out_cols], k, wB_rev=lambda r: r)
+    return (t1 + t2 + t3 + t4) / (kf * (1.0 - W[0]))
+
+
+@_rule("kepDE")
+def _l_kepDE(ctx, tc, k, kf, g):
+    jv = ctx["jv"]
+    jnp = ctx["jnp"]
+    s0, c0, DM = g.in_cols[:, 0], g.in_cols[:, 1], g.in_cols[:, 2]
+    s_i, c_i = g.aux["sin"], g.aux["cos"]
+    W = ctx["tri"](tc[:, s0], tc[:, s_i]) - ctx["tri"](tc[:, c0], tc[:, c_i])
+    # (1 - cos)_i series: i==0 -> 1 - c_0, else -c_i
+    omc = -tc[:, c_i]
+    omc = omc.at[0].set(1.0 - tc[0, c_i])
+    t1 = kf * tc[k, DM]
+    t2 = -ctx["conv"](tc[:, s0] * jv[:, None], omc, k)
+    t3 = ctx["conv"](tc[:, c0] * jv[:, None], tc[:, s_i], k)
+    Wm = W * (jv >= 1)[:, None]
+    t4 = -ctx["conv"](Wm, tc[:, g.out_cols], k, wB_rev=lambda r: r)
+    return (t1 + t2 + t3 + t4) / (kf * (1.0 + W[0]))

@@ -40,9 +40,22 @@ def make_step_fns(
     tape, order: int, dtype, high_accuracy: bool, compact_mode: bool = False
 ) -> StepFns:
     if compact_mode:
-        from .compact import make_jet_fn_compact
+        # the fori_loop engine (O(groups) graph, ~10x faster compiles and
+        # slightly faster runtime) is the default; ops without a dynamic-k
+        # rule (dataset interpolants) fall back to the order-unrolled engine;
+        # compact_mode="unrolled" forces the latter
+        jetf = None
+        if compact_mode != "unrolled":
+            from .compact_loop import UnsupportedLoopOp, make_jet_fn_compact_loop
 
-        jetf = make_jet_fn_compact(tape, order, dtype=dtype)
+            try:
+                jetf = make_jet_fn_compact_loop(tape, order, dtype=dtype)
+            except UnsupportedLoopOp:
+                jetf = None
+        if jetf is None:
+            from .compact import make_jet_fn_compact
+
+            jetf = make_jet_fn_compact(tape, order, dtype=dtype)
     else:
         from .jet import make_jet_fn
 

@@ -64,3 +64,16 @@ def test_batch_grid(rng):
         ta = hy.taylor_adaptive(pendulum(), states[i], tol=1e-15)
         *_, out_s = ta.propagate_grid(grid)
         np.testing.assert_allclose(out[i], out_s, rtol=0, atol=1e-13)
+
+
+def test_batch_update_d_output(rng):
+    states = 0.05 + 0.01 * rng.standard_normal((3, 2))
+    tab = hy.taylor_adaptive_batch(pendulum(), states, tol=1e-12)
+    tab.step()
+    mid = tab.time - 0.5 * tab.last_h
+    dd = tab.update_d_output(mid)
+    for i in range(3):
+        ta = hy.taylor_adaptive(pendulum(), states[i], tol=1e-12)
+        ta.step()
+        want = ta.update_d_output(float(mid[i]))
+        np.testing.assert_allclose(dd[i], want, rtol=0, atol=1e-15)

@@ -57,3 +57,16 @@ def test_batch_pars():
     ps = np.array([[10.0], [20.0]])
     out = np.asarray(cf(xs, pars=ps))
     np.testing.assert_allclose(out[:, 0], [10.0, 40.0])
+
+
+def test_multi_eval_time_array():
+    # per-evaluation times (the reference's time-batched cfunc evaluation)
+    import heyoka_tpu as hy
+    import numpy as np
+
+    x = hy.make_vars("x")
+    cf = hy.make_cfunc([x * hy.time + hy.sin(hy.time)], vars=["x"])
+    X = np.array([[1.0], [2.0], [3.0]])
+    T = np.array([0.1, 0.2, 0.3])
+    out = np.asarray(cf(X, time=T))[:, 0]
+    np.testing.assert_allclose(out, X[:, 0] * T + np.sin(T), rtol=1e-15)

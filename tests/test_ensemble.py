@@ -65,3 +65,18 @@ def test_ensemble_grid(rng):
         tai = hy.taylor_adaptive(pendulum(), states[i], tol=1e-15)
         *_, out = tai.propagate_grid(grid)
         np.testing.assert_allclose(np.asarray(res["out"][i]), out, atol=1e-13)
+
+
+def test_ensemble_batch_variants(rng):
+    from heyoka_tpu.ensemble import ensemble_propagate_until_batch
+
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), 0.05 + 0.0 * rng.standard_normal((4, 2)), tol=1e-12
+    )
+    states = 0.05 + 0.01 * rng.standard_normal((3, 4, 2))
+    res = ensemble_propagate_until_batch(tab, 5.0, 3, {"state": states})
+    assert res["state"].shape == (3, 4, 2)
+    assert res["nsteps"].shape == (3, 4)
+    ta = hy.taylor_adaptive(pendulum(), states[1, 2], tol=1e-12)
+    ta.propagate_until(5.0)
+    np.testing.assert_allclose(res["state"][1, 2], ta.state, rtol=0, atol=5e-14)

@@ -14,7 +14,6 @@ FAST = [
     "01_pendulum.py",
     "04_events.py",
     "05_variational.py",
-    "08_neural_ode.py",
     "10_checkpointing.py",
 ]
 
