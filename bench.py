@@ -63,69 +63,63 @@ IC = np.array([
 def main():
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     import heyoka_tpu as hy
 
-    # persistent XLA compilation cache: the ~400 s first compile of the
-    # batch-10240 stepper is reused across processes/runs
+    # persistent XLA compilation cache: compiles are reused across runs
     hy.s11n.enable_compilation_cache()
     from heyoka_tpu.models import nbody
     from heyoka_tpu.expr.decompose import taylor_decompose_sys
-    from heyoka_tpu.taylor import loops as hloops
+    from heyoka_tpu.taylor.compact_loop import make_batched_step
     from heyoka_tpu.taylor.stepper import taylor_order_from_tol
 
     BATCH = 10_240
     TOL = 1e-15
-    N_STEPS = 40  # timed adaptive steps per trajectory
     dtype = jnp.float64
 
     sys_ = nbody(6, masses=MASSES, Gconst=GCONST)
     tape = taylor_decompose_sys(sys_)
     order = taylor_order_from_tol(TOL)
-    # compact mode: on TPU the unrolled order-19 jet over 369 u-vars takes
-    # tens of minutes to compile; the index-table engine compiles in ~3 min
-    # and sustains multi-M steps/s (batched einsum recurrences on the MXU)
-    fns = hloops.make_step_fns(
-        tape, order, dtype, high_accuracy=True, compact_mode=True
-    )
 
-    # perturbed ensemble of initial states (like the reference's perturb)
+    # the hot kernel: whole-batch adaptive step in the batch-minor layout
+    # (tc[(order+1), n_uvars, batch]) through the fori_loop compact engine
+    step = jax.jit(make_batched_step(tape, order, dtype=dtype,
+                                     high_accuracy=True))
+
     rng = np.random.default_rng(0)
-    states = IC[None, :] + np.abs(IC)[None, :] * (
-        rng.uniform(-1, 1, (BATCH, IC.size)) * 1e-8
+    states = jnp.asarray(
+        IC[None, :] + np.abs(IC)[None, :]
+        * (rng.uniform(-1, 1, (BATCH, IC.size)) * 1e-8),
+        dtype,
     )
-    states = jnp.asarray(states, dtype)
     pars = jnp.zeros((BATCH, 0), dtype)
-    t0 = jnp.zeros((BATCH,), dtype)
-
-    def k_steps(state, pars_, t_hi):
-        def body(_, carry):
-            st, th = carry
-            new_state, h, _tc = hloops.single_step(
-                fns, st, pars_, th, jnp.asarray(math.inf, dtype)
-            )
-            return new_state, th + h
-
-        return lax.fori_loop(0, N_STEPS, body, (state, t_hi))
-
-    stepper = jax.jit(jax.vmap(k_steps))
+    t = jnp.zeros((BATCH,), dtype)
+    mdt = jnp.full((BATCH,), math.inf, dtype)
 
     # warmup / compile
-    out = stepper(states, pars, t0)
-    jax.block_until_ready(out)
+    s, h = step(states, pars, t, mdt)
+    float(h[0])
 
+    # timed: chained steps; a host-side value read closes every timing
+    # window (block_until_ready alone does not synchronize on all remote
+    # platforms)
+    s, t2 = states, t
+    reps = 0
     t_start = time.perf_counter()
-    out = stepper(states, pars, t0)
-    jax.block_until_ready(out)
+    while True:
+        s, h = step(s, pars, t2, mdt)
+        t2 = t2 + h
+        reps += 1
+        if reps % 8 == 0:
+            float(t2[0])
+            if time.perf_counter() - t_start > 3.0:
+                break
+    float(t2[0])
     elapsed = time.perf_counter() - t_start
+    steps_per_sec = BATCH * reps / elapsed
 
-    steps_per_sec = BATCH * N_STEPS / elapsed
-
-    # Energy-drift parity over a ~100-year propagation of the whole ensemble,
-    # reusing the already-compiled stepper (energy is conserved at *any*
-    # time, so lanes need not stop at exactly 100 yr).  The energy itself is
-    # evaluated host-side in numpy: no second device compilation.
+    # energy-drift parity: continue the same chain to ~100 years and compare
+    # host-evaluated energies
     def energy_np(st):
         st = np.asarray(st).reshape(-1, 6, 6)
         r = st[:, :, :3]
@@ -140,13 +134,13 @@ def main():
         return kin + pot
 
     e0 = energy_np(states)
-    cur_states, cur_t = out
-    total_steps = 2 * N_STEPS
-    while float(jnp.mean(cur_t)) < 100.0 and total_steps < 10000:
-        cur_states, cur_t = stepper(cur_states, pars, cur_t)
-        total_steps += N_STEPS
-    jax.block_until_ready(cur_states)
-    e1 = energy_np(cur_states)
+    total = reps
+    while float(jnp.mean(t2)) < 100.0 and total < 20000:
+        for _ in range(32):
+            s, h = step(s, pars, t2, mdt)
+            t2 = t2 + h
+        total += 32
+    e1 = energy_np(s)
     drift = float(np.max(np.abs((e1 - e0) / e0)))
 
     result = {
@@ -155,8 +149,9 @@ def main():
         "unit": "adaptive Taylor steps/s (batch=10240, tol=1e-15, f64, high_accuracy)",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
         "energy_drift": drift,
-        "drift_horizon_yr": round(float(jnp.mean(cur_t)), 1),
+        "drift_horizon_yr": round(float(jnp.mean(t2)), 1),
         "elapsed_s": round(elapsed, 3),
+        "timed_steps": BATCH * reps,
         "order": order,
         "n_uvars": tape.n_uvars,
         "device": str(jax.devices()[0]),

@@ -34,25 +34,34 @@ class UnsupportedLoopOp(Exception):
 
 
 def _helpers(jnp, K: int):
-    """Dynamic-k contraction helpers over (K+1, m) histories."""
+    """Dynamic-k contraction helpers over (K+1, m[, batch]) histories.
+
+    All masks/weights are 1-D over the order axis and broadcast over any
+    trailing axes, so the same rules serve both the per-trajectory layout
+    (K+1, m) and the batched layout (K+1, m, batch).
+    """
     j = jnp.arange(K + 1)
+
+    def bc(x, ref):
+        # reshape a length-(K+1) vector for broadcasting against ref
+        return x.reshape((K + 1,) + (1,) * (ref.ndim - 1))
 
     def rows_rev(B, k):
         # R[i] = B[k - i] for i <= k else 0
         idx = jnp.clip(k - j, 0, K)
-        return B[idx] * (j <= k)[:, None]
+        return B[idx] * bc(j <= k, B)
 
     def conv(A, B, k, wA=None, wB_rev=None):
         # sum_{i=0..k} wA[i] * A[i] * wB(k-i) * B[k-i]
         term = A * rows_rev(B, k)
         if wA is not None:
-            term = term * wA[:, None]
+            term = term * bc(wA, term)
         if wB_rev is not None:
             # weight as a function of (k - i), applied to the reversed rows
-            term = term * wB_rev(k - j)[:, None]
+            term = term * bc(wB_rev(k - j), term)
         return term.sum(0)
 
-    return j, rows_rev, conv
+    return j, bc, rows_rev, conv
 
 
 def make_jet_fn_compact_loop(tape: Tape, order: int, *, dtype=None):
@@ -90,7 +99,7 @@ def make_jet_fn_compact_loop(tape: Tape, order: int, *, dtype=None):
     par_idx = np.array([j for _, j in plan.par_cols], dtype=np.int64)
 
     def jet(state, pars, t):
-        jv, rows_rev, conv = _helpers(jnp, K)
+        jv, bc, rows_rev, conv = _helpers(jnp, K)
 
         def tri(A, B):
             # full triangular convolution: Q[m] = sum_{a<=m} A[a] B[m-a]
@@ -127,8 +136,8 @@ def make_jet_fn_compact_loop(tape: Tape, order: int, *, dtype=None):
                     vals.astype(dtype)
                 )
 
-        ctx = dict(jv=jv, rows_rev=rows_rev, conv=conv, jnp=jnp, dtype=dtype,
-                   tri=tri if _kep_groups else None)
+        ctx = dict(jv=jv, bc=bc, rows_rev=rows_rev, conv=conv, jnp=jnp,
+                   dtype=dtype, tri=tri if _kep_groups else None)
 
         def body(k, tc):
             kf = k.astype(dtype)
@@ -181,7 +190,7 @@ def _l_div(ctx, tc, k, kf, g):
     b, c = g.in_cols[:, 0], g.in_cols[:, 1]
     jv = ctx["jv"]
     # sum_{i=0..k-1} a_i c_{k-i}: mask out the i == k term
-    A = tc[:, g.out_cols] * (jv < k)[:, None]
+    A = tc[:, g.out_cols] * ctx["bc"](jv < k, tc[:, g.out_cols])
     num = ctx["conv"](A, tc[:, c], k)
     return (tc[k, b] - num) / tc[0, c]
 
@@ -190,7 +199,7 @@ def _l_pair(sign):
     def impl(ctx, tc, k, kf, g):
         b = g.in_cols[:, 0]
         jv = ctx["jv"]
-        A = tc[:, b] * jv[:, None]  # j * b_j (j=0 term vanishes)
+        A = tc[:, b] * ctx["bc"](jv, tc[:, b])  # j * b_j (j=0 vanishes)
         s = ctx["conv"](A, tc[:, g.aux["pair"]], k)
         return sign * s / kf
 
@@ -206,7 +215,8 @@ _LOOP_RULES["cos"] = _l_pair(-1.0)
 @_rule("exp")
 def _l_exp(ctx, tc, k, kf, g):
     jv = ctx["jv"]
-    A = tc[:, g.in_cols[:, 0]] * jv[:, None]
+    A0 = tc[:, g.in_cols[:, 0]]
+    A = A0 * ctx["bc"](jv, A0)
     return ctx["conv"](A, tc[:, g.out_cols], k) / kf
 
 
@@ -215,7 +225,7 @@ def _l_log(ctx, tc, k, kf, g):
     b = g.in_cols[:, 0]
     jv = ctx["jv"]
     # sum_{i=1..k-1} i a_i b_{k-i}
-    A = tc[:, g.out_cols] * (jv * (jv < k))[:, None]
+    A = tc[:, g.out_cols] * ctx["bc"](jv * (jv < k), tc[:, g.out_cols])
     s = ctx["conv"](A, tc[:, b], k)
     # the i = k term of conv is a_k * k * b_0, but a_k is still 0 at this
     # point of order k's computation, so no correction needed
@@ -226,7 +236,7 @@ def _l_log(ctx, tc, k, kf, g):
 def _l_sqrt(ctx, tc, k, kf, g):
     b = g.in_cols[:, 0]
     jv = ctx["jv"]
-    A = tc[:, g.out_cols] * ((jv >= 1) & (jv < k))[:, None]
+    A = tc[:, g.out_cols] * ctx["bc"]((jv >= 1) & (jv < k), tc[:, g.out_cols])
     s = ctx["conv"](A, tc[:, g.out_cols], k)
     return (tc[k, b] - s) / (2.0 * tc[0, g.out_cols])
 
@@ -238,9 +248,10 @@ def _l_pow(ctx, tc, k, kf, g):
     jnp = ctx["jnp"]
     alpha = jnp.asarray(g.alpha, ctx["dtype"])
     # sum_{i=0..k-1} (alpha (k-i) - i) a_i b_{k-i}
-    A = tc[:, g.out_cols] * (jv < k)[:, None]
-    t1 = ctx["conv"](A, tc[:, b], k, wB_rev=lambda r: r) * alpha
-    t2 = ctx["conv"](A * jv[:, None], tc[:, b], k)
+    A = tc[:, g.out_cols] * ctx["bc"](jv < k, tc[:, g.out_cols])
+    t1 = ctx["conv"](A, tc[:, b], k, wB_rev=lambda r: r)
+    t1 = t1 * (alpha if t1.ndim == 1 else alpha[:, None])
+    t2 = ctx["conv"](A * ctx["bc"](jv, A), tc[:, b], k)
     return (t1 - t2) / (kf * tc[0, b])
 
 
@@ -248,7 +259,7 @@ def _l_sq(sign):
     def impl(ctx, tc, k, kf, g):
         b = g.in_cols[:, 0]
         jv = ctx["jv"]
-        A = tc[:, g.aux["sq"]] * (jv < k)[:, None]
+        A = tc[:, g.aux["sq"]] * ctx["bc"](jv < k, tc[:, g.aux["sq"]])
         s = ctx["conv"](A, tc[:, b], k, wB_rev=lambda r: r)
         return tc[k, b] + sign * s / kf
 
@@ -263,7 +274,8 @@ _LOOP_RULES["tanh"] = _l_sq(-1.0)
 def _l_sigmoid(ctx, tc, k, kf, g):
     b = g.in_cols[:, 0]
     jv = ctx["jv"]
-    A = (tc[:, g.out_cols] - tc[:, g.aux["sq"]]) * (jv < k)[:, None]
+    A0 = tc[:, g.out_cols] - tc[:, g.aux["sq"]]
+    A = A0 * ctx["bc"](jv < k, A0)
     return ctx["conv"](A, tc[:, b], k, wB_rev=lambda r: r) / kf
 
 
@@ -273,7 +285,7 @@ def _l_inv(sign):
         jv = ctx["jv"]
         # sum_{m=1..k-1} c_m (k-m) a_{k-m}; mask m==0 (weight (k-m)=k) and
         # m==k (a_0 weight 0 via (k-m)=0)
-        C = tc[:, c] * (jv >= 1)[:, None]
+        C = tc[:, c] * ctx["bc"](jv >= 1, tc[:, c])
         s = ctx["conv"](C, tc[:, g.out_cols], k, wB_rev=lambda r: r)
         return (sign * kf * tc[k, b] - s) / (kf * tc[0, c])
 
@@ -298,7 +310,7 @@ def _l_atan2(ctx, tc, k, kf, g):
     jv = ctx["jv"]
     r1 = ctx["conv"](tc[:, x], tc[:, y], k, wB_rev=lambda r: r)
     r2 = ctx["conv"](tc[:, y], tc[:, x], k, wB_rev=lambda r: r)
-    D = tc[:, d] * (jv >= 1)[:, None]
+    D = tc[:, d] * ctx["bc"](jv >= 1, tc[:, d])
     s = ctx["conv"](D, tc[:, g.out_cols], k, wB_rev=lambda r: r)
     return (r1 - r2 - s) / (kf * tc[0, d])
 
@@ -338,8 +350,8 @@ def _l_kepE(ctx, tc, k, kf, g):
     s_i, c_i = g.aux["sin"], g.aux["cos"]
     Q = ctx["tri"](tc[:, e], tc[:, c_i])  # Q[m] = (e*cos)_m for all m
     t1 = kf * tc[k, M]
-    t2 = ctx["conv"](tc[:, e] * jv[:, None], tc[:, s_i], k)
-    Qm = Q * (jv >= 1)[:, None]
+    t2 = ctx["conv"](tc[:, e] * ctx["bc"](jv, tc[:, e]), tc[:, s_i], k)
+    Qm = Q * ctx["bc"](jv >= 1, Q)
     t3 = ctx["conv"](Qm, tc[:, g.out_cols], k, wB_rev=lambda r: r)
     return (t1 + t2 + t3) / (kf * (1.0 - Q[0]))
 
@@ -351,9 +363,9 @@ def _l_kepF(ctx, tc, k, kf, g):
     s_i, c_i = g.aux["sin"], g.aux["cos"]
     W = ctx["tri"](tc[:, h], tc[:, s_i]) + ctx["tri"](tc[:, kk], tc[:, c_i])
     t1 = kf * tc[k, lam]
-    t2 = -ctx["conv"](tc[:, h] * jv[:, None], tc[:, c_i], k)
-    t3 = ctx["conv"](tc[:, kk] * jv[:, None], tc[:, s_i], k)
-    Wm = W * (jv >= 1)[:, None]
+    t2 = -ctx["conv"](tc[:, h] * ctx["bc"](jv, tc[:, h]), tc[:, c_i], k)
+    t3 = ctx["conv"](tc[:, kk] * ctx["bc"](jv, tc[:, kk]), tc[:, s_i], k)
+    Wm = W * ctx["bc"](jv >= 1, W)
     t4 = ctx["conv"](Wm, tc[:, g.out_cols], k, wB_rev=lambda r: r)
     return (t1 + t2 + t3 + t4) / (kf * (1.0 - W[0]))
 
@@ -369,8 +381,182 @@ def _l_kepDE(ctx, tc, k, kf, g):
     omc = -tc[:, c_i]
     omc = omc.at[0].set(1.0 - tc[0, c_i])
     t1 = kf * tc[k, DM]
-    t2 = -ctx["conv"](tc[:, s0] * jv[:, None], omc, k)
-    t3 = ctx["conv"](tc[:, c0] * jv[:, None], tc[:, s_i], k)
-    Wm = W * (jv >= 1)[:, None]
+    t2 = -ctx["conv"](tc[:, s0] * ctx["bc"](jv, tc[:, s0]), omc, k)
+    t3 = ctx["conv"](tc[:, c0] * ctx["bc"](jv, tc[:, c0]), tc[:, s_i], k)
+    Wm = W * ctx["bc"](jv >= 1, W)
     t4 = -ctx["conv"](Wm, tc[:, g.out_cols], k, wB_rev=lambda r: r)
     return (t1 + t2 + t3 + t4) / (kf * (1.0 + W[0]))
+
+
+# ---------------------------------------------------------------------------
+# batched-native jet: tc layout (order+1, width, batch)
+# ---------------------------------------------------------------------------
+
+def make_jet_fn_compact_batched(tape: Tape, order: int, *, dtype=None):
+    """Batched compact jet with the batch axis *minor*:
+    ``jet(states (B, n_eq), pars (B, n_pars), t (B,)) -> tc (K+1, cols, B)``.
+
+    This is the SURVEY §7 batch-major layout: every per-(order, group)
+    update touches a contiguous (m, B) block whose minor dimension feeds the
+    TPU's 128-wide vector lanes, instead of vmap's batch-outermost layout
+    whose strided slice updates force whole-buffer copies.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    if dtype is None:
+        dtype = jnp.float64
+    if tape.rhs is None:
+        raise ValueError("requires an ODE tape")
+    plan = build_plan(tape, order)
+    n_eq = plan.n_eq
+    K = order
+
+    _kep_groups = any(
+        g.name in ("kepE", "kepF", "kepDE") for lv in plan.levels for g in lv
+    )
+    if _kep_groups:
+        S = np.zeros((K + 1, K + 1, K + 1))
+        for m in range(K + 1):
+            for a in range(m + 1):
+                S[m, a, m - a] = 1.0
+        S_j = jnp.asarray(S, dtype)
+
+    for lv in plan.levels:
+        for g in lv:
+            if g.name not in _LOOP_RULES:
+                raise UnsupportedLoopOp(g.name)
+
+    const_cols = np.array([c for c, _ in plan.const_cols], dtype=np.int64)
+    const_vals = np.array([v for _, v in plan.const_cols])
+    par_cols = np.array([c for c, _ in plan.par_cols], dtype=np.int64)
+    par_idx = np.array([j for _, j in plan.par_cols], dtype=np.int64)
+
+    def jet(states, pars, t):
+        B = states.shape[0]
+        jv, bc, rows_rev, conv = _helpers(jnp, K)
+
+        def tri(A, C):
+            return jnp.einsum("acx,bcx,mab->mcx", A, C, S_j)
+
+        tc = jnp.zeros((K + 1, plan.width, B), dtype)
+        tc = tc.at[0, :n_eq, :].set(states.T.astype(dtype))
+        if const_cols.size:
+            tc = tc.at[0, const_cols, :].set(
+                jnp.asarray(const_vals, dtype)[:, None]
+            )
+        if par_cols.size:
+            tc = tc.at[0, par_cols, :].set(pars[:, par_idx].T.astype(dtype))
+        if plan.time_col is not None:
+            tc = tc.at[0, plan.time_col, :].set(t.astype(dtype))
+            tc = tc.at[1, plan.time_col, :].set(jnp.ones((B,), dtype))
+
+        for lv in plan.levels:
+            for g in lv:
+                ar = _EVAL_ARITY.get(g.name, None)
+                ins = [
+                    tc[0, g.in_cols[:, c], :]
+                    for c in range(g.in_cols.shape[1] if ar is None else ar)
+                ]
+                if g.name == "sum":
+                    vals = tc[0][g.in_cols].sum(axis=1)
+                elif g.name == "pow":
+                    vals = _pow0_vec_b(jnp, ins[0], g.alpha)
+                elif g.name == "mul":
+                    vals = ins[0] * ins[1]
+                else:
+                    vals = _reg.opdef(g.name).evaluate(*ins)
+                m = g.out_cols.size
+                tc = tc.at[0, g.out_start : g.out_start + m, :].set(
+                    vals.astype(dtype)
+                )
+
+        ctx = dict(jv=jv, bc=bc, rows_rev=rows_rev, conv=conv, jnp=jnp,
+                   dtype=dtype, tri=tri if _kep_groups else None)
+
+        def body(k, tc):
+            kf = k.astype(dtype)
+            sv = tc[k - 1][plan.rhs_cols] / kf  # (n_eq, B)
+            tc = tc.at[k, :n_eq, :].set(sv)
+            for lv in plan.levels:
+                for g in lv:
+                    vals = _LOOP_RULES[g.name](ctx, tc, k, kf, g)
+                    m = g.out_cols.size
+                    tc = tc.at[k, g.out_start : g.out_start + m, :].set(
+                        jnp.asarray(vals, dtype)
+                    )
+            return tc
+
+        tc = lax.fori_loop(1, K + 1, body, tc)
+        cols = np.concatenate([np.arange(n_eq), plan.out_cols]) \
+            if plan.out_cols.size else np.arange(n_eq)
+        return tc[:, cols, :]
+
+    return jet
+
+
+def _pow0_vec_b(jnp, b, alpha):
+    """Order-0 pow for (m, B) operands with per-row exponents."""
+    uniq = np.unique(alpha)
+    from .jet import _pow0
+
+    if uniq.size == 1:
+        return _pow0(b, float(uniq[0]))
+    out = jnp.zeros_like(b)
+    for a in uniq:
+        mask = jnp.asarray(alpha == a)[:, None]
+        out = jnp.where(mask, _pow0(b, float(a)), out)
+    return out
+
+
+def make_batched_step(tape: Tape, order: int, *, dtype=None,
+                      high_accuracy: bool = True):
+    """Whole-batch adaptive Taylor step in the batch-minor layout:
+    ``step(states (B, n), pars (B, p), t (B,), max_dt (B,)) ->
+    (new_states (B, n), h (B,))`` — the hot kernel of the batch/ensemble
+    benchmarks."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float64
+    jet = make_jet_fn_compact_batched(tape, order, dtype=dtype)
+    n_eq = tape.n_eq
+    K = order
+
+    def step(states, pars, t, max_dt):
+        tc = jet(states, pars, t)  # (K+1, n_eq+, B)
+
+        # Jorba rho control, batched over the minor axis
+        abs_tc = jnp.abs(tc)
+        m0 = jnp.max(abs_tc[0], axis=0)
+        mo = jnp.max(abs_tc[K], axis=0)
+        mo1 = jnp.max(abs_tc[K - 1], axis=0)
+        num = jnp.where(m0 <= 1.0, 1.0, m0)
+        rho = jnp.minimum(
+            (num / mo) ** (1.0 / K), (num / mo1) ** (1.0 / (K - 1))
+        )
+        fac = _pymath.exp(-0.7 / (K - 1)) / (_pymath.e * _pymath.e)
+        h = jnp.minimum(rho * fac, jnp.abs(max_dt))
+        h = jnp.where(max_dt < 0, -h, h)
+
+        if high_accuracy:
+            # compensated-summation monomial evaluation
+            res = tc[0, :n_eq, :]
+            comp = jnp.zeros_like(res)
+            cur_h = h
+            for i in range(1, K + 1):
+                tmp = tc[i, :n_eq, :] * cur_h[None, :]
+                y = tmp - comp
+                tt = res + y
+                comp = (tt - res) - y
+                res = tt
+                if i < K:
+                    cur_h = cur_h * h
+            new = res
+        else:
+            new = tc[K, :n_eq, :]
+            for i in range(1, K + 1):
+                new = tc[K - i, :n_eq, :] + new * h[None, :]
+        return new.T, h
+
+    return step
