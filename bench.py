@@ -70,7 +70,7 @@ def main():
     hy.s11n.enable_compilation_cache()
     from heyoka_tpu.models import nbody
     from heyoka_tpu.expr.decompose import taylor_decompose_sys
-    from heyoka_tpu.taylor.compact_loop import make_batched_step
+    from heyoka_tpu.taylor.compact_flat import make_batched_step_flat
     from heyoka_tpu.taylor.stepper import taylor_order_from_tol
 
     BATCH = 10_240
@@ -81,10 +81,11 @@ def main():
     tape = taylor_decompose_sys(sys_)
     order = taylor_order_from_tol(TOL)
 
-    # the hot kernel: whole-batch adaptive step in the batch-minor layout
-    # (tc[(order+1), n_uvars, batch]) through the fori_loop compact engine
-    step = jax.jit(make_batched_step(tape, order, dtype=dtype,
-                                     high_accuracy=True))
+    # the hot kernel: whole-batch adaptive step over the flat coefficient
+    # layout (tc[width, (order+1)*batch]; see PERF.md) with mixed precision:
+    # orders > 10 in f32 (error-analysis-safe for tol=1e-15 parity)
+    step = jax.jit(make_batched_step_flat(tape, order, dtype=dtype,
+                                          high_accuracy=True, mp_order=10))
 
     rng = np.random.default_rng(0)
     states = jnp.asarray(

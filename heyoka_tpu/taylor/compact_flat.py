@@ -1,0 +1,495 @@
+"""Flat-layout batched compact jet: the TPU speed-of-light variant.
+
+Profiling the (order+1, width, batch) layout showed XLA inserting a full
+coefficient-buffer *layout-conversion copy* after every per-group update
+(the dynamic-update-slice produces {2,1,0} while the axis-1 gathers of the
+next group prefer {2,0,1}) — ~60% of the step time.
+
+This engine stores the coefficients as ``tc[(width), (K+1)*batch]``: column
+u-var major, order-within-batch minor.  Every operation is then natural in
+row-major layout:
+
+- operand history reads: axis-0 slice (contiguous groups) or axis-0 gather
+  (cheap), reshaped for free to (m, K+1, B);
+- per-(order, group) writes: ``dynamic_update_slice`` at (col_start, k*B) —
+  a contiguous block, updated in place;
+- convolutions: elementwise multiplies with an order-axis mask + reduce over
+  the middle axis.
+
+Same recurrences/maths as :mod:`compact_loop` (dynamic-k masked
+convolutions), independent rules specialized to the layout.
+"""
+
+from __future__ import annotations
+
+import math as _pymath
+
+import numpy as np
+
+from ..expr.decompose import Tape
+from ..expr import registry as _reg
+from .compact import _EVAL_ARITY, build_plan
+from .compact_loop import UnsupportedLoopOp, _pow0_vec_b
+
+_F_RULES: dict = {}
+
+
+def _rule(name):
+    def deco(fn):
+        _F_RULES[name] = fn
+        return fn
+
+    return deco
+
+
+def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
+                           high_accuracy: bool = True, mp_order: int | None = None):
+    """Whole-batch adaptive Taylor step over the flat layout.
+
+    ``step(states (B, n), pars (B, p), t (B,), max_dt (B,)) ->
+    (new_states (B, n), h (B,))``.  With ``mp_order`` set, orders above it
+    run in float32 (see ``make_batched_step_mixed`` for the error analysis).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    if dtype is None:
+        dtype = jnp.float64
+    if tape.rhs is None:
+        raise ValueError("requires an ODE tape")
+    plan = build_plan(tape, order)
+    n_eq = plan.n_eq
+    K = order
+    W = plan.width
+
+    for lv in plan.levels:
+        for g in lv:
+            if g.name not in _F_RULES:
+                raise UnsupportedLoopOp(g.name)
+
+    _kep = any(
+        g.name in ("kepE", "kepF", "kepDE") for lv in plan.levels for g in lv
+    )
+    S_np = None
+    if _kep:
+        S_np = np.zeros((K + 1, K + 1, K + 1))
+        for m in range(K + 1):
+            for a in range(m + 1):
+                S_np[m, a, m - a] = 1.0
+
+    const_cols = np.array([c for c, _ in plan.const_cols], dtype=np.int64)
+    const_vals = np.array([v for _, v in plan.const_cols])
+    par_cols = np.array([c for c, _ in plan.par_cols], dtype=np.int64)
+    par_idx = np.array([j for _, j in plan.par_cols], dtype=np.int64)
+
+    # contiguity cache for history reads
+    _contig: dict = {}
+
+    def _rng(cols):
+        key = cols.tobytes()
+        r = _contig.get(key)
+        if r is None:
+            a = int(cols[0])
+            r = (a, a + int(cols.size)) if np.array_equal(
+                cols, np.arange(a, a + cols.size)
+            ) else False
+            _contig[key] = r
+        return r
+
+    def _mkctx(jnp_, dt, B):
+        jv = jnp_.arange(K + 1)
+
+        def hist(tc, cols):
+            # (m, K+1, B) view of the full history of `cols`
+            r = _rng(cols)
+            sl = tc[r[0] : r[1]] if r else tc[cols]
+            return sl.reshape(cols.size, K + 1, B)
+
+        def mrow(x, mask):
+            # apply an order-axis mask/weight to a (m, K+1, B) history
+            return x * mask.reshape(1, K + 1, 1)
+
+        def rows_rev(Bh, k):
+            idx = jnp_.clip(k - jv, 0, K)
+            return Bh[:, idx, :] * (jv <= k).reshape(1, K + 1, 1)
+
+        def conv(Ah, Bh, k, wA=None, wB_rev=None):
+            term = Ah * rows_rev(Bh, k)
+            if wA is not None:
+                term = mrow(term, wA)
+            if wB_rev is not None:
+                term = mrow(term, wB_rev(k - jv))
+            return term.sum(1)
+
+        def at_order(Hh, k):
+            # order-k row of a history: (m, B)
+            return lax.dynamic_slice_in_dim(Hh, k, 1, axis=1)[:, 0, :]
+
+        tri = None
+        if _kep:
+            S_j = jnp_.asarray(S_np, dt)
+
+            def tri(Ah, Ch, _S=S_j):
+                return jnp_.einsum("cax,cbx,mab->cmx", Ah, Ch, _S)
+
+        return dict(jv=jv, hist=hist, mrow=mrow, rows_rev=rows_rev, conv=conv,
+                    at=at_order, tri=tri, jnp=jnp_, dtype=dt)
+
+    def step(states, pars, t, max_dt):
+        B = states.shape[0]
+        f32 = jnp.float32
+        use_mp = mp_order is not None and jnp.dtype(dtype) == jnp.float64
+
+        def init_tc(dt):
+            tc = jnp.zeros((W, (K + 1) * B), dt)
+            tc = tc.at[:n_eq, 0:B].set(states.T.astype(dt))
+            if const_cols.size:
+                tc = tc.at[const_cols, 0:B].set(
+                    jnp.asarray(const_vals, dt)[:, None]
+                )
+            if par_cols.size:
+                tc = tc.at[par_cols, 0:B].set(pars[:, par_idx].T.astype(dt))
+            if plan.time_col is not None:
+                tc = tc.at[plan.time_col, 0:B].set(t.astype(dt))
+                tc = tc.at[plan.time_col, B : 2 * B].set(jnp.ones((B,), dt))
+            return tc
+
+        def order0(tc, ctx):
+            dt = ctx["dtype"]
+            row0 = tc[:, 0:B]
+            for lv in plan.levels:
+                for g in lv:
+                    ar = _EVAL_ARITY.get(g.name, None)
+                    nin = g.in_cols.shape[1] if ar is None else ar
+                    ins = [row0[g.in_cols[:, c]] for c in range(nin)]
+                    if g.name == "sum":
+                        vals = row0[g.in_cols].sum(axis=1)
+                    elif g.name == "pow":
+                        vals = _pow0_vec_b(jnp, ins[0], g.alpha)
+                    elif g.name == "mul":
+                        vals = ins[0] * ins[1]
+                    else:
+                        vals = _reg.opdef(g.name).evaluate(*ins)
+                    tc = lax.dynamic_update_slice(
+                        tc, vals.astype(dt), (g.out_start, 0)
+                    )
+                    row0 = lax.dynamic_update_slice(
+                        row0, vals.astype(dt), (g.out_start, 0)
+                    )
+            return tc
+
+        def body(k, tc, ctx):
+            dt = ctx["dtype"]
+            kf = jnp.asarray(k).astype(dt)
+            off = k * B
+            # state variables from the rhs at order k-1
+            prev = lax.dynamic_slice(tc, (0, (k - 1) * B), (W, B))
+            sv = prev[plan.rhs_cols] / kf
+            tc = lax.dynamic_update_slice(tc, sv, (0, off))
+            for lv in plan.levels:
+                for g in lv:
+                    vals = _F_RULES[g.name](ctx, tc, k, kf, g, B, off)
+                    tc = lax.dynamic_update_slice(
+                        tc, jnp.asarray(vals, dt), (g.out_start, off)
+                    )
+            return tc
+
+        lo_end = (mp_order if use_mp else K)
+        ctx64 = _mkctx(jnp, dtype, B)
+        tc = order0(init_tc(dtype), ctx64)
+        tc = lax.fori_loop(1, lo_end + 1, lambda k, a: body(k, a, ctx64), tc)
+
+        if use_mp:
+            ctx32 = _mkctx(jnp, f32, B)
+            tc32 = tc.astype(f32)
+            tc32 = lax.fori_loop(
+                mp_order + 1, K + 1, lambda k, a: body(k, a, ctx32), tc32
+            )
+
+        # step control + update: norms over the state variables (and
+        # sv-func outputs) only, like the reference (taylor_00.cpp:168-195)
+        norm_cols = np.concatenate([np.arange(n_eq), plan.out_cols]) \
+            if plan.out_cols.size else np.arange(n_eq)
+        tcv = tc.reshape(W, K + 1, B)
+        hiv = (tc32.reshape(W, K + 1, B) if use_mp else tcv)
+        m0 = jnp.max(jnp.abs(tcv[norm_cols, 0, :]), axis=0)
+        mo = jnp.max(jnp.abs(hiv[norm_cols, K, :]), axis=0).astype(dtype)
+        mo1 = jnp.max(jnp.abs(hiv[norm_cols, K - 1, :]), axis=0).astype(dtype)
+        num = jnp.where(m0 <= 1.0, 1.0, m0)
+        rho = jnp.minimum(
+            (num / mo) ** (1.0 / K), (num / mo1) ** (1.0 / (K - 1))
+        )
+        fac = _pymath.exp(-0.7 / (K - 1)) / (_pymath.e * _pymath.e)
+        h = jnp.minimum(rho * fac, jnp.abs(max_dt))
+        h = jnp.where(max_dt < 0, -h, h)
+
+        def coeff(i):
+            src = tcv if (not use_mp or i <= mp_order) else hiv
+            c = src[:n_eq, i, :]
+            return c.astype(dtype)
+
+        if high_accuracy:
+            res = coeff(0)
+            comp = jnp.zeros_like(res)
+            cur_h = h
+            for i in range(1, K + 1):
+                tmp = coeff(i) * cur_h[None, :]
+                y = tmp - comp
+                tt = res + y
+                comp = (tt - res) - y
+                res = tt
+                if i < K:
+                    cur_h = cur_h * h
+        else:
+            res = coeff(K)
+            for i in range(1, K + 1):
+                res = coeff(K - i) + res * h[None, :]
+        return res.T, h
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# flat-layout dynamic-k rules: histories are (m, K+1, B); `off = k * B`
+# ---------------------------------------------------------------------------
+
+def _row(ctx, tc, cols, B, off):
+    """order-k values of `cols`: (m, B)."""
+    import jax.lax as lax
+
+    r = None
+    # contiguous fast path handled by slicing columns after the row slice
+    blk = lax.dynamic_slice(tc, (0, off), (tc.shape[0], B))
+    return blk[cols]
+
+
+@_rule("sum")
+def _f_sum(ctx, tc, k, kf, g, B, off):
+    import jax.lax as lax
+
+    blk = lax.dynamic_slice(tc, (0, off), (tc.shape[0], B))
+    return blk[g.in_cols].sum(axis=1)
+
+
+@_rule("mul")
+def _f_mul(ctx, tc, k, kf, g, B, off):
+    A = ctx["hist"](tc, g.in_cols[:, 0])
+    C = ctx["hist"](tc, g.in_cols[:, 1])
+    return ctx["conv"](A, C, k)
+
+
+@_rule("div")
+def _f_div(ctx, tc, k, kf, g, B, off):
+    jv = ctx["jv"]
+    A = ctx["mrow"](ctx["hist"](tc, g.out_cols), jv < k)
+    C = ctx["hist"](tc, g.in_cols[:, 1])
+    num = ctx["conv"](A, C, k)
+    bk = _row(ctx, tc, g.in_cols[:, 0], B, off)
+    return (bk - num) / C[:, 0, :]
+
+
+def _f_pair(sign):
+    def impl(ctx, tc, k, kf, g, B, off):
+        jv = ctx["jv"]
+        Bh = ctx["mrow"](ctx["hist"](tc, g.in_cols[:, 0]), jv.astype(tc.dtype))
+        P = ctx["hist"](tc, g.aux["pair"])
+        return sign / kf * ctx["conv"](Bh, P, k)
+
+    return impl
+
+
+_F_RULES["sin"] = _f_pair(1.0)
+_F_RULES["sinh"] = _f_pair(1.0)
+_F_RULES["cosh"] = _f_pair(1.0)
+_F_RULES["cos"] = _f_pair(-1.0)
+
+
+@_rule("exp")
+def _f_exp(ctx, tc, k, kf, g, B, off):
+    jv = ctx["jv"]
+    Bh = ctx["mrow"](ctx["hist"](tc, g.in_cols[:, 0]), jv.astype(tc.dtype))
+    E = ctx["hist"](tc, g.out_cols)
+    return ctx["conv"](Bh, E, k) / kf
+
+
+@_rule("log")
+def _f_log(ctx, tc, k, kf, g, B, off):
+    jv = ctx["jv"]
+    A = ctx["mrow"](ctx["hist"](tc, g.out_cols), (jv * (jv < k)).astype(tc.dtype))
+    Bh = ctx["hist"](tc, g.in_cols[:, 0])
+    s = ctx["conv"](A, Bh, k)
+    bk = _row(ctx, tc, g.in_cols[:, 0], B, off)
+    return (bk - s / kf) / Bh[:, 0, :]
+
+
+@_rule("sqrt")
+def _f_sqrt(ctx, tc, k, kf, g, B, off):
+    jv = ctx["jv"]
+    A = ctx["hist"](tc, g.out_cols)
+    Am = ctx["mrow"](A, ((jv >= 1) & (jv < k)))
+    s = ctx["conv"](Am, A, k)
+    bk = _row(ctx, tc, g.in_cols[:, 0], B, off)
+    return (bk - s) / (2.0 * A[:, 0, :])
+
+
+@_rule("pow")
+def _f_pow(ctx, tc, k, kf, g, B, off):
+    jnp = ctx["jnp"]
+    jv = ctx["jv"]
+    alpha = jnp.asarray(g.alpha, tc.dtype)
+    A = ctx["mrow"](ctx["hist"](tc, g.out_cols), jv < k)
+    Bh = ctx["hist"](tc, g.in_cols[:, 0])
+    t1 = ctx["conv"](A, Bh, k, wB_rev=lambda r: r) * alpha[:, None]
+    t2 = ctx["conv"](ctx["mrow"](A, jv.astype(tc.dtype)), Bh, k)
+    return (t1 - t2) / (kf * Bh[:, 0, :])
+
+
+def _f_sq(sign):
+    def impl(ctx, tc, k, kf, g, B, off):
+        jv = ctx["jv"]
+        Q = ctx["mrow"](ctx["hist"](tc, g.aux["sq"]), jv < k)
+        Bh = ctx["hist"](tc, g.in_cols[:, 0])
+        s = ctx["conv"](Q, Bh, k, wB_rev=lambda r: r)
+        bk = _row(ctx, tc, g.in_cols[:, 0], B, off)
+        return bk + sign * s / kf
+
+    return impl
+
+
+_F_RULES["tan"] = _f_sq(1.0)
+_F_RULES["tanh"] = _f_sq(-1.0)
+
+
+@_rule("sigmoid")
+def _f_sigmoid(ctx, tc, k, kf, g, B, off):
+    jv = ctx["jv"]
+    A0 = ctx["hist"](tc, g.out_cols) - ctx["hist"](tc, g.aux["sq"])
+    A = ctx["mrow"](A0, jv < k)
+    Bh = ctx["hist"](tc, g.in_cols[:, 0])
+    return ctx["conv"](A, Bh, k, wB_rev=lambda r: r) / kf
+
+
+def _f_inv(sign):
+    def impl(ctx, tc, k, kf, g, B, off):
+        jv = ctx["jv"]
+        C = ctx["mrow"](ctx["hist"](tc, g.in_cols[:, 1]), jv >= 1)
+        A = ctx["hist"](tc, g.out_cols)
+        s = ctx["conv"](C, A, k, wB_rev=lambda r: r)
+        bk = _row(ctx, tc, g.in_cols[:, 0], B, off)
+        c0 = ctx["hist"](tc, g.in_cols[:, 1])[:, 0, :]
+        return (sign * kf * bk - s) / (kf * c0)
+
+    return impl
+
+
+for _n in ("asin", "atan", "atanh", "asinh", "acosh"):
+    _F_RULES[_n] = _f_inv(1.0)
+_F_RULES["acos"] = _f_inv(-1.0)
+
+
+@_rule("erf")
+def _f_erf(ctx, tc, k, kf, g, B, off):
+    E = ctx["hist"](tc, g.in_cols[:, 1])
+    Bh = ctx["hist"](tc, g.in_cols[:, 0])
+    s = ctx["conv"](E, Bh, k, wB_rev=lambda r: r)
+    return (2.0 / _pymath.sqrt(_pymath.pi)) * s / kf
+
+
+@_rule("atan2")
+def _f_atan2(ctx, tc, k, kf, g, B, off):
+    jv = ctx["jv"]
+    Y = ctx["hist"](tc, g.in_cols[:, 0])
+    X = ctx["hist"](tc, g.in_cols[:, 1])
+    D = ctx["hist"](tc, g.in_cols[:, 2])
+    r1 = ctx["conv"](X, Y, k, wB_rev=lambda r: r)
+    r2 = ctx["conv"](Y, X, k, wB_rev=lambda r: r)
+    Dm = ctx["mrow"](D, jv >= 1)
+    A = ctx["hist"](tc, g.out_cols)
+    s = ctx["conv"](Dm, A, k, wB_rev=lambda r: r)
+    return (r1 - r2 - s) / (kf * D[:, 0, :])
+
+
+@_rule("relu")
+def _f_relu(ctx, tc, k, kf, g, B, off):
+    jnp = ctx["jnp"]
+    b0 = ctx["hist"](tc, g.in_cols[:, 0])[:, 0, :]
+    bk = _row(ctx, tc, g.in_cols[:, 0], B, off)
+    return jnp.where(b0 > 0.0, bk, 0.0)
+
+
+@_rule("relup")
+def _f_relup(ctx, tc, k, kf, g, B, off):
+    return ctx["jnp"].zeros((g.out_cols.size, B), tc.dtype)
+
+
+@_rule("select")
+def _f_select(ctx, tc, k, kf, g, B, off):
+    import jax.lax as lax
+
+    jnp = ctx["jnp"]
+    blk = lax.dynamic_slice(tc, (0, off), (tc.shape[0], B))
+    c0 = ctx["hist"](tc, g.in_cols[:, 0])[:, 0, :]
+    return jnp.where(c0 != 0.0, blk[g.in_cols[:, 1]], blk[g.in_cols[:, 2]])
+
+
+def _f_const(ctx, tc, k, kf, g, B, off):
+    return ctx["jnp"].zeros((g.out_cols.size, B), tc.dtype)
+
+
+for _n in ("lt", "le", "gt", "ge", "eq", "ne",
+           "logical_and", "logical_or", "logical_not"):
+    _F_RULES[_n] = _f_const
+
+
+@_rule("kepE")
+def _f_kepE(ctx, tc, k, kf, g, B, off):
+    jv = ctx["jv"]
+    E_ = ctx["hist"](tc, g.in_cols[:, 0])
+    Sh = ctx["hist"](tc, g.aux["sin"])
+    Ch = ctx["hist"](tc, g.aux["cos"])
+    F = ctx["hist"](tc, g.out_cols)
+    Q = ctx["tri"](E_, Ch)  # (m, K+1, B): Q[:, m] = (e*cos)_m
+    Mk = _row(ctx, tc, g.in_cols[:, 1], B, off)
+    t1 = kf * Mk
+    t2 = ctx["conv"](ctx["mrow"](E_, jv.astype(tc.dtype)), Sh, k)
+    Qm = ctx["mrow"](Q, jv >= 1)
+    t3 = ctx["conv"](Qm, F, k, wB_rev=lambda r: r)
+    return (t1 + t2 + t3) / (kf * (1.0 - Q[:, 0, :]))
+
+
+@_rule("kepF")
+def _f_kepF(ctx, tc, k, kf, g, B, off):
+    jv = ctx["jv"]
+    H = ctx["hist"](tc, g.in_cols[:, 0])
+    Kk = ctx["hist"](tc, g.in_cols[:, 1])
+    Sh = ctx["hist"](tc, g.aux["sin"])
+    Ch = ctx["hist"](tc, g.aux["cos"])
+    F = ctx["hist"](tc, g.out_cols)
+    Wt = ctx["tri"](H, Sh) + ctx["tri"](Kk, Ch)
+    lamk = _row(ctx, tc, g.in_cols[:, 2], B, off)
+    t1 = kf * lamk
+    t2 = -ctx["conv"](ctx["mrow"](H, jv.astype(tc.dtype)), Ch, k)
+    t3 = ctx["conv"](ctx["mrow"](Kk, jv.astype(tc.dtype)), Sh, k)
+    Wm = ctx["mrow"](Wt, jv >= 1)
+    t4 = ctx["conv"](Wm, F, k, wB_rev=lambda r: r)
+    return (t1 + t2 + t3 + t4) / (kf * (1.0 - Wt[:, 0, :]))
+
+
+@_rule("kepDE")
+def _f_kepDE(ctx, tc, k, kf, g, B, off):
+    jv = ctx["jv"]
+    S0 = ctx["hist"](tc, g.in_cols[:, 0])
+    C0 = ctx["hist"](tc, g.in_cols[:, 1])
+    Sh = ctx["hist"](tc, g.aux["sin"])
+    Ch = ctx["hist"](tc, g.aux["cos"])
+    F = ctx["hist"](tc, g.out_cols)
+    Wt = ctx["tri"](S0, Sh) - ctx["tri"](C0, Ch)
+    omc = -Ch
+    omc = omc.at[:, 0, :].set(1.0 - Ch[:, 0, :])
+    DMk = _row(ctx, tc, g.in_cols[:, 2], B, off)
+    t1 = kf * DMk
+    t2 = -ctx["conv"](ctx["mrow"](S0, jv.astype(tc.dtype)), omc, k)
+    t3 = ctx["conv"](ctx["mrow"](C0, jv.astype(tc.dtype)), Sh, k)
+    Wm = ctx["mrow"](Wt, jv >= 1)
+    t4 = -ctx["conv"](Wm, F, k, wB_rev=lambda r: r)
+    return (t1 + t2 + t3 + t4) / (kf * (1.0 + Wt[:, 0, :]))

@@ -33,6 +33,35 @@ class UnsupportedLoopOp(Exception):
     pass
 
 
+def _gcol_factory(jnp):
+    """Contiguity-aware history reader: contiguous column sets load as a
+    static slice (cheap), arbitrary sets as a gather.
+
+    The plan's column permutation makes every group's outputs (and hence
+    every aux/pair/self set and many operand sets) contiguous, so most of
+    the big per-(order, group) history reads avoid XLA gather->copy.
+    """
+    import numpy as np
+
+    cache = {}
+
+    def gcol(tc, cols):
+        key = cols.tobytes()
+        rng = cache.get(key)
+        if rng is None:
+            a = int(cols[0])
+            if np.array_equal(cols, np.arange(a, a + cols.size)):
+                rng = (a, a + int(cols.size))
+            else:
+                rng = False
+            cache[key] = rng
+        if rng is False:
+            return tc[:, cols]
+        return tc[:, rng[0] : rng[1]]
+
+    return gcol
+
+
 def _helpers(jnp, K: int):
     """Dynamic-k contraction helpers over (K+1, m[, batch]) histories.
 
@@ -137,7 +166,8 @@ def make_jet_fn_compact_loop(tape: Tape, order: int, *, dtype=None):
                 )
 
         ctx = dict(jv=jv, bc=bc, rows_rev=rows_rev, conv=conv, jnp=jnp,
-                   dtype=dtype, tri=tri if _kep_groups else None)
+                   dtype=dtype, tri=tri if _kep_groups else None,
+                   gcol=_gcol_factory(jnp))
 
         def body(k, tc):
             kf = k.astype(dtype)
@@ -182,7 +212,7 @@ def _l_sum(ctx, tc, k, kf, g):
 
 @_rule("mul")
 def _l_mul(ctx, tc, k, kf, g):
-    return ctx["conv"](tc[:, g.in_cols[:, 0]], tc[:, g.in_cols[:, 1]], k)
+    return ctx["conv"](ctx["gcol"](tc, g.in_cols[:, 0]), ctx["gcol"](tc, g.in_cols[:, 1]), k)
 
 
 @_rule("div")
@@ -190,8 +220,8 @@ def _l_div(ctx, tc, k, kf, g):
     b, c = g.in_cols[:, 0], g.in_cols[:, 1]
     jv = ctx["jv"]
     # sum_{i=0..k-1} a_i c_{k-i}: mask out the i == k term
-    A = tc[:, g.out_cols] * ctx["bc"](jv < k, tc[:, g.out_cols])
-    num = ctx["conv"](A, tc[:, c], k)
+    A = ctx["gcol"](tc, g.out_cols) * ctx["bc"](jv < k, ctx["gcol"](tc, g.out_cols))
+    num = ctx["conv"](A, ctx["gcol"](tc, c), k)
     return (tc[k, b] - num) / tc[0, c]
 
 
@@ -199,8 +229,8 @@ def _l_pair(sign):
     def impl(ctx, tc, k, kf, g):
         b = g.in_cols[:, 0]
         jv = ctx["jv"]
-        A = tc[:, b] * ctx["bc"](jv, tc[:, b])  # j * b_j (j=0 vanishes)
-        s = ctx["conv"](A, tc[:, g.aux["pair"]], k)
+        A = ctx["gcol"](tc, b) * ctx["bc"](jv, ctx["gcol"](tc, b))  # j * b_j (j=0 vanishes)
+        s = ctx["conv"](A, ctx["gcol"](tc, g.aux["pair"]), k)
         return sign * s / kf
 
     return impl
@@ -215,9 +245,9 @@ _LOOP_RULES["cos"] = _l_pair(-1.0)
 @_rule("exp")
 def _l_exp(ctx, tc, k, kf, g):
     jv = ctx["jv"]
-    A0 = tc[:, g.in_cols[:, 0]]
+    A0 = ctx["gcol"](tc, g.in_cols[:, 0])
     A = A0 * ctx["bc"](jv, A0)
-    return ctx["conv"](A, tc[:, g.out_cols], k) / kf
+    return ctx["conv"](A, ctx["gcol"](tc, g.out_cols), k) / kf
 
 
 @_rule("log")
@@ -225,8 +255,8 @@ def _l_log(ctx, tc, k, kf, g):
     b = g.in_cols[:, 0]
     jv = ctx["jv"]
     # sum_{i=1..k-1} i a_i b_{k-i}
-    A = tc[:, g.out_cols] * ctx["bc"](jv * (jv < k), tc[:, g.out_cols])
-    s = ctx["conv"](A, tc[:, b], k)
+    A = ctx["gcol"](tc, g.out_cols) * ctx["bc"](jv * (jv < k), ctx["gcol"](tc, g.out_cols))
+    s = ctx["conv"](A, ctx["gcol"](tc, b), k)
     # the i = k term of conv is a_k * k * b_0, but a_k is still 0 at this
     # point of order k's computation, so no correction needed
     return (tc[k, b] - s / kf) / tc[0, b]
@@ -236,8 +266,8 @@ def _l_log(ctx, tc, k, kf, g):
 def _l_sqrt(ctx, tc, k, kf, g):
     b = g.in_cols[:, 0]
     jv = ctx["jv"]
-    A = tc[:, g.out_cols] * ctx["bc"]((jv >= 1) & (jv < k), tc[:, g.out_cols])
-    s = ctx["conv"](A, tc[:, g.out_cols], k)
+    A = ctx["gcol"](tc, g.out_cols) * ctx["bc"]((jv >= 1) & (jv < k), ctx["gcol"](tc, g.out_cols))
+    s = ctx["conv"](A, ctx["gcol"](tc, g.out_cols), k)
     return (tc[k, b] - s) / (2.0 * tc[0, g.out_cols])
 
 
@@ -248,10 +278,10 @@ def _l_pow(ctx, tc, k, kf, g):
     jnp = ctx["jnp"]
     alpha = jnp.asarray(g.alpha, ctx["dtype"])
     # sum_{i=0..k-1} (alpha (k-i) - i) a_i b_{k-i}
-    A = tc[:, g.out_cols] * ctx["bc"](jv < k, tc[:, g.out_cols])
-    t1 = ctx["conv"](A, tc[:, b], k, wB_rev=lambda r: r)
+    A = ctx["gcol"](tc, g.out_cols) * ctx["bc"](jv < k, ctx["gcol"](tc, g.out_cols))
+    t1 = ctx["conv"](A, ctx["gcol"](tc, b), k, wB_rev=lambda r: r)
     t1 = t1 * (alpha if t1.ndim == 1 else alpha[:, None])
-    t2 = ctx["conv"](A * ctx["bc"](jv, A), tc[:, b], k)
+    t2 = ctx["conv"](A * ctx["bc"](jv, A), ctx["gcol"](tc, b), k)
     return (t1 - t2) / (kf * tc[0, b])
 
 
@@ -259,8 +289,8 @@ def _l_sq(sign):
     def impl(ctx, tc, k, kf, g):
         b = g.in_cols[:, 0]
         jv = ctx["jv"]
-        A = tc[:, g.aux["sq"]] * ctx["bc"](jv < k, tc[:, g.aux["sq"]])
-        s = ctx["conv"](A, tc[:, b], k, wB_rev=lambda r: r)
+        A = ctx["gcol"](tc, g.aux["sq"]) * ctx["bc"](jv < k, ctx["gcol"](tc, g.aux["sq"]))
+        s = ctx["conv"](A, ctx["gcol"](tc, b), k, wB_rev=lambda r: r)
         return tc[k, b] + sign * s / kf
 
     return impl
@@ -274,9 +304,9 @@ _LOOP_RULES["tanh"] = _l_sq(-1.0)
 def _l_sigmoid(ctx, tc, k, kf, g):
     b = g.in_cols[:, 0]
     jv = ctx["jv"]
-    A0 = tc[:, g.out_cols] - tc[:, g.aux["sq"]]
+    A0 = ctx["gcol"](tc, g.out_cols) - ctx["gcol"](tc, g.aux["sq"])
     A = A0 * ctx["bc"](jv < k, A0)
-    return ctx["conv"](A, tc[:, b], k, wB_rev=lambda r: r) / kf
+    return ctx["conv"](A, ctx["gcol"](tc, b), k, wB_rev=lambda r: r) / kf
 
 
 def _l_inv(sign):
@@ -285,8 +315,8 @@ def _l_inv(sign):
         jv = ctx["jv"]
         # sum_{m=1..k-1} c_m (k-m) a_{k-m}; mask m==0 (weight (k-m)=k) and
         # m==k (a_0 weight 0 via (k-m)=0)
-        C = tc[:, c] * ctx["bc"](jv >= 1, tc[:, c])
-        s = ctx["conv"](C, tc[:, g.out_cols], k, wB_rev=lambda r: r)
+        C = ctx["gcol"](tc, c) * ctx["bc"](jv >= 1, ctx["gcol"](tc, c))
+        s = ctx["conv"](C, ctx["gcol"](tc, g.out_cols), k, wB_rev=lambda r: r)
         return (sign * kf * tc[k, b] - s) / (kf * tc[0, c])
 
     return impl
@@ -300,7 +330,7 @@ _LOOP_RULES["acos"] = _l_inv(-1.0)
 @_rule("erf")
 def _l_erf(ctx, tc, k, kf, g):
     b, e = g.in_cols[:, 0], g.in_cols[:, 1]
-    s = ctx["conv"](tc[:, e], tc[:, b], k, wB_rev=lambda r: r)
+    s = ctx["conv"](ctx["gcol"](tc, e), ctx["gcol"](tc, b), k, wB_rev=lambda r: r)
     return (2.0 / _pymath.sqrt(_pymath.pi)) * s / kf
 
 
@@ -308,10 +338,10 @@ def _l_erf(ctx, tc, k, kf, g):
 def _l_atan2(ctx, tc, k, kf, g):
     y, x, d = g.in_cols[:, 0], g.in_cols[:, 1], g.in_cols[:, 2]
     jv = ctx["jv"]
-    r1 = ctx["conv"](tc[:, x], tc[:, y], k, wB_rev=lambda r: r)
-    r2 = ctx["conv"](tc[:, y], tc[:, x], k, wB_rev=lambda r: r)
-    D = tc[:, d] * ctx["bc"](jv >= 1, tc[:, d])
-    s = ctx["conv"](D, tc[:, g.out_cols], k, wB_rev=lambda r: r)
+    r1 = ctx["conv"](ctx["gcol"](tc, x), ctx["gcol"](tc, y), k, wB_rev=lambda r: r)
+    r2 = ctx["conv"](ctx["gcol"](tc, y), ctx["gcol"](tc, x), k, wB_rev=lambda r: r)
+    D = ctx["gcol"](tc, d) * ctx["bc"](jv >= 1, ctx["gcol"](tc, d))
+    s = ctx["conv"](D, ctx["gcol"](tc, g.out_cols), k, wB_rev=lambda r: r)
     return (r1 - r2 - s) / (kf * tc[0, d])
 
 
@@ -348,11 +378,11 @@ def _l_kepE(ctx, tc, k, kf, g):
     jv = ctx["jv"]
     e, M = g.in_cols[:, 0], g.in_cols[:, 1]
     s_i, c_i = g.aux["sin"], g.aux["cos"]
-    Q = ctx["tri"](tc[:, e], tc[:, c_i])  # Q[m] = (e*cos)_m for all m
+    Q = ctx["tri"](ctx["gcol"](tc, e), ctx["gcol"](tc, c_i))  # Q[m] = (e*cos)_m for all m
     t1 = kf * tc[k, M]
-    t2 = ctx["conv"](tc[:, e] * ctx["bc"](jv, tc[:, e]), tc[:, s_i], k)
+    t2 = ctx["conv"](ctx["gcol"](tc, e) * ctx["bc"](jv, ctx["gcol"](tc, e)), ctx["gcol"](tc, s_i), k)
     Qm = Q * ctx["bc"](jv >= 1, Q)
-    t3 = ctx["conv"](Qm, tc[:, g.out_cols], k, wB_rev=lambda r: r)
+    t3 = ctx["conv"](Qm, ctx["gcol"](tc, g.out_cols), k, wB_rev=lambda r: r)
     return (t1 + t2 + t3) / (kf * (1.0 - Q[0]))
 
 
@@ -361,12 +391,12 @@ def _l_kepF(ctx, tc, k, kf, g):
     jv = ctx["jv"]
     h, kk, lam = g.in_cols[:, 0], g.in_cols[:, 1], g.in_cols[:, 2]
     s_i, c_i = g.aux["sin"], g.aux["cos"]
-    W = ctx["tri"](tc[:, h], tc[:, s_i]) + ctx["tri"](tc[:, kk], tc[:, c_i])
+    W = ctx["tri"](ctx["gcol"](tc, h), ctx["gcol"](tc, s_i)) + ctx["tri"](ctx["gcol"](tc, kk), ctx["gcol"](tc, c_i))
     t1 = kf * tc[k, lam]
-    t2 = -ctx["conv"](tc[:, h] * ctx["bc"](jv, tc[:, h]), tc[:, c_i], k)
-    t3 = ctx["conv"](tc[:, kk] * ctx["bc"](jv, tc[:, kk]), tc[:, s_i], k)
+    t2 = -ctx["conv"](ctx["gcol"](tc, h) * ctx["bc"](jv, ctx["gcol"](tc, h)), ctx["gcol"](tc, c_i), k)
+    t3 = ctx["conv"](ctx["gcol"](tc, kk) * ctx["bc"](jv, ctx["gcol"](tc, kk)), ctx["gcol"](tc, s_i), k)
     Wm = W * ctx["bc"](jv >= 1, W)
-    t4 = ctx["conv"](Wm, tc[:, g.out_cols], k, wB_rev=lambda r: r)
+    t4 = ctx["conv"](Wm, ctx["gcol"](tc, g.out_cols), k, wB_rev=lambda r: r)
     return (t1 + t2 + t3 + t4) / (kf * (1.0 - W[0]))
 
 
@@ -376,15 +406,15 @@ def _l_kepDE(ctx, tc, k, kf, g):
     jnp = ctx["jnp"]
     s0, c0, DM = g.in_cols[:, 0], g.in_cols[:, 1], g.in_cols[:, 2]
     s_i, c_i = g.aux["sin"], g.aux["cos"]
-    W = ctx["tri"](tc[:, s0], tc[:, s_i]) - ctx["tri"](tc[:, c0], tc[:, c_i])
+    W = ctx["tri"](ctx["gcol"](tc, s0), ctx["gcol"](tc, s_i)) - ctx["tri"](ctx["gcol"](tc, c0), ctx["gcol"](tc, c_i))
     # (1 - cos)_i series: i==0 -> 1 - c_0, else -c_i
-    omc = -tc[:, c_i]
+    omc = -ctx["gcol"](tc, c_i)
     omc = omc.at[0].set(1.0 - tc[0, c_i])
     t1 = kf * tc[k, DM]
-    t2 = -ctx["conv"](tc[:, s0] * ctx["bc"](jv, tc[:, s0]), omc, k)
-    t3 = ctx["conv"](tc[:, c0] * ctx["bc"](jv, tc[:, c0]), tc[:, s_i], k)
+    t2 = -ctx["conv"](ctx["gcol"](tc, s0) * ctx["bc"](jv, ctx["gcol"](tc, s0)), omc, k)
+    t3 = ctx["conv"](ctx["gcol"](tc, c0) * ctx["bc"](jv, ctx["gcol"](tc, c0)), ctx["gcol"](tc, s_i), k)
     Wm = W * ctx["bc"](jv >= 1, W)
-    t4 = -ctx["conv"](Wm, tc[:, g.out_cols], k, wB_rev=lambda r: r)
+    t4 = -ctx["conv"](Wm, ctx["gcol"](tc, g.out_cols), k, wB_rev=lambda r: r)
     return (t1 + t2 + t3 + t4) / (kf * (1.0 + W[0]))
 
 
@@ -472,7 +502,8 @@ def make_jet_fn_compact_batched(tape: Tape, order: int, *, dtype=None):
                 )
 
         ctx = dict(jv=jv, bc=bc, rows_rev=rows_rev, conv=conv, jnp=jnp,
-                   dtype=dtype, tri=tri if _kep_groups else None)
+                   dtype=dtype, tri=tri if _kep_groups else None,
+                   gcol=_gcol_factory(jnp))
 
         def body(k, tc):
             kf = k.astype(dtype)
@@ -558,5 +589,153 @@ def make_batched_step(tape: Tape, order: int, *, dtype=None,
             for i in range(1, K + 1):
                 new = tc[K - i, :n_eq, :] + new * h[None, :]
         return new.T, h
+
+    return step
+
+
+def make_batched_step_mixed(tape: Tape, order: int, *, mp_order: int = 10,
+                            high_accuracy: bool = True):
+    """Mixed-precision whole-batch step: Taylor orders <= ``mp_order`` in
+    f64, higher orders in f32.
+
+    Error analysis: the order-k coefficient contributes |h^k a_k| ~
+    tol^(k/p) |x| to the update, so a relative f32 error of ~1e-7 on
+    coefficients with k >= ~10 (tol 1e-15, p 19) lands below 1e-15 |x| —
+    f64-parity accuracy at a fraction of the emulated-f64 work, since the
+    high orders carry most of the convolution cost (sum k ~ k^2/2).
+    TPUs have no native f64 (PERF.md), making this the cheapest 2x.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    plan = build_plan(tape, order)
+    n_eq = plan.n_eq
+    K = order
+    mp = int(mp_order)
+    if not 1 <= mp < K:
+        raise ValueError("mp_order must be in [1, order)")
+
+    for lv in plan.levels:
+        for g in lv:
+            if g.name not in _LOOP_RULES:
+                raise UnsupportedLoopOp(g.name)
+    _kep_groups = any(
+        g.name in ("kepE", "kepF", "kepDE") for lv in plan.levels for g in lv
+    )
+    S_j = None
+    if _kep_groups:
+        S = np.zeros((K + 1, K + 1, K + 1))
+        for m in range(K + 1):
+            for a in range(m + 1):
+                S[m, a, m - a] = 1.0
+
+    const_cols = np.array([c for c, _ in plan.const_cols], dtype=np.int64)
+    const_vals = np.array([v for _, v in plan.const_cols])
+    par_cols = np.array([c for c, _ in plan.par_cols], dtype=np.int64)
+    par_idx = np.array([j for _, j in plan.par_cols], dtype=np.int64)
+
+    def _order_body(ctx, plan_, k, kf, tc):
+        sv = tc[k - 1][plan_.rhs_cols] / kf
+        tc = tc.at[k, :n_eq, :].set(sv)
+        for lv in plan_.levels:
+            for g in lv:
+                vals = _LOOP_RULES[g.name](ctx, tc, k, kf, g)
+                m = g.out_cols.size
+                tc = tc.at[k, g.out_start : g.out_start + m, :].set(
+                    jnp.asarray(vals, tc.dtype)
+                )
+        return tc
+
+    def _mkctx(dtype):
+        jv, bc, rows_rev, conv = _helpers(jnp, K)
+        tri = None
+        if _kep_groups:
+            Sd = jnp.asarray(S, dtype)
+
+            def tri(A, C, _Sd=Sd):
+                return jnp.einsum("acx,bcx,mab->mcx", A, C, _Sd)
+
+        return dict(jv=jv, bc=bc, rows_rev=rows_rev, conv=conv, jnp=jnp,
+                    dtype=dtype, tri=tri, gcol=_gcol_factory(jnp))
+
+    def step(states, pars, t, max_dt):
+        B = states.shape[0]
+        f64 = jnp.float64
+        f32 = jnp.float32
+
+        tc = jnp.zeros((K + 1, plan.width, B), f64)
+        tc = tc.at[0, :n_eq, :].set(states.T.astype(f64))
+        if const_cols.size:
+            tc = tc.at[0, const_cols, :].set(
+                jnp.asarray(const_vals, f64)[:, None]
+            )
+        if par_cols.size:
+            tc = tc.at[0, par_cols, :].set(pars[:, par_idx].T.astype(f64))
+        if plan.time_col is not None:
+            tc = tc.at[0, plan.time_col, :].set(t.astype(f64))
+            tc = tc.at[1, plan.time_col, :].set(jnp.ones((B,), f64))
+
+        ctx64 = _mkctx(f64)
+        for lv in plan.levels:
+            for g in lv:
+                ar = _EVAL_ARITY.get(g.name, None)
+                ins = [
+                    tc[0, g.in_cols[:, c], :]
+                    for c in range(g.in_cols.shape[1] if ar is None else ar)
+                ]
+                if g.name == "sum":
+                    vals = tc[0][g.in_cols].sum(axis=1)
+                elif g.name == "pow":
+                    vals = _pow0_vec_b(jnp, ins[0], g.alpha)
+                elif g.name == "mul":
+                    vals = ins[0] * ins[1]
+                else:
+                    vals = _reg.opdef(g.name).evaluate(*ins)
+                m = g.out_cols.size
+                tc = tc.at[0, g.out_start : g.out_start + m, :].set(
+                    vals.astype(f64)
+                )
+
+        tc = lax.fori_loop(
+            1, mp + 1, lambda k, a: _order_body(ctx64, plan, k, k.astype(f64), a), tc
+        )
+
+        # high orders in f32 over a downcast shadow of the history
+        ctx32 = _mkctx(f32)
+        tc32 = tc.astype(f32)
+        tc32 = lax.fori_loop(
+            mp + 1, K + 1,
+            lambda k, a: _order_body(ctx32, plan, k, k.astype(f32), a), tc32,
+        )
+
+        # step-size control: norms over the state (+output) columns only
+        norm_cols = np.concatenate([np.arange(n_eq), plan.out_cols]) \
+            if plan.out_cols.size else np.arange(n_eq)
+        m0 = jnp.max(jnp.abs(tc[0, norm_cols, :]), axis=0)
+        mo = jnp.max(jnp.abs(tc32[K][norm_cols]), axis=0).astype(f64)
+        mo1 = jnp.max(jnp.abs(tc32[K - 1][norm_cols]), axis=0).astype(f64)
+        num = jnp.where(m0 <= 1.0, 1.0, m0)
+        rho = jnp.minimum(
+            (num / mo) ** (1.0 / K), (num / mo1) ** (1.0 / (K - 1))
+        )
+        fac = _pymath.exp(-0.7 / (K - 1)) / (_pymath.e * _pymath.e)
+        h = jnp.minimum(rho * fac, jnp.abs(max_dt))
+        h = jnp.where(max_dt < 0, -h, h)
+
+        # compensated-summation update: f64 coefficients for k <= mp, f32
+        # (upcast) beyond
+        res = tc[0, :n_eq, :]
+        comp = jnp.zeros_like(res)
+        cur_h = h
+        for i in range(1, K + 1):
+            ci = tc[i, :n_eq, :] if i <= mp else tc32[i, :n_eq, :].astype(f64)
+            tmp = ci * cur_h[None, :]
+            y = tmp - comp
+            tt = res + y
+            comp = (tt - res) - y
+            res = tt
+            if i < K:
+                cur_h = cur_h * h
+        return res.T, h
 
     return step

@@ -112,3 +112,32 @@ def test_compact_with_eop_fallback():
         make_jet_fn_compact(tape, 5)(jnp.asarray([0.1]), jnp.zeros(0), jnp.asarray(t0))
     )
     np.testing.assert_allclose(b, a, rtol=0, atol=1e-18)
+
+
+def test_flat_and_mixed_match_loop():
+    # the flat-layout batched step and its mixed-precision variant
+    from heyoka_tpu.taylor.compact_flat import make_batched_step_flat
+    from heyoka_tpu.taylor.compact_loop import make_batched_step
+
+    sys_ = [
+        (x, hy.kepE(0.3, y) + hy.sigmoid(x) + hy.tan(0.2 * x)),
+        (y, hy.sqrt(x) + hy.log(y) + hy.erf(x) + hy.kepF(0.1, 0.2, x)
+         + hy.asin(0.2 * x) + hy.tanh(y) + hy.atan2(x, y)),
+    ]
+    tape = taylor_decompose_sys(sys_)
+    B = 4
+    st = jnp.asarray(np.tile([[1.2, 0.8]], (B, 1)))
+    p = jnp.zeros((B, 0))
+    t = jnp.full((B,), 0.3)
+    mdt = jnp.full((B,), 1e9)
+    import jax
+
+    s1, h1 = jax.jit(make_batched_step(tape, 11))(st, p, t, mdt)
+    s2, h2 = jax.jit(make_batched_step_flat(tape, 11))(st, p, t, mdt)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+    # mixed precision: step sizes agree to the f32-high-order level
+    s3, h3 = jax.jit(make_batched_step_flat(tape, 11, mp_order=6))(st, p, t, mdt)
+    np.testing.assert_allclose(np.asarray(h3), np.asarray(h1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s1), rtol=1e-8, atol=1e-10)
