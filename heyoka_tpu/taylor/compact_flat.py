@@ -70,12 +70,13 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
     _kep = any(
         g.name in ("kepE", "kepF", "kepDE") for lv in plan.levels for g in lv
     )
-    S_np = None
-    if _kep:
-        S_np = np.zeros((K + 1, K + 1, K + 1))
-        for m in range(K + 1):
+
+    def _tri_tensor(Kw):
+        S_np = np.zeros((Kw + 1, Kw + 1, Kw + 1))
+        for m in range(Kw + 1):
             for a in range(m + 1):
                 S_np[m, a, m - a] = 1.0
+        return S_np
 
     const_cols = np.array([c for c, _ in plan.const_cols], dtype=np.int64)
     const_vals = np.array([v for _, v in plan.const_cols])
@@ -96,22 +97,25 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             _contig[key] = r
         return r
 
-    def _mkctx(jnp_, dt, B):
-        jv = jnp_.arange(K + 1)
+    def _mkctx(jnp_, dt, B, Kw):
+        """Context over a history *window* of Kw+1 order rows: the low-order
+        (f64) phase runs on a truncated buffer, since orders <= mp never
+        read rows above mp — nearly halving the emulated-f64 work."""
+        jv = jnp_.arange(Kw + 1)
 
         def hist(tc, cols):
-            # (m, K+1, B) view of the full history of `cols`
+            # (m, Kw+1, B) view of the history of `cols`
             r = _rng(cols)
             sl = tc[r[0] : r[1]] if r else tc[cols]
-            return sl.reshape(cols.size, K + 1, B)
+            return sl.reshape(cols.size, Kw + 1, B)
 
         def mrow(x, mask):
-            # apply an order-axis mask/weight to a (m, K+1, B) history
-            return x * mask.reshape(1, K + 1, 1)
+            # apply an order-axis mask/weight to a (m, Kw+1, B) history
+            return x * mask.reshape(1, Kw + 1, 1)
 
         def rows_rev(Bh, k):
-            idx = jnp_.clip(k - jv, 0, K)
-            return Bh[:, idx, :] * (jv <= k).reshape(1, K + 1, 1)
+            idx = jnp_.clip(k - jv, 0, Kw)
+            return Bh[:, idx, :] * (jv <= k).reshape(1, Kw + 1, 1)
 
         def conv(Ah, Bh, k, wA=None, wB_rev=None):
             term = Ah * rows_rev(Bh, k)
@@ -127,7 +131,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
         tri = None
         if _kep:
-            S_j = jnp_.asarray(S_np, dt)
+            S_j = jnp_.asarray(_tri_tensor(Kw), dt)
 
             def tri(Ah, Ch, _S=S_j):
                 return jnp_.einsum("cax,cbx,mab->cmx", Ah, Ch, _S)
@@ -140,8 +144,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         f32 = jnp.float32
         use_mp = mp_order is not None and jnp.dtype(dtype) == jnp.float64
 
-        def init_tc(dt):
-            tc = jnp.zeros((W, (K + 1) * B), dt)
+        def init_tc(dt, Kw):
+            tc = jnp.zeros((W, (Kw + 1) * B), dt)
             tc = tc.at[:n_eq, 0:B].set(states.T.astype(dt))
             if const_cols.size:
                 tc = tc.at[const_cols, 0:B].set(
@@ -195,13 +199,15 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             return tc
 
         lo_end = (mp_order if use_mp else K)
-        ctx64 = _mkctx(jnp, dtype, B)
-        tc = order0(init_tc(dtype), ctx64)
+        ctx64 = _mkctx(jnp, dtype, B, lo_end)
+        tc = order0(init_tc(dtype, lo_end), ctx64)
         tc = lax.fori_loop(1, lo_end + 1, lambda k, a: body(k, a, ctx64), tc)
 
         if use_mp:
-            ctx32 = _mkctx(jnp, f32, B)
-            tc32 = tc.astype(f32)
+            # widen the window to the full order for the f32 phase
+            ctx32 = _mkctx(jnp, f32, B, K)
+            tc32 = jnp.zeros((W, (K + 1) * B), f32)
+            tc32 = lax.dynamic_update_slice(tc32, tc.astype(f32), (0, 0))
             tc32 = lax.fori_loop(
                 mp_order + 1, K + 1, lambda k, a: body(k, a, ctx32), tc32
             )
@@ -210,7 +216,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         # sv-func outputs) only, like the reference (taylor_00.cpp:168-195)
         norm_cols = np.concatenate([np.arange(n_eq), plan.out_cols]) \
             if plan.out_cols.size else np.arange(n_eq)
-        tcv = tc.reshape(W, K + 1, B)
+        tcv = tc.reshape(W, lo_end + 1, B)
         hiv = (tc32.reshape(W, K + 1, B) if use_mp else tcv)
         m0 = jnp.max(jnp.abs(tcv[norm_cols, 0, :]), axis=0)
         mo = jnp.max(jnp.abs(hiv[norm_cols, K, :]), axis=0).astype(dtype)
