@@ -8,3 +8,11 @@ propagation loops run on-device inside ``lax.while_loop``.
 """
 
 from . import recurrences, jet, stepper, adaptive, batch, outcome  # noqa: F401
+from .compact import make_jet_fn_compact  # noqa: F401
+from .compact_loop import (  # noqa: F401
+    make_jet_fn_compact_loop,
+    make_jet_fn_compact_batched,
+    make_batched_step,
+    make_batched_step_mixed,
+)
+from .compact_flat import make_batched_step_flat  # noqa: F401
