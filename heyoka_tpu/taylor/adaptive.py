@@ -458,12 +458,12 @@ class TaylorAdaptive:
 
     def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0):
         """Dense-output sampling at the points of a monotonic time grid;
-        returns (outcome, min_h, max_h, nsteps, out[len(grid), dim])."""
-        if self._ev_step is not None:
-            raise NotImplementedError(
-                "propagate_grid with events is not supported yet; use "
-                "propagate_until + update_d_output"
-            )
+        returns (outcome, min_h, max_h, nsteps, out[len(grid), dim]).
+
+        With events present, a host-driven stepwise driver is used
+        (reference: the event-aware ``propagate_grid_impl`` of
+        taylor_adaptive.cpp); grid rows not reached before a stopping
+        terminal event / step limit / non-finite state are NaN."""
         grid = np.asarray(grid, dtype=self._dtype)
         if grid.ndim != 1 or grid.size == 0:
             raise ValueError("grid must be a non-empty 1-D array")
@@ -473,6 +473,10 @@ class TaylorAdaptive:
                 raise ValueError("grid must be strictly monotonic")
         if max_delta_t is None:
             max_delta_t = _pymath.inf
+        if self._ev_step is not None:
+            return self._propagate_grid_stepwise(
+                grid, float(max_delta_t), int(max_steps)
+            )
         res = self._pg_jit(
             self._state,
             self._pars,
@@ -493,6 +497,45 @@ class TaylorAdaptive:
             int(res["nsteps"]),
             np.asarray(res["out"]),
         )
+
+    def _propagate_grid_stepwise(self, grid, max_delta_t, max_steps):
+        """Event-aware propagate_grid: one adaptive step (with event
+        detection) at a time; after each step, every grid point inside the
+        step's span is evaluated with the dense-output kernel.  A stopping
+        terminal event truncates the step at the event time, so dense output
+        remains valid for the grid points it covers; later rows stay NaN."""
+        ngrid = grid.size
+        out = np.full((ngrid, self.dim), np.nan, dtype=self._dtype)
+        fwd = float(grid[-1]) >= self.time
+        gi = 0
+        # grid points exactly at the current time resolve to the current state
+        while gi < ngrid and float(grid[gi]) == self.time:
+            out[gi] = np.asarray(self._state)[: self.dim]
+            gi += 1
+        min_h, max_h, nsteps = _pymath.inf, 0.0, 0
+        target = float(grid[-1])
+        while gi < ngrid:
+            rem = target - self.time
+            if (rem <= 0 if fwd else rem >= 0):
+                break
+            cap = min(abs(rem), max_delta_t)
+            oc, h = self._do_step(cap if fwd else -cap)
+            nsteps += 1
+            min_h = min(min_h, abs(h))
+            max_h = max(max_h, abs(h))
+            if oc == TaylorOutcome.err_nf_state:
+                return oc, min_h, max_h, nsteps, out
+            t_new = self.time
+            while gi < ngrid and (
+                float(grid[gi]) <= t_new if fwd else float(grid[gi]) >= t_new
+            ):
+                out[gi] = self.update_d_output(float(grid[gi]))
+                gi += 1
+            if isinstance(oc, int) and oc >= 0 and self._event_stop:
+                return oc, min_h, max_h, nsteps, out
+            if max_steps and nsteps >= max_steps and gi < ngrid:
+                return TaylorOutcome.step_limit, min_h, max_h, nsteps, out
+        return TaylorOutcome.time_limit, min_h, max_h, nsteps, out
 
     # -- dense output ---------------------------------------------------------
 

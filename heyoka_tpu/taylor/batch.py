@@ -486,17 +486,19 @@ class TaylorAdaptiveBatch:
 
     def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0):
         """Shared time grid, per-lane dense output:
-        returns (outcomes, min_h, max_h, nsteps, out[batch, len(grid), dim])."""
-        if self._ev_step is not None:
-            raise NotImplementedError(
-                "propagate_grid with events is not supported yet"
-            )
+        returns (outcomes, min_h, max_h, nsteps, out[batch, len(grid), dim]).
+
+        With events present, a host-driven lockstep driver is used; grid
+        rows a lane does not reach (stopping terminal event / step limit /
+        non-finite state) are NaN in that lane."""
         grid = np.asarray(grid, dtype=self._dtype)
         if max_delta_t is None:
             max_delta_t = _pymath.inf
         mdt = np.broadcast_to(
             np.asarray(max_delta_t, dtype=self._dtype), (self._batch,)
         )
+        if self._ev_step is not None:
+            return self._propagate_grid_stepwise(grid, mdt, int(max_steps))
         res = self._pg_jit(
             self._state,
             self._pars,
@@ -518,6 +520,86 @@ class TaylorAdaptiveBatch:
             np.asarray(res["nsteps"]),
             np.asarray(res["out"]),
         )
+
+    def _propagate_grid_stepwise(self, grid, mdt, max_steps):
+        """Event-aware batch propagate_grid: lanes step in lockstep with
+        per-lane caps (event detection per lane via the vmapped event step);
+        after each step, each live lane fills the grid points inside its step
+        span with a host-side Horner evaluation of its dense-output
+        coefficients (dd-precise step-start subtraction)."""
+        ngrid = grid.shape[0]
+        out = np.full((self._batch, ngrid, self.dim), np.nan, dtype=self._dtype)
+        t_now = np.asarray(self.time)
+        fwd = grid[-1] >= t_now
+        target = float(grid[-1])
+        gi = np.zeros((self._batch,), np.int64)
+        st0 = np.asarray(self._state)
+        for i in range(self._batch):
+            while gi[i] < ngrid and float(grid[gi[i]]) == t_now[i]:
+                out[i, gi[i]] = st0[i, : self.dim]
+                gi[i] += 1
+        min_h = np.full((self._batch,), _pymath.inf)
+        max_h = np.zeros((self._batch,))
+        nsteps = np.zeros((self._batch,), np.int64)
+        outcomes = [TaylorOutcome.time_limit] * self._batch
+        done = gi >= ngrid
+        order = self._order
+        while not done.all():
+            t_now = np.asarray(self.time)
+            rem = target - t_now
+            arrived = np.where(fwd, rem <= 0, rem >= 0)
+            done |= arrived
+            if done.all():
+                break
+            cap = np.minimum(np.abs(rem), mdt)
+            cap = np.where(done, 0.0, cap)
+            self.step(max_delta_t=np.where(fwd, cap, -cap))
+            th = np.asarray(self._t_hi)
+            tl = np.asarray(self._t_lo)
+            lh = np.asarray(self._last_h)
+            tc = np.asarray(self._tc)
+            for i in range(self._batch):
+                if done[i]:
+                    continue
+                oc, h = self._last_res[i]
+                nsteps[i] += 1
+                min_h[i] = min(min_h[i], abs(h))
+                max_h[i] = max(max_h[i], abs(h))
+                if oc == TaylorOutcome.err_nf_state:
+                    outcomes[i] = oc
+                    done[i] = True
+                    continue
+                # dd-precise step start: (t_hi, t_lo) - last_h via two-sum
+                s = th[i] - lh[i]
+                bb = s - th[i]
+                err = (th[i] - (s - bb)) + (-lh[i] - bb)
+                s_lo = err + tl[i]
+                t_new = th[i] + tl[i]
+                while gi[i] < ngrid and (
+                    float(grid[gi[i]]) <= t_new
+                    if fwd[i]
+                    else float(grid[gi[i]]) >= t_new
+                ):
+                    rel = (float(grid[gi[i]]) - s) - s_lo
+                    res = tc[i, order].copy()
+                    for k in range(1, order + 1):
+                        res = tc[i, order - k] + res * rel
+                    out[i, gi[i]] = res[: self.dim]
+                    gi[i] += 1
+                if isinstance(oc, int) and self._event_stop[i]:
+                    outcomes[i] = oc
+                    done[i] = True
+                elif gi[i] >= ngrid:
+                    done[i] = True
+            if max_steps and int(nsteps.max()) >= max_steps:
+                for i in range(self._batch):
+                    if not done[i]:
+                        outcomes[i] = TaylorOutcome.step_limit
+                break
+        self._last_res = [
+            (outcomes[i], self._last_res[i][1]) for i in range(self._batch)
+        ]
+        return outcomes, min_h, max_h, nsteps, out
 
 
 def taylor_adaptive_batch(sys, state, **kw) -> TaylorAdaptiveBatch:

@@ -71,10 +71,37 @@ def test_batch_t_event_callback_continue(states):
         assert abs(c - 20.0) <= 2
 
 
-def test_batch_grid_with_events_raises(states):
+def test_batch_grid_with_nt_events_matches_plain(states):
+    # grid output with a (non-interfering) nt event must match the
+    # event-free on-device grid driver lane by lane
     x, v = hy.make_vars("x", "v")
+    grid = np.linspace(0.0, 5.0, 11)
+    hits = [[] for _ in range(BATCH)]
+    ev = nt_event(x, lambda tb, t, d, lane: hits[lane].append(t))
+    tab = hy.taylor_adaptive_batch(pendulum(), states, tol=1e-12, nt_events=[ev])
+    ocs, mn, mx, ns, out = tab.propagate_grid(grid)
+    tab2 = hy.taylor_adaptive_batch(pendulum(), states, tol=1e-12)
+    ocs2, *_, out2 = tab2.propagate_grid(grid)
+    assert all(oc == TaylorOutcome.time_limit for oc in ocs)
+    np.testing.assert_allclose(out, out2, rtol=0, atol=5e-13)
+    assert all(len(h) == 5 for h in hits)  # 5 zero crossings in 5 s
+
+
+def test_batch_grid_with_stopping_t_event(states):
+    # lanes stop at their first turning point; grid rows past it are NaN
+    x, v = hy.make_vars("x", "v")
+    grid = np.linspace(0.0, 5.0, 26)
     tab = hy.taylor_adaptive_batch(
         pendulum(), states, tol=1e-12, t_events=[t_event(v)]
     )
-    with pytest.raises(NotImplementedError):
-        tab.propagate_grid(np.linspace(0, 1, 5))
+    ocs, mn, mx, ns, out = tab.propagate_grid(grid)
+    assert all(oc == 0 for oc in ocs)
+    for i in range(BATCH):
+        t_stop = float(tab.time[i])
+        filled = grid <= t_stop
+        assert np.isfinite(out[i][filled]).all()
+        assert np.isnan(out[i][~filled]).all()
+        # the filled rows match the scalar event-free dense output
+        ta = hy.taylor_adaptive(pendulum(), states[i], tol=1e-12)
+        _, *_, ref = ta.propagate_grid(grid[filled])
+        np.testing.assert_allclose(out[i][filled], ref, rtol=0, atol=5e-13)

@@ -113,3 +113,39 @@ def test_step_semantics_with_events():
     ta_e2 = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-15, t_events=[ev2])
     _, h_e2 = ta_e2.step()
     assert h_e2 > h_p
+
+
+def test_grid_with_nt_events_matches_plain():
+    # grid output with a (non-interfering) nt event must match the
+    # event-free on-device grid driver
+    x, v = hy.make_vars("x", "v")
+    grid = np.linspace(0.0, 5.0, 11)
+    hits = []
+    ev = nt_event(x, lambda ta, t, d: hits.append(t))
+    ta = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-12, nt_events=[ev])
+    oc, mn, mx, ns, out = ta.propagate_grid(grid)
+    ta2 = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-12)
+    oc2, *_, out2 = ta2.propagate_grid(grid)
+    assert oc == TaylorOutcome.time_limit
+    np.testing.assert_allclose(out, out2, rtol=0, atol=5e-13)
+    assert len(hits) == 5  # 5 zero crossings of x in 5 s
+
+
+def test_grid_with_stopping_t_event():
+    # propagation stops at the first turning point; later grid rows are NaN
+    x, v = hy.make_vars("x", "v")
+    grid = np.linspace(0.0, 5.0, 26)
+    ta = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=1e-12, t_events=[t_event(v)]
+    )
+    oc, mn, mx, ns, out = ta.propagate_grid(grid)
+    assert oc == 0  # terminal event index
+    t_stop = ta.time
+    assert abs(ta.state[1]) < 1e-10
+    filled = grid <= t_stop
+    assert np.isfinite(out[filled]).all()
+    assert np.isnan(out[~filled]).all()
+    # filled rows match the event-free dense output
+    ta2 = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-12)
+    _, *_, ref = ta2.propagate_grid(grid[filled])
+    np.testing.assert_allclose(out[filled], ref, rtol=0, atol=5e-13)
