@@ -14,19 +14,28 @@ Reference parity: heyoka ``taylor_add_adaptive_step_with_events``
   ``g_eps = max(tol * max(1, ||state||_inf), eps * ||state||_inf)``
   (``taylor_adaptive.cpp:812-840``).
 
-TPU-native delta (round 1): root isolation uses dense sampling of the event
-polynomial on a static grid (8*order+1 points) followed by branch-free
-bisection — fixed shapes, no host round-trips.  The reference's rigorous
-Collins-Akritas sign-change isolation (recursive working list,
-``event_detection.cpp:1284-1414``) guarantees even-multiplicity roots are
-never missed; the sampled variant can miss tangential roots between grid
-points and is tracked for replacement by a vectorized working-list kernel.
+Root isolation is the reference's rigorous Collins-Akritas scheme
+(recursive working list + Descartes' rule of signs on the
+Möbius-transformed polynomial, ``event_detection.cpp:1284-1414``),
+re-designed for XLA: a *bounded* working list of intervals processed by a
+``lax.while_loop`` with static shapes, vmapped over the event equations.
+Per interval, the coefficients of ``p(a + (b-a)x)`` come from one
+binomial-matrix matvec (Taylor shift) + a power scaling, and the Descartes
+bound is the sign-variation count of ``(1+x)^n q(1/(1+x))`` (reverse +
+translate-by-1 matvec).  V==0 prunes, V==1 isolates (guaranteed single
+odd-multiplicity root -> bisection), V>=2 splits; intervals narrower than
+~16 eps with V>0 are emitted as (possibly even-multiplicity / tangential)
+root clusters — these are exactly the roots the earlier sampled isolation
+could miss.  The list capacity (16) and iteration budget (100) bound
+pathological inputs; real event polynomials isolate in a handful of
+iterations.
 """
 
 from __future__ import annotations
 
 import math as _pymath
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -61,6 +70,107 @@ def _poly_deriv_eval(coeffs, x):
     return res
 
 
+#: working-list capacity of the Collins-Akritas isolator
+CA_QUEUE = 16
+#: iteration budget of the isolator loop
+CA_MAXIT = 100
+
+
+def _make_isolator(p, dtype, max_roots):
+    """Build ``isolate(c) -> (root_lo, root_hi, valid)`` for one degree-``p``
+    polynomial ``c`` (ascending coefficients) on the unit interval.
+
+    Collins-Akritas with a bounded working list (see module docstring);
+    returns up to ``max_roots`` isolating sub-intervals of [0, 1].
+    """
+    idx = np.arange(p + 1)
+    comb = np.zeros((p + 1, p + 1))
+    for j in range(p + 1):
+        for i in range(j + 1):
+            comb[i, j] = _pymath.comb(j, i)
+    COMB = jnp.asarray(comb, dtype)  # C(j, i) for j >= i, else 0
+    EXP = jnp.asarray(np.maximum(idx[None, :] - idx[:, None], 0), dtype)
+    UPPER = jnp.asarray((idx[None, :] >= idx[:, None]).astype(float), dtype)
+    KPOW = jnp.asarray(idx, dtype)
+    eps = float(np.finfo(np.dtype(dtype)).eps)
+    tiny = 16.0 * eps  # width floor: emit unresolved V>=2 clusters
+
+    def shift_scale(c, a, w):
+        # coefficients of q(x) = p(a + w*x):
+        # Taylor shift by a (b_i = sum_j C(j,i) a^(j-i) c_j), then scale by w
+        M = COMB * UPPER * jnp.power(a, EXP)
+        return (M @ c) * jnp.power(w, KPOW)
+
+    def descartes(q):
+        # sign variations of (1+x)^p q(1/(1+x)): reverse + translate by 1;
+        # translation by 1 is the pure-binomial matvec (a = 1)
+        v = COMB @ q[::-1]
+        s = jnp.sign(v)
+
+        def ff(prev, sk):
+            cur = jnp.where(sk == 0, prev, sk)
+            return cur, (prev * sk) < 0
+
+        _, ch = lax.scan(ff, jnp.asarray(0.0, dtype), s)
+        return jnp.sum(ch.astype(jnp.int32))
+
+    def isolate(c):
+        # a root exactly at s = 0 (e.g. an event that just fired): record it
+        # and deflate by one power of s
+        root0 = c[0] == 0.0
+        c = jnp.where(
+            root0, jnp.concatenate([c[1:], jnp.zeros((1,), dtype)]), c
+        )
+        qlo = jnp.zeros((CA_QUEUE,), dtype)
+        qhi = jnp.zeros((CA_QUEUE,), dtype).at[0].set(1.0)
+        qact = jnp.zeros((CA_QUEUE,), bool).at[0].set(True)
+        rlo = jnp.full((max_roots,), 2.0, dtype)
+        rhi = jnp.full((max_roots,), 2.0, dtype)
+        rlo = jnp.where(root0, rlo.at[0].set(0.0), rlo)
+        rhi = jnp.where(root0, rhi.at[0].set(0.0), rhi)
+        rn = jnp.where(root0, jnp.int32(1), jnp.int32(0))
+
+        def cond(st):
+            _, _, qact_, _, _, rn_, it_ = st
+            return jnp.any(qact_) & (rn_ < max_roots) & (it_ < CA_MAXIT)
+
+        def body(st):
+            qlo_, qhi_, qact_, rlo_, rhi_, rn_, it_ = st
+            i = jnp.argmax(qact_)
+            a, b = qlo_[i], qhi_[i]
+            qact_ = qact_.at[i].set(False)
+            w = b - a
+            V = descartes(shift_scale(c, a, w))
+            emit = (V == 1) | ((V >= 2) & (w < tiny))
+            slot = jnp.minimum(rn_, max_roots - 1)
+            rlo_ = jnp.where(emit, rlo_.at[slot].set(a), rlo_)
+            rhi_ = jnp.where(emit, rhi_.at[slot].set(b), rhi_)
+            rn_ = jnp.where(emit, rn_ + 1, rn_)
+            split = (V >= 2) & (w >= tiny)
+            m = a + 0.5 * w
+            # if the split point is itself a root, nudge it off-center so
+            # the root falls strictly inside one half
+            m = jnp.where(_poly_eval(c, m) == 0.0, a + 0.46193376 * w, m)
+            f1 = jnp.argmin(qact_)
+            can1 = split & ~qact_[f1]
+            qlo_ = jnp.where(can1, qlo_.at[f1].set(a), qlo_)
+            qhi_ = jnp.where(can1, qhi_.at[f1].set(m), qhi_)
+            qact_ = jnp.where(can1, qact_.at[f1].set(True), qact_)
+            f2 = jnp.argmin(qact_)
+            can2 = split & ~qact_[f2]
+            qlo_ = jnp.where(can2, qlo_.at[f2].set(m), qlo_)
+            qhi_ = jnp.where(can2, qhi_.at[f2].set(b), qhi_)
+            qact_ = jnp.where(can2, qact_.at[f2].set(True), qact_)
+            return qlo_, qhi_, qact_, rlo_, rhi_, rn_, it_ + 1
+
+        _, _, _, rlo, rhi, rn, _ = lax.while_loop(
+            cond, body, (qlo, qhi, qact, rlo, rhi, rn, jnp.int32(0))
+        )
+        return rlo, rhi, jnp.arange(max_roots) < rn
+
+    return isolate
+
+
 def build_event_step(fns, tape, t_events, nt_events, dtype):
     """Build ``ev_step(state, pars, t_hi, t_lo, max_dt, cooldowns) -> dict``.
 
@@ -72,7 +182,6 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
     n_ev = n_te + n_nte
     n_eq = fns.n_eq
     order = fns.order
-    S = max(32, 8 * order)  # sample intervals on [0, 1]
 
     te_dirs = jnp.asarray(
         np.array([int(ev.direction) for ev in t_events], dtype=np.int32)
@@ -97,46 +206,32 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
         else np.zeros((0,), np.float64).astype(dtype)
     )
 
-    s_grid = jnp.linspace(0.0, 1.0, S + 1).astype(dtype)
+    isolate = _make_isolator(order, dtype, MAX_ROOTS)
+    kpow = jnp.arange(order + 1, dtype=dtype)
 
     def find_roots(gcoeffs, h):
         """Roots of each event polynomial in s = tau/h over [0, 1).
 
         gcoeffs: (n_events, order+1) ascending coefficients in tau;
         returns (s_roots (n_events, MAX_ROOTS), valid mask, d_sgn in time).
+
+        Collins-Akritas isolation (``_make_isolator``), then branch-free
+        bisection refinement on the isolating intervals (sign change
+        guaranteed for odd-multiplicity roots; even-multiplicity clusters
+        resolve to the interval midpoint).
         """
-        ne = gcoeffs.shape[0]
-        # evaluate on the grid in tau = s*h
-        taus = s_grid[None, :] * h  # (1, S+1)
-        g = _poly_eval(gcoeffs[:, None, :], taus)  # (ne, S+1)
+        # polynomial in s: c_k = g_k * h^k
+        cs = gcoeffs * jnp.power(h, kpow)[None, :]  # (ne, order+1)
+        rlo, rhi, valid = jax.vmap(isolate)(cs)  # (ne, MAX_ROOTS)
 
-        sg = jnp.sign(g)
-        left, right = sg[:, :-1], sg[:, 1:]
-        crossing = (left * right <= 0.0) & ~((left == 0.0) & (right == 0.0))
-        # a zero exactly at s=0 counts as a root at tau=0 only if sign
-        # actually changes across the first interval; exclude s=1 roots
-        # (half-open [0, h))
-        idx = jnp.where(
-            crossing,
-            jnp.arange(S, dtype=jnp.int32)[None, :],
-            jnp.int32(S + 1),
-        )
-        first = jnp.sort(idx, axis=1)[:, :MAX_ROOTS]  # (ne, MAX_ROOTS)
-        valid = first <= S - 1
-
-        j = jnp.minimum(first, S - 1)
-        lo = jnp.take_along_axis(
-            jnp.broadcast_to(s_grid[None, :-1], (ne, S)), j, axis=1
-        )
-        hi = jnp.take_along_axis(
-            jnp.broadcast_to(s_grid[None, 1:], (ne, S)), j, axis=1
-        )
-        g_lo = jnp.take_along_axis(g[:, :-1], j, axis=1)
+        g_lo = _poly_eval(cs[:, None, :], rlo)
+        g_hi = _poly_eval(cs[:, None, :], rhi)
+        has_sc = g_lo * g_hi < 0.0
 
         def bisect_body(_, carry):
             lo_, hi_, glo_ = carry
             mid = 0.5 * (lo_ + hi_)
-            gm = _poly_eval(gcoeffs[:, None, :], mid * h)
+            gm = _poly_eval(cs[:, None, :], mid)
             go_left = glo_ * gm > 0.0
             lo_n = jnp.where(go_left, mid, lo_)
             hi_n = jnp.where(go_left, hi_, mid)
@@ -144,15 +239,39 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
             return lo_n, hi_n, glo_n
 
         lo_f, hi_f, _ = lax.fori_loop(
-            0, BISECT_ITERS, bisect_body, (lo, hi, g_lo)
+            0, BISECT_ITERS, bisect_body, (rlo, rhi, g_lo)
         )
-        s_root = 0.5 * (lo_f + hi_f)
+        s_root = jnp.where(has_sc, 0.5 * (lo_f + hi_f), 0.5 * (rlo + rhi))
+        # half-open [0, h): exclude a root exactly at the step end
+        valid = valid & (s_root < 1.0)
 
-        # direction of the crossing *in time*: sign of g after the root in s,
-        # flipped when stepping backward
-        g_right = jnp.take_along_axis(g[:, 1:], j, axis=1)
-        g_left = jnp.take_along_axis(g[:, :-1], j, axis=1)
-        d_sgn_s = jnp.where(g_right != 0.0, jnp.sign(g_right), -jnp.sign(g_left))
+        # near an even-multiplicity root, coefficient rounding noise makes
+        # Descartes report V==1 for adjacent intervals of width ~sqrt(eps)
+        # (the polynomial values there are O(eps * ||p||)): merge roots
+        # closer than 16 sqrt(eps) in s — far below any step-size-relative
+        # separation of physically distinct events
+        merge_eps = 16.0 * _pymath.sqrt(float(np.finfo(np.dtype(dtype)).eps))
+        cols = [valid[:, 0]]
+        for i in range(1, MAX_ROOTS):
+            dup = jnp.zeros_like(cols[0])
+            for j_ in range(i):
+                dup = dup | (
+                    cols[j_]
+                    & (jnp.abs(s_root[:, i] - s_root[:, j_]) < merge_eps)
+                )
+            cols.append(valid[:, i] & ~dup)
+        valid = jnp.stack(cols, axis=1)
+
+        # direction of the crossing *in time*: sign of g after the root in s
+        # (isolation guarantees no other root before the interval end);
+        # tangential clusters keep the common sign, exact-zero endpoints
+        # fall back to the derivative
+        gd = _poly_deriv_eval(cs[:, None, :], s_root)
+        d_sgn_s = jnp.where(
+            g_hi != 0.0,
+            jnp.sign(g_hi),
+            jnp.where(g_lo != 0.0, -jnp.sign(g_lo), jnp.sign(gd)),
+        )
         d_sgn = jnp.where(h >= 0, d_sgn_s, -d_sgn_s).astype(jnp.int32)
         return s_root, valid, d_sgn
 

@@ -149,3 +149,49 @@ def test_grid_with_stopping_t_event():
     ta2 = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=1e-12)
     _, *_, ref = ta2.propagate_grid(grid[filled])
     np.testing.assert_allclose(out[filled], ref, rtol=0, atol=5e-13)
+
+
+def test_isolator_close_and_double_roots():
+    # direct check of the Collins-Akritas isolator: (s-0.3)^2 (s-0.7) has a
+    # double root at 0.3 (no sign change -- invisible to sampled detection)
+    # and a simple root at 0.7
+    import jax.numpy as jnp
+    from heyoka_tpu.taylor.events_impl import _make_isolator
+
+    # expand (s-a)^2 (s-b): s^3 - (2a+b) s^2 + (a^2+2ab) s - a^2 b
+    a, b = 0.3, 0.7
+    c = jnp.asarray([-a * a * b, a * a + 2 * a * b, -(2 * a + b), 1.0, 0.0])
+    iso = _make_isolator(4, jnp.float64, 4)
+    rlo, rhi, valid = iso(c)
+    ivals = [
+        (float(rlo[i]), float(rhi[i])) for i in range(4) if valid[i]
+    ]
+    # every isolating interval contains a true root (near the double root,
+    # coefficient rounding noise can emit two adjacent ~sqrt(eps)-wide
+    # intervals — deduped downstream in find_roots), and both roots are
+    # covered
+    slack = 1e-7
+    for lo, hi in ivals:
+        assert (lo - slack <= a <= hi + slack) or (lo - slack <= b <= hi + slack)
+    assert any(lo - slack <= a <= hi + slack for lo, hi in ivals)
+    assert any(lo - slack <= b <= hi + slack for lo, hi in ivals)
+
+
+def test_close_root_pair_within_one_step():
+    # |v| = 1e-4 crossings straddle each pendulum turning point ~4e-4 s
+    # apart -- far below the old sampling grid resolution of a ~0.1 s step;
+    # rigorous isolation must find all four per period
+    x, v = hy.make_vars("x", "v")
+    hits = []
+    ev = nt_event(v * v - 1e-8, lambda ta, t, d: hits.append(t))
+    ta = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=1e-15, nt_events=[ev]
+    )
+    period = 2.00709  # small-angle-corrected period for this amplitude
+    ta.propagate_until(period)
+    assert len(hits) == 4
+    hits = sorted(hits)
+    # the two crossings of each pair straddle a turning point closely
+    assert hits[1] - hits[0] < 1e-3
+    assert hits[3] - hits[2] < 1e-3
+    assert hits[2] - hits[1] > 0.5
