@@ -81,11 +81,15 @@ def main():
     tape = taylor_decompose_sys(sys_)
     order = taylor_order_from_tol(TOL)
 
-    # the hot kernel: whole-batch adaptive step over the flat coefficient
-    # layout (tc[width, (order+1)*batch]; see PERF.md) with mixed precision:
-    # orders > 10 in f32 (error-analysis-safe for tol=1e-15 parity)
+    # the hot kernel: whole-batch adaptive step — 3-D coefficient layout
+    # (no re-tiling), unrolled order loop (exact-window convolutions) and
+    # staged operand buffers (scattered history gathers replaced by one
+    # appended row per order; see PERF.md), with mixed precision: orders
+    # > 10 in f32 (error-analysis-safe for tol=1e-15 parity)
     step = jax.jit(make_batched_step_flat(tape, order, dtype=dtype,
-                                          high_accuracy=True, mp_order=10))
+                                          high_accuracy=True, mp_order=10,
+                                          layout="3d", unroll=True,
+                                          staged=True))
 
     rng = np.random.default_rng(0)
     states = jnp.asarray(

@@ -15,4 +15,4 @@ from .compact_loop import (  # noqa: F401
     make_batched_step,
     make_batched_step_mixed,
 )
-from .compact_flat import make_batched_step_flat  # noqa: F401
+from .compact_flat import make_batched_step_flat, jit_flat_step  # noqa: F401

@@ -42,14 +42,90 @@ def _rule(name):
     return deco
 
 
+def jit_flat_step(step):
+    """jit a flat-engine step with a backend-appropriate workaround.
+
+    XLA:CPU (jax 0.9.0) miscompiles the unrolled 3-D dus/gather graph of
+    ``layout="3d", unroll=True`` — the jitted result diverges from the
+    eager one by O(1) at the highest orders; disabling either the
+    ``algsimp`` or the ``fusion`` HLO pass (or all optimizations) restores
+    agreement, so it is an optimizer interaction bug, not a tracing issue.
+    TPU compiles the same graph correctly (verified against the flat
+    layout bitwise for the staged engine).  On CPU this helper disables
+    ``algsimp`` for the step only.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return jax.jit(
+            step, compiler_options={"xla_disable_hlo_passes": "algsimp"}
+        )
+    return jax.jit(step)
+
+
+#: per-kind history reads (which column sets a rule passes to ctx["hist"]) —
+#: used by the staged mode to pre-declare operand buffers
+_HIST_KEYS: dict = {
+    "mul": lambda g: [g.in_cols[:, 0], g.in_cols[:, 1]],
+    "div": lambda g: [g.out_cols, g.in_cols[:, 1]],
+    "sin": lambda g: [g.in_cols[:, 0], g.aux["pair"]],
+    "cos": lambda g: [g.in_cols[:, 0], g.aux["pair"]],
+    "sinh": lambda g: [g.in_cols[:, 0], g.aux["pair"]],
+    "cosh": lambda g: [g.in_cols[:, 0], g.aux["pair"]],
+    "exp": lambda g: [g.in_cols[:, 0], g.out_cols],
+    "log": lambda g: [g.out_cols, g.in_cols[:, 0]],
+    "sqrt": lambda g: [g.out_cols],
+    "pow": lambda g: [g.out_cols, g.in_cols[:, 0]],
+    "tan": lambda g: [g.aux["sq"], g.in_cols[:, 0]],
+    "tanh": lambda g: [g.aux["sq"], g.in_cols[:, 0]],
+    "sigmoid": lambda g: [g.out_cols, g.aux["sq"], g.in_cols[:, 0]],
+    "asin": lambda g: [g.in_cols[:, 1], g.out_cols],
+    "acos": lambda g: [g.in_cols[:, 1], g.out_cols],
+    "atan": lambda g: [g.in_cols[:, 1], g.out_cols],
+    "atanh": lambda g: [g.in_cols[:, 1], g.out_cols],
+    "asinh": lambda g: [g.in_cols[:, 1], g.out_cols],
+    "acosh": lambda g: [g.in_cols[:, 1], g.out_cols],
+    "erf": lambda g: [g.in_cols[:, 1], g.in_cols[:, 0]],
+    "atan2": lambda g: [g.in_cols[:, 0], g.in_cols[:, 1], g.in_cols[:, 2],
+                        g.out_cols],
+    "kepE": lambda g: [g.in_cols[:, 0], g.aux["sin"], g.aux["cos"],
+                       g.out_cols],
+    "kepF": lambda g: [g.in_cols[:, 0], g.in_cols[:, 1], g.aux["sin"],
+                       g.aux["cos"], g.out_cols],
+    "kepDE": lambda g: [g.in_cols[:, 0], g.in_cols[:, 1], g.aux["sin"],
+                        g.aux["cos"], g.out_cols],
+}
+
+
 def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
-                           high_accuracy: bool = True, mp_order: int | None = None):
+                           high_accuracy: bool = True, mp_order: int | None = None,
+                           unroll: bool = False, layout: str = "flat",
+                           staged: bool = False, _debug_tc: bool = False):
     """Whole-batch adaptive Taylor step over the flat layout.
 
     ``step(states (B, n), pars (B, p), t (B,), max_dt (B,)) ->
     (new_states (B, n), h (B,))``.  With ``mp_order`` set, orders above it
     run in float32 (see ``make_batched_step_mixed`` for the error analysis).
+
+    With ``unroll=True`` the order loop is a Python loop over static ``k``:
+    every convolution reads exactly the ``k+1`` history rows it needs (no
+    masked full-window work — the dynamic-``k`` ``fori_loop`` does ~2x the
+    necessary MACs on average) at the cost of a larger graph / longer
+    compile.
+
+    With ``layout="3d"`` the coefficient carry is (W, K+1, B) so history
+    gathers need no flat->3D reshape (a physical re-tile on TPU).
+
+    With ``staged=True`` (requires unroll + 3d), scattered operand
+    histories are maintained incrementally in per-operand contiguous
+    buffers: one gathered (m, B) row is appended per order instead of
+    re-gathering the whole (m, k+1, B) history — on the profile of the
+    north-star workload, whole-history gathers were 54% of the step.
     """
+    if layout not in ("flat", "3d"):
+        raise ValueError(f"unknown layout {layout!r}; expected 'flat' or '3d'")
+    if staged and not (unroll and layout == "3d"):
+        raise ValueError("staged=True requires unroll=True and layout='3d'")
     import jax.numpy as jnp
     from jax import lax
 
@@ -97,25 +173,78 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             _contig[key] = r
         return r
 
-    def _mkctx(jnp_, dt, B, Kw):
+    # staged mode: pre-declare every scattered history read, with the level
+    # after which all of its columns are written at each order (appends must
+    # happen before the consuming group, which is always at a later level)
+    stage_cols: dict = {}
+    if staged:
+        prod_level = np.full(W, -1, np.int64)
+        for _li, _lv in enumerate(plan.levels):
+            for _g in _lv:
+                prod_level[_g.out_start:_g.out_start + _g.out_cols.size] = _li
+        for _lv in plan.levels:
+            for _g in _lv:
+                getter = _HIST_KEYS.get(_g.name)
+                if getter is None:
+                    continue
+                for _cols in getter(_g):
+                    _cols = np.asarray(_cols)
+                    if _rng(_cols):
+                        continue  # contiguous: a free slice, no staging
+                    stage_cols[_cols.tobytes()] = (
+                        _cols, int(prod_level[_cols].max())
+                    )
+
+    def _mkctx(jnp_, dt, B, Kw, kwin=None, three_d=False, stage=None):
         """Context over a history *window* of Kw+1 order rows: the low-order
         (f64) phase runs on a truncated buffer, since orders <= mp never
-        read rows above mp — nearly halving the emulated-f64 work."""
-        jv = jnp_.arange(Kw + 1)
+        read rows above mp — nearly halving the emulated-f64 work.
+
+        With ``kwin`` set (unrolled mode, static order k), the window is
+        exactly the ``kwin+1`` rows order ``kwin`` reads: histories are
+        prefix-sliced and the reversal is a static flip — no masked
+        full-window work.
+
+        With ``three_d`` the coefficient carry is (W, Kw+1, B): history
+        gathers keep their shape (no flat->3D reshape, which is a physical
+        re-tile on TPU — see the profile notes in PERF.md)."""
+        win = Kw if kwin is None else kwin
+        jv = jnp_.arange(win + 1)
 
         def hist(tc, cols):
-            # (m, Kw+1, B) view of the history of `cols`
+            # (m, win+1, B) view of the history of `cols`
+            if stage is not None:
+                buf = stage.get(np.asarray(cols).tobytes())
+                if buf is not None:
+                    return buf[:, : win + 1, :] if win < Kw else buf
             r = _rng(cols)
+            if three_d:
+                # window-slice BEFORE the gather: slice-of-gather triggers
+                # an XLA CPU algsimp+fusion miscompile (jax 0.9.0) in the
+                # unrolled graph, and the pre-slice also shrinks the gather
+                tcw = tc[:, : win + 1, :] if win < Kw else tc
+                return tcw[r[0] : r[1]] if r else tcw[cols]
             sl = tc[r[0] : r[1]] if r else tc[cols]
-            return sl.reshape(cols.size, Kw + 1, B)
+            full = sl.reshape(cols.size, Kw + 1, B)
+            return full[:, : win + 1, :] if win < Kw else full
+
+        def blk(tc, k):
+            # current-order (W, B) block
+            if three_d:
+                if kwin is not None:
+                    return tc[:, k, :]
+                return lax.dynamic_slice(tc, (0, k, 0), (tc.shape[0], 1, B))[:, 0, :]
+            return lax.dynamic_slice(tc, (0, k * B), (tc.shape[0], B))
 
         def mrow(x, mask):
-            # apply an order-axis mask/weight to a (m, Kw+1, B) history
-            return x * mask.reshape(1, Kw + 1, 1)
+            # apply an order-axis mask/weight to a (m, win+1, B) history
+            return x * mask.reshape(1, win + 1, 1)
 
         def rows_rev(Bh, k):
-            idx = jnp_.clip(k - jv, 0, Kw)
-            return Bh[:, idx, :] * (jv <= k).reshape(1, Kw + 1, 1)
+            if kwin is not None:
+                return Bh[:, ::-1, :]
+            idx = jnp_.clip(k - jv, 0, win)
+            return Bh[:, idx, :] * (jv <= k).reshape(1, win + 1, 1)
 
         def conv(Ah, Bh, k, wA=None, wB_rev=None):
             term = Ah * rows_rev(Bh, k)
@@ -131,13 +260,15 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
         tri = None
         if _kep:
-            S_j = jnp_.asarray(_tri_tensor(Kw), dt)
+            S_j = jnp_.asarray(_tri_tensor(win), dt)
 
             def tri(Ah, Ch, _S=S_j):
                 return jnp_.einsum("cax,cbx,mab->cmx", Ah, Ch, _S)
 
         return dict(jv=jv, hist=hist, mrow=mrow, rows_rev=rows_rev, conv=conv,
-                    at=at_order, tri=tri, jnp=jnp_, dtype=dt)
+                    at=at_order, tri=tri, jnp=jnp_, dtype=dt, blk=blk)
+
+    three_d = layout == "3d"
 
     def step(states, pars, t, max_dt):
         B = states.shape[0]
@@ -145,6 +276,19 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         use_mp = mp_order is not None and jnp.dtype(dtype) == jnp.float64
 
         def init_tc(dt, Kw):
+            if three_d:
+                tc = jnp.zeros((W, Kw + 1, B), dt)
+                tc = tc.at[:n_eq, 0, :].set(states.T.astype(dt))
+                if const_cols.size:
+                    tc = tc.at[const_cols, 0, :].set(
+                        jnp.asarray(const_vals, dt)[:, None]
+                    )
+                if par_cols.size:
+                    tc = tc.at[par_cols, 0, :].set(pars[:, par_idx].T.astype(dt))
+                if plan.time_col is not None:
+                    tc = tc.at[plan.time_col, 0, :].set(t.astype(dt))
+                    tc = tc.at[plan.time_col, 1, :].set(jnp.ones((B,), dt))
+                return tc
             tc = jnp.zeros((W, (Kw + 1) * B), dt)
             tc = tc.at[:n_eq, 0:B].set(states.T.astype(dt))
             if const_cols.size:
@@ -158,9 +302,15 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 tc = tc.at[plan.time_col, B : 2 * B].set(jnp.ones((B,), dt))
             return tc
 
+        def _put(tc, vals, col, k):
+            # write an (m, B) order-k block at column `col`
+            if three_d:
+                return lax.dynamic_update_slice(tc, vals[:, None, :], (col, k, 0))
+            return lax.dynamic_update_slice(tc, vals, (col, k * B))
+
         def order0(tc, ctx):
             dt = ctx["dtype"]
-            row0 = tc[:, 0:B]
+            row0 = tc[:, 0, :] if three_d else tc[:, 0:B]
             for lv in plan.levels:
                 for g in lv:
                     ar = _EVAL_ARITY.get(g.name, None)
@@ -174,50 +324,100 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                         vals = ins[0] * ins[1]
                     else:
                         vals = _reg.opdef(g.name).evaluate(*ins)
-                    tc = lax.dynamic_update_slice(
-                        tc, vals.astype(dt), (g.out_start, 0)
-                    )
+                    tc = _put(tc, vals.astype(dt), g.out_start, 0)
                     row0 = lax.dynamic_update_slice(
                         row0, vals.astype(dt), (g.out_start, 0)
                     )
             return tc
+
+        stage: dict = {}
+
+        def _stage_init(dt, Kw, row0):
+            for key, (cols, _al) in stage_cols.items():
+                buf = jnp.zeros((cols.size, Kw + 1, B), dt)
+                stage[key] = buf.at[:, 0, :].set(row0[cols].astype(dt))
+
+        def _stage_widen(dt, Kw):
+            for key, buf in stage.items():
+                nbuf = jnp.zeros((buf.shape[0], Kw + 1, B), dt)
+                stage[key] = lax.dynamic_update_slice(
+                    nbuf, buf.astype(dt), (0, 0, 0)
+                )
+
+        def _stage_append(k, level, rowk, dt):
+            for key, (cols, al) in stage_cols.items():
+                if al == level:
+                    stage[key] = lax.dynamic_update_slice(
+                        stage[key], rowk[cols][:, None, :].astype(dt),
+                        (0, k, 0),
+                    )
 
         def body(k, tc, ctx):
             dt = ctx["dtype"]
             kf = jnp.asarray(k).astype(dt)
             off = k * B
             # state variables from the rhs at order k-1
-            prev = lax.dynamic_slice(tc, (0, (k - 1) * B), (W, B))
+            prev = ctx["blk"](tc, k - 1)
             sv = prev[plan.rhs_cols] / kf
-            tc = lax.dynamic_update_slice(tc, sv, (0, off))
-            for lv in plan.levels:
+            tc = _put(tc, sv, 0, k)
+            rowk = ctx["blk"](tc, k) if staged else None
+            if staged:
+                _stage_append(k, -1, rowk, dt)
+            for li, lv in enumerate(plan.levels):
                 for g in lv:
                     vals = _F_RULES[g.name](ctx, tc, k, kf, g, B, off)
-                    tc = lax.dynamic_update_slice(
-                        tc, jnp.asarray(vals, dt), (g.out_start, off)
-                    )
+                    vals = jnp.asarray(vals, dt)
+                    tc = _put(tc, vals, g.out_start, k)
+                    if staged:
+                        rowk = lax.dynamic_update_slice(
+                            rowk, vals, (g.out_start, 0)
+                        )
+                if staged:
+                    _stage_append(k, li, rowk, dt)
             return tc
 
         lo_end = (mp_order if use_mp else K)
-        ctx64 = _mkctx(jnp, dtype, B, lo_end)
+        ctx64 = _mkctx(jnp, dtype, B, lo_end, three_d=three_d)
         tc = order0(init_tc(dtype, lo_end), ctx64)
-        tc = lax.fori_loop(1, lo_end + 1, lambda k, a: body(k, a, ctx64), tc)
+        if staged:
+            _stage_init(dtype, lo_end, tc[:, 0, :])
+        if unroll:
+            for k_ in range(1, lo_end + 1):
+                tc = body(k_, tc, _mkctx(jnp, dtype, B, lo_end, kwin=k_,
+                                         three_d=three_d, stage=stage))
+        else:
+            tc = lax.fori_loop(1, lo_end + 1, lambda k, a: body(k, a, ctx64), tc)
 
         if use_mp:
             # widen the window to the full order for the f32 phase
-            ctx32 = _mkctx(jnp, f32, B, K)
-            tc32 = jnp.zeros((W, (K + 1) * B), f32)
-            tc32 = lax.dynamic_update_slice(tc32, tc.astype(f32), (0, 0))
-            tc32 = lax.fori_loop(
-                mp_order + 1, K + 1, lambda k, a: body(k, a, ctx32), tc32
-            )
+            ctx32 = _mkctx(jnp, f32, B, K, three_d=three_d)
+            if three_d:
+                tc32 = jnp.zeros((W, K + 1, B), f32)
+                tc32 = lax.dynamic_update_slice(tc32, tc.astype(f32), (0, 0, 0))
+            else:
+                tc32 = jnp.zeros((W, (K + 1) * B), f32)
+                tc32 = lax.dynamic_update_slice(tc32, tc.astype(f32), (0, 0))
+            if staged:
+                _stage_widen(f32, K)
+            if unroll:
+                for k_ in range(mp_order + 1, K + 1):
+                    tc32 = body(k_, tc32, _mkctx(jnp, f32, B, K, kwin=k_,
+                                                 three_d=three_d, stage=stage))
+            else:
+                tc32 = lax.fori_loop(
+                    mp_order + 1, K + 1, lambda k, a: body(k, a, ctx32), tc32
+                )
+
+        if _debug_tc:
+            return tc, (tc32 if use_mp else None)
 
         # step control + update: norms over the state variables (and
         # sv-func outputs) only, like the reference (taylor_00.cpp:168-195)
         norm_cols = np.concatenate([np.arange(n_eq), plan.out_cols]) \
             if plan.out_cols.size else np.arange(n_eq)
-        tcv = tc.reshape(W, lo_end + 1, B)
-        hiv = (tc32.reshape(W, K + 1, B) if use_mp else tcv)
+        tcv = tc if three_d else tc.reshape(W, lo_end + 1, B)
+        hiv = ((tc32 if three_d else tc32.reshape(W, K + 1, B))
+               if use_mp else tcv)
         m0 = jnp.max(jnp.abs(tcv[norm_cols, 0, :]), axis=0)
         mo = jnp.max(jnp.abs(hiv[norm_cols, K, :]), axis=0).astype(dtype)
         mo1 = jnp.max(jnp.abs(hiv[norm_cols, K - 1, :]), axis=0).astype(dtype)
@@ -261,20 +461,12 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
 def _row(ctx, tc, cols, B, off):
     """order-k values of `cols`: (m, B)."""
-    import jax.lax as lax
-
-    r = None
-    # contiguous fast path handled by slicing columns after the row slice
-    blk = lax.dynamic_slice(tc, (0, off), (tc.shape[0], B))
-    return blk[cols]
+    return ctx["blk"](tc, off // B)[cols]
 
 
 @_rule("sum")
 def _f_sum(ctx, tc, k, kf, g, B, off):
-    import jax.lax as lax
-
-    blk = lax.dynamic_slice(tc, (0, off), (tc.shape[0], B))
-    return blk[g.in_cols].sum(axis=1)
+    return ctx["blk"](tc, k)[g.in_cols].sum(axis=1)
 
 
 @_rule("mul")
@@ -430,10 +622,8 @@ def _f_relup(ctx, tc, k, kf, g, B, off):
 
 @_rule("select")
 def _f_select(ctx, tc, k, kf, g, B, off):
-    import jax.lax as lax
-
     jnp = ctx["jnp"]
-    blk = lax.dynamic_slice(tc, (0, off), (tc.shape[0], B))
+    blk = ctx["blk"](tc, k)
     c0 = ctx["hist"](tc, g.in_cols[:, 0])[:, 0, :]
     return jnp.where(c0 != 0.0, blk[g.in_cols[:, 1]], blk[g.in_cols[:, 2]])
 

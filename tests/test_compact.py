@@ -141,3 +141,76 @@ def test_flat_and_mixed_match_loop():
     s3, h3 = jax.jit(make_batched_step_flat(tape, 11, mp_order=6))(st, p, t, mdt)
     np.testing.assert_allclose(np.asarray(h3), np.asarray(h1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s3), np.asarray(s1), rtol=1e-8, atol=1e-10)
+
+
+def test_flat_3d_unroll_staged_variants():
+    # the 3-D layout / unrolled / staged variants of the flat engine must
+    # agree with the baseline flat step (jit via jit_flat_step: XLA:CPU
+    # miscompiles the unrolled 3-D graph at default opt — see its docstring)
+    from heyoka_tpu.taylor.compact_flat import (
+        make_batched_step_flat, jit_flat_step,
+    )
+    import jax
+
+    sys_ = [
+        (x, hy.kepE(0.3, y) + hy.sigmoid(x) + hy.tan(0.2 * x)),
+        (y, hy.sqrt(x) + hy.log(y) + hy.erf(x) + hy.kepF(0.1, 0.2, x)
+         + hy.asin(0.2 * x) + hy.tanh(y) + hy.atan2(x, y)),
+    ]
+    tape = taylor_decompose_sys(sys_)
+    B = 4
+    st = jnp.asarray(np.tile([[1.2, 0.8]], (B, 1)))
+    p = jnp.zeros((B, 0))
+    t = jnp.full((B,), 0.3)
+    mdt = jnp.full((B,), 1e9)
+    s0, h0 = jax.jit(make_batched_step_flat(tape, 11))(st, p, t, mdt)
+    for kw in (
+        dict(layout="3d"),
+        dict(layout="3d", unroll=True),
+        dict(layout="3d", unroll=True, staged=True),
+        dict(unroll=True),
+    ):
+        s, h = jit_flat_step(make_batched_step_flat(tape, 11, **kw))(
+            st, p, t, mdt
+        )
+        # summation order differs between exact-window and masked convs:
+        # roundoff-level agreement, not bitwise
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s0),
+                                   rtol=0, atol=1e-12, err_msg=str(kw))
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h0),
+                                   rtol=1e-12, err_msg=str(kw))
+
+
+def test_flat_staged_nbody_matches():
+    from heyoka_tpu.taylor.compact_flat import (
+        make_batched_step_flat, jit_flat_step,
+    )
+    import jax
+
+    rng = np.random.default_rng(0)
+    base = np.array(
+        [0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 1.5, 0, -0.8, 0, 0], float
+    )
+    B = 3
+    st = jnp.asarray(np.tile(base + 0.01 * rng.standard_normal(18), (B, 1)))
+    tape = taylor_decompose_sys(nbody(3, masses=[1.0, 1e-3, 2e-3]))
+    p = jnp.zeros((B, 0))
+    t = jnp.zeros((B,))
+    mdt = jnp.full((B,), 1e9)
+    s0, h0 = jax.jit(make_batched_step_flat(tape, 15))(st, p, t, mdt)
+    s1, h1 = jit_flat_step(
+        make_batched_step_flat(tape, 15, layout="3d", unroll=True,
+                               staged=True)
+    )(st, p, t, mdt)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=0,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-12)
+    # mixed precision on top
+    s2, h2 = jit_flat_step(
+        make_batched_step_flat(tape, 15, layout="3d", unroll=True,
+                               staged=True, mp_order=8)
+    )(st, p, t, mdt)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h0), rtol=1e-5)
+    # f32 phase noise at orders 9..15 (state magnitudes O(1), h ~ 0.5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s0), rtol=1e-5,
+                               atol=1e-6)
