@@ -277,17 +277,30 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
         def init_tc(dt, Kw):
             if three_d:
+                # dynamic_update_slice, not .at[..].set: the scattered-index
+                # variants lower to HLO scatter, which blows the scoped-vmem
+                # budget on TPU at large batch sizes
                 tc = jnp.zeros((W, Kw + 1, B), dt)
-                tc = tc.at[:n_eq, 0, :].set(states.T.astype(dt))
-                if const_cols.size:
-                    tc = tc.at[const_cols, 0, :].set(
-                        jnp.asarray(const_vals, dt)[:, None]
+                tc = lax.dynamic_update_slice(
+                    tc, states.T.astype(dt)[:, None, :], (0, 0, 0)
+                )
+                for _ci, _cv in plan.const_cols:
+                    tc = lax.dynamic_update_slice(
+                        tc, jnp.full((1, 1, B), _cv, dt), (_ci, 0, 0)
                     )
-                if par_cols.size:
-                    tc = tc.at[par_cols, 0, :].set(pars[:, par_idx].T.astype(dt))
+                for _pi, _pj in plan.par_cols:
+                    tc = lax.dynamic_update_slice(
+                        tc, pars[:, _pj].astype(dt)[None, None, :],
+                        (_pi, 0, 0),
+                    )
                 if plan.time_col is not None:
-                    tc = tc.at[plan.time_col, 0, :].set(t.astype(dt))
-                    tc = tc.at[plan.time_col, 1, :].set(jnp.ones((B,), dt))
+                    tc = lax.dynamic_update_slice(
+                        tc, t.astype(dt)[None, None, :],
+                        (plan.time_col, 0, 0),
+                    )
+                    tc = lax.dynamic_update_slice(
+                        tc, jnp.ones((1, 1, B), dt), (plan.time_col, 1, 0)
+                    )
                 return tc
             tc = jnp.zeros((W, (Kw + 1) * B), dt)
             tc = tc.at[:n_eq, 0:B].set(states.T.astype(dt))
@@ -335,7 +348,9 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         def _stage_init(dt, Kw, row0):
             for key, (cols, _al) in stage_cols.items():
                 buf = jnp.zeros((cols.size, Kw + 1, B), dt)
-                stage[key] = buf.at[:, 0, :].set(row0[cols].astype(dt))
+                stage[key] = lax.dynamic_update_slice(
+                    buf, row0[cols].astype(dt)[:, None, :], (0, 0, 0)
+                )
 
         def _stage_widen(dt, Kw):
             for key, buf in stage.items():
