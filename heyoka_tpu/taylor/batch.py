@@ -53,7 +53,14 @@ class TaylorAdaptiveBatch:
         self._tol = float(tol)
         self._order = _st.taylor_order_from_tol(self._tol)
         self._high_accuracy = bool(high_accuracy)
-        self._compact_mode = bool(compact_mode)
+        # compact_mode: False (unrolled jet), True ("loop" engine),
+        # "unrolled" (order-unrolled compact), or "flat" — the staged flat
+        # engine (natively batched; step/propagate_until/for run through it,
+        # the rest through the loop engine)
+        self._compact_mode = (
+            compact_mode if isinstance(compact_mode, str) else bool(compact_mode)
+        )
+        self._flat = compact_mode == "flat"
         self._t_events = list(t_events)
         self._nt_events = list(nt_events)
         ev_eqs = [ev.expression for ev in self._t_events] + [
@@ -92,8 +99,18 @@ class TaylorAdaptiveBatch:
 
         self._fns = _loops.make_step_fns(
             self._tape, self._order, self._dtype, self._high_accuracy,
-            compact_mode=self._compact_mode,
+            compact_mode=True if self._flat else self._compact_mode,
         )
+        if self._flat:
+            # build (and so validate) the staged flat engine eagerly; raises
+            # UnsupportedLoopOp for tapes outside its rule set
+            from .compact_flat import make_batched_step_flat
+
+            self._flat_step = make_batched_step_flat(
+                self._tape, self._order, dtype=self._dtype,
+                high_accuracy=self._high_accuracy,
+                layout="3d", unroll=True, staged=True, return_tc=True,
+            )
         if self._t_events or self._nt_events:
             # the scalar in-graph event step vmaps directly over the lanes
             # (reference: ed_data_batch::detect_events,
@@ -118,6 +135,10 @@ class TaylorAdaptiveBatch:
     @property
     def batch_size(self) -> int:
         return self._batch
+
+    @property
+    def compact_mode(self):
+        return self._compact_mode
 
     @property
     def order(self) -> int:
@@ -177,6 +198,27 @@ class TaylorAdaptiveBatch:
 
     @cached_property
     def _step_jit(self):
+        if self._flat:
+            from .compact_flat import jit_flat_step
+            from .outcome import TaylorOutcome as _TO
+
+            stepf = self._flat_step
+
+            def _batched(state, pars, t_hi, t_lo, max_dt):
+                new_state, h, tc = stepf(state, pars, t_hi, max_dt)
+                finite = jnp.all(jnp.isfinite(new_state), axis=1) \
+                    & jnp.isfinite(h)
+                clamped = jnp.abs(h) >= jnp.abs(max_dt)
+                outcome = jnp.where(
+                    finite,
+                    jnp.where(clamped, jnp.int32(_TO.time_limit),
+                              jnp.int32(_TO.success)),
+                    jnp.int32(_TO.err_nf_state),
+                )
+                nt_hi, nt_lo = dd_add_d(t_hi, t_lo, h)
+                return new_state, h, tc, outcome, nt_hi, nt_lo
+
+            return jit_flat_step(_batched)
         fns = self._fns
 
         def _one(state, pars, t_hi, t_lo, max_dt):
@@ -189,6 +231,16 @@ class TaylorAdaptiveBatch:
 
     @cached_property
     def _pu_jit(self):
+        if self._flat:
+            from .compact_flat import (
+                jit_flat_step, make_propagate_until_flat,
+            )
+
+            pu = make_propagate_until_flat(
+                self._tape, self._order, dtype=self._dtype,
+                high_accuracy=self._high_accuracy,
+            )
+            return jit_flat_step(pu)
         pu = _loops.make_propagate_until(self._fns)
         return jax.jit(
             jax.vmap(pu, in_axes=(0, 0, 0, 0, 0, 0, 0, None))

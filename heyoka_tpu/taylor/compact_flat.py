@@ -100,7 +100,8 @@ _HIST_KEYS: dict = {
 def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                            high_accuracy: bool = True, mp_order: int | None = None,
                            unroll: bool = False, layout: str = "flat",
-                           staged: bool = False, _debug_tc: bool = False):
+                           staged: bool = False, return_tc: bool = False,
+                           _debug_tc: bool = False):
     """Whole-batch adaptive Taylor step over the flat layout.
 
     ``step(states (B, n), pars (B, p), t (B,), max_dt (B,)) ->
@@ -465,9 +466,121 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             res = coeff(K)
             for i in range(1, K + 1):
                 res = coeff(K - i) + res * h[None, :]
+        if return_tc:
+            # (B, K+1, n_eq) state-column coefficients (integrator tc
+            # convention; f32 high orders widened back to the work dtype)
+            tc_b = jnp.stack([coeff(i) for i in range(K + 1)], 0)
+            return res.T, h, tc_b.transpose(2, 0, 1)
         return res.T, h
 
     return step
+
+
+def make_propagate_until_flat(tape: Tape, order: int, *, dtype=None,
+                              high_accuracy: bool = True,
+                              mp_order: int | None = None):
+    """On-device lockstep propagate-until over the staged flat engine.
+
+    ``pu(state (B,n), pars (B,p), t_hi (B,), t_lo (B,), target_hi (B,),
+    target_lo (B,), max_delta_t (B,), max_steps) -> dict`` with per-lane
+    fields — the batched analog of :func:`loops.make_propagate_until`
+    (same masked-lane semantics as its vmapped form, but stepping the
+    whole batch through one staged flat step: ~4.5x the throughput of
+    the vmapped scalar jet on TPU at the north-star workload).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..dfloat import dd_add_d, dd_add_dd
+    from .outcome import TaylorOutcome
+
+    if dtype is None:
+        dtype = jnp.float64
+    step = make_batched_step_flat(
+        tape, order, dtype=dtype, high_accuracy=high_accuracy,
+        mp_order=mp_order, layout="3d", unroll=True, staged=True,
+        return_tc=True,
+    )
+    n_eq = tape.n_eq
+
+    def pu(state, pars, t_hi, t_lo, target_hi, target_lo, max_delta_t,
+           max_steps):
+        B = state.shape[0]
+        zero = jnp.zeros((B,), dtype)
+        inf = jnp.full((B,), jnp.inf, dtype)
+
+        def remaining(th, tl):
+            rh, _ = dd_add_dd(target_hi, target_lo, -th, -tl)
+            return rh
+
+        rem0 = remaining(t_hi, t_lo)
+        fwd = rem0 > 0.0
+
+        init = dict(
+            state=state,
+            t_hi=t_hi,
+            t_lo=t_lo,
+            last_h=zero,
+            tc=jnp.zeros((B, order + 1, n_eq), dtype),
+            nsteps=jnp.zeros((B,), jnp.int64),
+            min_h=inf,
+            max_h=zero,
+            outcome=jnp.full((B,), jnp.int32(TaylorOutcome.time_limit)),
+            done=rem0 == 0.0,
+        )
+
+        def cond(c):
+            return ~jnp.all(c["done"])
+
+        def body(c):
+            rem = remaining(c["t_hi"], c["t_lo"])
+            cap = jnp.minimum(jnp.abs(rem), max_delta_t)
+            # finished lanes step with dt = 0 (their results are masked out)
+            cap = jnp.where(c["done"], 0.0, cap)
+            dt = jnp.where(fwd, cap, -cap)
+
+            new_state, h, tc = step(c["state"], pars, c["t_hi"], dt)
+            nt_hi, nt_lo = dd_add_d(c["t_hi"], c["t_lo"], h)
+
+            finite = jnp.all(jnp.isfinite(new_state), axis=1) & jnp.isfinite(h)
+            nsteps = c["nsteps"] + 1
+            rem_after = remaining(nt_hi, nt_lo)
+            reached = jnp.where(fwd, rem_after <= 0.0, rem_after >= 0.0)
+            hit_step_limit = (max_steps > 0) & (nsteps >= max_steps) & ~reached
+
+            outcome = jnp.where(
+                ~finite,
+                jnp.int32(TaylorOutcome.err_nf_state),
+                jnp.where(
+                    hit_step_limit,
+                    jnp.int32(TaylorOutcome.step_limit),
+                    jnp.int32(TaylorOutcome.time_limit),
+                ),
+            )
+            done = ~finite | hit_step_limit | reached
+
+            alive = ~c["done"]
+
+            def sel(new, old):
+                return jnp.where(alive, new, old)
+
+            abs_h = jnp.abs(h)
+            return dict(
+                state=jnp.where(alive[:, None], new_state, c["state"]),
+                t_hi=sel(nt_hi, c["t_hi"]),
+                t_lo=sel(nt_lo, c["t_lo"]),
+                last_h=sel(h, c["last_h"]),
+                tc=jnp.where(alive[:, None, None], tc, c["tc"]),
+                nsteps=sel(nsteps, c["nsteps"]),
+                min_h=sel(jnp.minimum(c["min_h"], abs_h), c["min_h"]),
+                max_h=sel(jnp.maximum(c["max_h"], abs_h), c["max_h"]),
+                outcome=sel(outcome, c["outcome"]),
+                done=sel(done, c["done"]),
+            )
+
+        return lax.while_loop(cond, body, init)
+
+    return pu
 
 
 # ---------------------------------------------------------------------------

@@ -214,3 +214,43 @@ def test_flat_staged_nbody_matches():
     # f32 phase noise at orders 9..15 (state magnitudes O(1), h ~ 0.5)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s0), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_batch_integrator_flat_mode():
+    # compact_mode="flat": the natively-batched staged engine behind the
+    # public batch-integrator API; must agree with the loop engine
+    import heyoka_tpu as hy_
+
+    rng = np.random.default_rng(1)
+    states = 0.05 + 0.01 * rng.standard_normal((4, 2))
+    ta_f = hy_.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-12, compact_mode="flat"
+    )
+    assert ta_f.compact_mode == "flat"
+    ta_l = hy_.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-12, compact_mode=True
+    )
+    ta_f.step()
+    ta_l.step()
+    np.testing.assert_allclose(ta_f.state, ta_l.state, rtol=0, atol=5e-14)
+    rf = ta_f.propagate_until(10.0)
+    rl = ta_l.propagate_until(10.0)
+    assert [int(o) for o in rf[0]] == [int(o) for o in rl[0]]
+    np.testing.assert_array_equal(rf[3], rl[3])  # identical step counts
+    np.testing.assert_allclose(ta_f.state, ta_l.state, rtol=0, atol=5e-13)
+    np.testing.assert_allclose(ta_f.time, ta_l.time, rtol=0, atol=5e-13)
+    # dense output rides the flat tc
+    d_f = ta_f.update_d_output(ta_f.time - 0.01)
+    d_l = ta_l.update_d_output(ta_l.time - 0.01)
+    np.testing.assert_allclose(d_f, d_l, rtol=0, atol=5e-13)
+    # step-limit + backward propagation
+    oc, mn, mx, ns = ta_f.propagate_until(100.0, max_steps=3)
+    from heyoka_tpu import TaylorOutcome
+    assert all(o == TaylorOutcome.step_limit for o in oc)
+    assert np.all(ns == 3)
+    ta_f.propagate_for(-1.0)
+    # pickling round-trips the string mode
+    import pickle
+    ta2 = pickle.loads(pickle.dumps(ta_f))
+    assert ta2.compact_mode == "flat"
+    np.testing.assert_array_equal(ta2.state, ta_f.state)
