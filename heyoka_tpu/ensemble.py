@@ -101,17 +101,43 @@ def ensemble_propagate_until(
         max_delta_t = _pymath.inf
     dtype = ta._dtype
 
-    pu = _loops.make_propagate_until(ta._fns)
+    if getattr(ta, "_flat", False):
+        # the integrator runs the staged flat engine: each mesh shard steps
+        # its whole lane block through the lockstep batched driver instead
+        # of vmapping the scalar jet (~6x on TPU; see PERF.md)
+        from .taylor.compact_flat import make_propagate_until_flat
 
-    def one(state, pars_, t_hi, t_lo, tgt):
-        return pu(
-            state, pars_, t_hi, t_lo, tgt, jnp.asarray(0.0, dtype),
-            jnp.asarray(float(max_delta_t), dtype),
-            jnp.asarray(int(max_steps), jnp.int64),
+        puf = make_propagate_until_flat(
+            ta._tape, ta._order, dtype=dtype,
+            high_accuracy=ta._high_accuracy,
         )
 
-    vm = jax.vmap(one)
-    fn = jax.jit(_mesh_shard(vm, mesh, 5))
+        def vm(state, pars_, t_hi, t_lo, tgt):
+            return puf(
+                state, pars_, t_hi, t_lo, tgt, jnp.zeros_like(tgt),
+                jnp.full_like(tgt, float(max_delta_t)),
+                jnp.asarray(int(max_steps), jnp.int64),
+            )
+
+        if jax.default_backend() == "cpu":
+            fn = jax.jit(
+                _mesh_shard(vm, mesh, 5),
+                compiler_options={"xla_disable_hlo_passes": "algsimp"},
+            )
+        else:
+            fn = jax.jit(_mesh_shard(vm, mesh, 5))
+    else:
+        pu = _loops.make_propagate_until(ta._fns)
+
+        def one(state, pars_, t_hi, t_lo, tgt):
+            return pu(
+                state, pars_, t_hi, t_lo, tgt, jnp.asarray(0.0, dtype),
+                jnp.asarray(float(max_delta_t), dtype),
+                jnp.asarray(int(max_steps), jnp.int64),
+            )
+
+        vm = jax.vmap(one)
+        fn = jax.jit(_mesh_shard(vm, mesh, 5))
 
     targets = jnp.broadcast_to(jnp.asarray(t, dtype), (n_iter,))
     res = fn(
@@ -214,6 +240,9 @@ class _BatchShim:
         self._tape = tab._tape
         self._dtype = tab._dtype
         self._fns = tab._fns
+        self._flat = getattr(tab, "_flat", False)
+        self._order = tab._order
+        self._high_accuracy = tab._high_accuracy
         self.state = tab.state[0]
         self.pars = tab.pars[0]
         self.time = float(np.asarray(tab.time)[0])

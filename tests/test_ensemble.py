@@ -80,3 +80,30 @@ def test_ensemble_batch_variants(rng):
     ta = hy.taylor_adaptive(pendulum(), states[1, 2], tol=1e-12)
     ta.propagate_until(5.0)
     np.testing.assert_allclose(res["state"][1, 2], ta.state, rtol=0, atol=5e-14)
+
+
+def test_ensemble_flat_batch_matches_loop():
+    # batch ensemble over a mesh with the staged flat engine: each shard
+    # steps its lane block through the lockstep driver; must match the
+    # vmapped loop engine with identical per-lane step counts
+    import jax
+    from jax.sharding import Mesh
+
+    states = 0.05 + 0.01 * np.random.default_rng(2).standard_normal((8, 2))
+    mesh = Mesh(np.array(jax.devices()), ("traj",))
+    gen = {"state": states.reshape(2, 4, 2)}
+    tab_f = hy.taylor_adaptive_batch(
+        pendulum(), states[:4], tol=1e-12, compact_mode="flat"
+    )
+    res_f = hy.ensemble_propagate_until_batch(tab_f, 10.0, 2, gen, mesh=mesh)
+    tab_l = hy.taylor_adaptive_batch(
+        pendulum(), states[:4], tol=1e-12, compact_mode=True
+    )
+    res_l = hy.ensemble_propagate_until_batch(tab_l, 10.0, 2, gen, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(res_f["state"]), np.asarray(res_l["state"]),
+        rtol=0, atol=5e-13,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_f["nsteps"]), np.asarray(res_l["nsteps"])
+    )
