@@ -248,6 +248,16 @@ class TaylorAdaptiveBatch:
 
     @cached_property
     def _pg_jit(self):
+        if self._flat:
+            from .compact_flat import (
+                jit_flat_step, make_propagate_grid_flat,
+            )
+
+            pg = make_propagate_grid_flat(
+                self._tape, self._order, dtype=self._dtype,
+                high_accuracy=self._high_accuracy,
+            )
+            return jit_flat_step(pg)
         pg = _loops.make_propagate_grid(self._fns)
         # shared grid across lanes (heyoka batch grid is shared too)
         return jax.jit(jax.vmap(pg, in_axes=(0, 0, 0, 0, None, 0, None)))

@@ -817,3 +817,167 @@ def _f_kepDE(ctx, tc, k, kf, g, B, off):
     Wm = ctx["mrow"](Wt, jv >= 1)
     t4 = -ctx["conv"](Wm, F, k, wB_rev=lambda r: r)
     return (t1 + t2 + t3 + t4) / (kf * (1.0 + Wt[:, 0, :]))
+
+
+def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
+                             high_accuracy: bool = True,
+                             mp_order: int | None = None):
+    """On-device lockstep propagate-grid over the staged flat engine.
+
+    ``pg(state (B,n), pars (B,p), t_hi (B,), t_lo (B,), grid (ngrid,),
+    max_delta_t (B,), max_steps) -> dict`` — the batched analog of
+    :func:`loops.make_propagate_grid` (shared monotonic grid, per-lane
+    dense output), stepping the whole batch through one staged flat step.
+    The per-lane grid cursor advances in a vectorized inner while loop
+    (one (B, n_eq) scatter row-write per filled point).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..dfloat import dd_add_d, dd_add_dd
+    from .outcome import TaylorOutcome
+
+    if dtype is None:
+        dtype = jnp.float64
+    step = make_batched_step_flat(
+        tape, order, dtype=dtype, high_accuracy=high_accuracy,
+        mp_order=mp_order, layout="3d", unroll=True, staged=True,
+        return_tc=True,
+    )
+    n_eq = tape.n_eq
+    K = order
+
+    def dense(tc, rel):
+        # Horner over per-lane coefficients: tc (B, K+1, n_eq), rel (B,)
+        res = tc[:, K, :]
+        for i in range(1, K + 1):
+            res = tc[:, K - i, :] + res * rel[:, None]
+        return res
+
+    def pg(state, pars, t_hi, t_lo, grid, max_delta_t, max_steps):
+        B = state.shape[0]
+        ngrid = grid.shape[0]
+        target = grid[-1]
+        fwd = target - t_hi >= 0.0
+        lanes = jnp.arange(B)
+        zero = jnp.zeros((B,), dtype)
+
+        out0 = jnp.zeros((B, ngrid, n_eq), dtype)
+
+        # grid points exactly at the current time resolve to current state
+        def f0_cond(c):
+            gi, _ = c
+            tg = grid[jnp.minimum(gi, ngrid - 1)]
+            return jnp.any((gi < ngrid) & (tg == t_hi))
+
+        def f0_body(c):
+            gi, out = c
+            idx = jnp.minimum(gi, ngrid - 1)
+            m = (gi < ngrid) & (grid[idx] == t_hi)
+            cur = out[lanes, idx]
+            out = out.at[lanes, idx].set(
+                jnp.where(m[:, None], state, cur)
+            )
+            return gi + m.astype(gi.dtype), out
+
+        gi0, out0 = lax.while_loop(
+            f0_cond, f0_body, (jnp.zeros((B,), jnp.int64), out0)
+        )
+
+        init = dict(
+            state=state,
+            t_hi=t_hi,
+            t_lo=t_lo,
+            last_h=zero,
+            tc=jnp.zeros((B, K + 1, n_eq), dtype),
+            nsteps=jnp.zeros((B,), jnp.int64),
+            min_h=jnp.full((B,), jnp.inf, dtype),
+            max_h=zero,
+            outcome=jnp.full((B,), jnp.int32(TaylorOutcome.time_limit)),
+            done=gi0 >= ngrid,
+            gi=gi0,
+            out=out0,
+        )
+
+        def cond(c):
+            return ~jnp.all(c["done"])
+
+        def body(c):
+            alive = ~c["done"]
+            rem = target - c["t_hi"]
+            cap = jnp.minimum(jnp.abs(rem), max_delta_t)
+            cap = jnp.where(alive, cap, 0.0)
+            dt = jnp.where(fwd, cap, -cap)
+
+            new_state, h, tc = step(c["state"], pars, c["t_hi"], dt)
+            t_prev_hi, t_prev_lo = c["t_hi"], c["t_lo"]
+            nt_hi, nt_lo = dd_add_d(t_prev_hi, t_prev_lo, h)
+
+            finite = jnp.all(jnp.isfinite(new_state), axis=1) \
+                & jnp.isfinite(h)
+
+            # vectorized fill of grid points inside each lane's step span
+            def gmask(gi):
+                idx = jnp.minimum(gi, ngrid - 1)
+                tg = grid[idx]
+                inb = jnp.where(fwd, tg <= nt_hi, tg >= nt_hi)
+                return (gi < ngrid) & inb & finite & alive
+
+            def gcond(g):
+                gi, _ = g
+                return jnp.any(gmask(gi))
+
+            def gbody(g):
+                gi, out = g
+                idx = jnp.minimum(gi, ngrid - 1)
+                m = gmask(gi)
+                rel, _ = dd_add_dd(
+                    grid[idx], jnp.zeros_like(grid[idx]),
+                    -t_prev_hi, -t_prev_lo,
+                )
+                vals = dense(tc, rel)
+                cur = out[lanes, idx]
+                out = out.at[lanes, idx].set(
+                    jnp.where(m[:, None], vals, cur)
+                )
+                return gi + m.astype(gi.dtype), out
+
+            gi, out = lax.while_loop(gcond, gbody, (c["gi"], c["out"]))
+
+            nsteps = c["nsteps"] + 1
+            reached = gi >= ngrid
+            hit_step_limit = (max_steps > 0) & (nsteps >= max_steps) \
+                & ~reached
+            outcome = jnp.where(
+                ~finite,
+                jnp.int32(TaylorOutcome.err_nf_state),
+                jnp.where(
+                    hit_step_limit,
+                    jnp.int32(TaylorOutcome.step_limit),
+                    jnp.int32(TaylorOutcome.time_limit),
+                ),
+            )
+            done = ~finite | hit_step_limit | reached
+
+            def sel(new, old):
+                return jnp.where(alive, new, old)
+
+            abs_h = jnp.abs(h)
+            return dict(
+                state=jnp.where(alive[:, None], new_state, c["state"]),
+                t_hi=sel(nt_hi, c["t_hi"]),
+                t_lo=sel(nt_lo, c["t_lo"]),
+                last_h=sel(h, c["last_h"]),
+                tc=jnp.where(alive[:, None, None], tc, c["tc"]),
+                nsteps=sel(nsteps, c["nsteps"]),
+                min_h=sel(jnp.minimum(c["min_h"], abs_h), c["min_h"]),
+                max_h=sel(jnp.maximum(c["max_h"], abs_h), c["max_h"]),
+                outcome=sel(outcome, c["outcome"]),
+                done=sel(done, c["done"]),
+                gi=jnp.where(alive, gi, c["gi"]),
+                out=out,
+            )
+
+        return lax.while_loop(cond, body, init)
+
+    return pg

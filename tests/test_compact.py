@@ -254,3 +254,24 @@ def test_batch_integrator_flat_mode():
     ta2 = pickle.loads(pickle.dumps(ta_f))
     assert ta2.compact_mode == "flat"
     np.testing.assert_array_equal(ta2.state, ta_f.state)
+
+
+def test_batch_integrator_flat_grid():
+    # propagate_grid through the lockstep flat driver matches the vmapped
+    # loop-engine grid driver
+    import heyoka_tpu as hy_
+
+    rng = np.random.default_rng(1)
+    states = 0.05 + 0.01 * rng.standard_normal((4, 2))
+    grid = np.linspace(0.0, 8.0, 17)
+    ta_f = hy_.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-12, compact_mode="flat"
+    )
+    ta_l = hy_.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-12, compact_mode=True
+    )
+    rf = ta_f.propagate_grid(grid)
+    rl = ta_l.propagate_grid(grid)
+    np.testing.assert_allclose(rf[4], rl[4], rtol=0, atol=5e-13)
+    np.testing.assert_array_equal(rf[3], rl[3])
+    np.testing.assert_allclose(ta_f.state, ta_l.state, rtol=0, atol=5e-13)
