@@ -45,6 +45,7 @@ class TaylorAdaptiveBatch:
         dtype=jnp.float64,
         t_events=(),
         nt_events=(),
+        mp_order=None,
     ):
         self._sys = _normalize_sys(sys)
         self._dtype = jnp.dtype(dtype)
@@ -61,6 +62,10 @@ class TaylorAdaptiveBatch:
             compact_mode if isinstance(compact_mode, str) else bool(compact_mode)
         )
         self._flat = compact_mode == "flat"
+        # mixed precision for the flat engine: Taylor orders above mp_order
+        # run in f32 (TPU-native extension; drift analysis in PERF.md).
+        # Only meaningful with compact_mode="flat".
+        self._mp_order = None if mp_order is None else int(mp_order)
         self._t_events = list(t_events)
         self._nt_events = list(nt_events)
         ev_eqs = [ev.expression for ev in self._t_events] + [
@@ -109,6 +114,7 @@ class TaylorAdaptiveBatch:
             self._flat_step = make_batched_step_flat(
                 self._tape, self._order, dtype=self._dtype,
                 high_accuracy=self._high_accuracy,
+                mp_order=self._mp_order,
                 layout="3d", unroll=True, staged=True, return_tc=True,
             )
         if self._t_events or self._nt_events:
@@ -239,6 +245,7 @@ class TaylorAdaptiveBatch:
             pu = make_propagate_until_flat(
                 self._tape, self._order, dtype=self._dtype,
                 high_accuracy=self._high_accuracy,
+                mp_order=self._mp_order,
             )
             return jit_flat_step(pu)
         pu = _loops.make_propagate_until(self._fns)
@@ -256,6 +263,7 @@ class TaylorAdaptiveBatch:
             pg = make_propagate_grid_flat(
                 self._tape, self._order, dtype=self._dtype,
                 high_accuracy=self._high_accuracy,
+                mp_order=self._mp_order,
             )
             return jit_flat_step(pg)
         pg = _loops.make_propagate_grid(self._fns)
@@ -676,6 +684,7 @@ def _batch_getstate(self):
         "tol": self._tol,
         "high_accuracy": self._high_accuracy,
         "compact_mode": self._compact_mode,
+        "mp_order": self._mp_order,
         "dtype": self._dtype.name,
         "state": np.asarray(self._state),
         "pars": np.asarray(self._pars),
@@ -690,7 +699,7 @@ def _batch_setstate(self, st):
     self.__init__(
         st["sys"], st["state"], pars=st["pars"], tol=st["tol"],
         high_accuracy=st["high_accuracy"], compact_mode=st["compact_mode"],
-        dtype=st["dtype"],
+        dtype=st["dtype"], mp_order=st.get("mp_order"),
     )
     self._t_hi = jnp.asarray(st["t_hi"], self._dtype)
     self._t_lo = jnp.asarray(st["t_lo"], self._dtype)
