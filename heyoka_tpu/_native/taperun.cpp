@@ -539,4 +539,31 @@ int64_t ht_propagate_until(
     return steps;
 }
 
+// Batched adaptive propagate-until: B independent trajectories, thread
+// parallel (the host-runtime analog of the reference's batch mode, which
+// reaches SIMD lanes via LLVM vector types + a TBB pool; trajectories are
+// embarrassingly parallel, so here each OpenMP thread runs the scalar
+// driver on its own lanes).  Per-lane step counts land in steps_out
+// (negative on non-finite state).
+void ht_propagate_until_batch(
+    int32_t n_eq, int32_t n_ops, int32_t n_pars, const int32_t *opcodes,
+    const int32_t *arity, const int32_t *inputs, const int32_t *meta,
+    const double *alpha, const double *consts, int32_t n_consts,
+    const int32_t *rhs, int32_t batch, double *states, const double *pars,
+    double *times, const double *targets, double max_dt, int64_t max_steps,
+    int32_t order, int64_t *steps_out)
+{
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int32_t b = 0; b < batch; ++b) {
+        steps_out[b] = ht_propagate_until(
+            n_eq, n_ops, n_pars, opcodes, arity, inputs, meta, alpha,
+            consts, n_consts, rhs,
+            states + static_cast<std::size_t>(b) * n_eq,
+            pars + static_cast<std::size_t>(b) * (n_pars > 0 ? n_pars : 1),
+            times + b, targets[b], max_dt, max_steps, order);
+    }
+}
+
 } // extern "C"

@@ -54,7 +54,7 @@ def _lib():
         cxx = os.environ.get("CXX", "g++")
         cmd = [
             cxx, "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            src, "-o", so + ".tmp",
+            "-fopenmp", src, "-o", so + ".tmp",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
@@ -80,6 +80,14 @@ def _lib():
         i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
         f64p, f64p, ctypes.POINTER(ctypes.c_double),
         ctypes.c_double, ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
+    ]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    lib.ht_propagate_until_batch.restype = None
+    lib.ht_propagate_until_batch.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        ctypes.c_int32, f64p, f64p, f64p, f64p,
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int32, i64p,
     ]
     return lib
 
@@ -204,3 +212,40 @@ def native_propagate_until(
             f"non-finite state after {-steps} steps at t={t.value}"
         )
     return state, t.value, int(steps)
+
+
+def native_propagate_until_batch(
+    tape: Tape, states, pars, t0, targets, order: int,
+    *, max_delta_t: float = np.inf, max_steps: int = 0,
+):
+    """Thread-parallel batched adaptive propagation on the host CPU
+    (the native analog of the reference's batch mode: independent
+    trajectories over an OpenMP pool); returns (states, times, nsteps)
+    with per-lane step counts (negative where the state went non-finite).
+    """
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ compiler?)")
+    p = pack_tape(tape)
+    states = np.array(states, np.float64, order="C")
+    batch = states.shape[0]
+    if pars is None or np.size(pars) == 0:
+        pars = np.zeros((batch, 1), np.float64)
+    pars = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(pars, np.float64),
+                        (batch, max(1, p["n_pars"]))))
+    times = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(t0, np.float64), (batch,)).copy()
+    )
+    targets = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(targets, np.float64), (batch,))
+    )
+    steps = np.zeros((batch,), np.int64)
+    lib.ht_propagate_until_batch(
+        p["n_eq"], p["n_ops"], p["n_pars"], p["opcodes"], p["arity"],
+        p["inputs"], p["meta"], p["alpha"], p["consts"], p["n_consts"],
+        p["rhs"], np.int32(batch), states, pars, times, targets,
+        float(max_delta_t), np.int64(max_steps), np.int32(order),
+        steps,
+    )
+    return states, times, steps

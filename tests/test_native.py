@@ -105,3 +105,27 @@ def test_native_max_steps_and_nonfinite():
     tape2 = taylor_decompose_sys(blow)
     with pytest.raises(FloatingPointError):
         native.native_propagate_until(tape2, [1.0], [], 0.0, 10.0, 20)
+
+
+def test_native_propagate_until_batch():
+    # thread-parallel batched native propagation: per-lane results must be
+    # bitwise identical to the scalar native driver, and agree with the jax
+    # integrator to roundoff
+    from heyoka_tpu.native import (
+        native_propagate_until, native_propagate_until_batch,
+    )
+
+    tape = taylor_decompose_sys(pendulum())
+    rng = np.random.default_rng(0)
+    states = 0.05 + 0.01 * rng.standard_normal((8, 2))
+    st, tm, ns = native_propagate_until_batch(tape, states, None, 0.0, 10.0, 19)
+    np.testing.assert_allclose(tm, 10.0, atol=1e-12)
+    for i in (0, 3, 7):
+        s1, t1, n1 = native_propagate_until(
+            tape, states[i], None, 0.0, 10.0, 19
+        )
+        np.testing.assert_array_equal(st[i], s1)
+        assert int(ns[i]) == n1
+    ta = hy.taylor_adaptive(pendulum(), states[0], tol=1e-15)
+    ta.propagate_until(10.0)
+    np.testing.assert_allclose(st[0], ta.state, rtol=0, atol=5e-14)
