@@ -10,7 +10,10 @@
 //   - the "opt-level-0 reference backend" of the test strategy
 //     (SURVEY.md §4: compiled-vs-independent-backend equivalence),
 //   - a host-side fallback/runtime when no accelerator is attached,
-//   - the fast oracle for high-order recurrence validation.
+//   - the fast oracle for high-order recurrence validation,
+//   - the extended-precision (80-bit long double) backend — the analog of
+//     the reference's tut_extended_precision support, which TPUs cannot
+//     provide (the numeric core is templated on the scalar type).
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
 //
@@ -31,6 +34,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -86,90 +90,99 @@ struct TapeOp {
     double alpha;
 };
 
+template <typename T>
 struct Tape {
     int32_t n_eq;
     int32_t n_ops;
     int32_t n_pars;
     std::vector<TapeOp> ops;
-    std::vector<double> consts;
+    std::vector<T> consts;
     std::vector<int32_t> rhs;
 };
 
 // operand value at order k (G() of recurrences.py)
-inline double gval(const double *cc, int32_t n_u, const Tape &tp,
-                   const double *pars, double t, int32_t code, int32_t k)
+template <typename T>
+inline T gval(const T *cc, int32_t n_u, const Tape<T> &tp, const T *pars,
+              T t, int32_t code, int32_t k)
 {
     if (code >= 0) {
         return cc[static_cast<std::size_t>(k) * n_u + code];
     }
     if (code == -2000000) {
-        return k == 0 ? t : (k == 1 ? 1.0 : 0.0);
+        return k == 0 ? t : (k == 1 ? T(1) : T(0));
     }
     if (code <= -1000000) {
-        return k == 0 ? pars[-1000000 - code] : 0.0;
+        return k == 0 ? pars[-1000000 - code] : T(0);
     }
-    return k == 0 ? tp.consts[-1 - code] : 0.0;
+    return k == 0 ? tp.consts[-1 - code] : T(0);
 }
 
-double newton_kepE(double ecc, double M)
+template <typename T>
+T newton_kepE(T ecc, T M)
 {
-    const double twopi = 6.283185307179586476925286766559;
-    double Mr = M - twopi * std::floor(M / twopi);
-    double E = Mr + 0.85 * ecc * (std::sin(Mr) >= 0 ? 1.0 : -1.0);
-    for (int it = 0; it < 50; ++it) {
-        const double f = E - ecc * std::sin(E) - Mr;
-        const double fp = 1.0 - ecc * std::cos(E);
-        const double d = f / fp;
+    const T twopi = 2 * std::acos(T(-1));
+    const T tol = 10 * std::numeric_limits<T>::epsilon();
+    T Mr = M - twopi * std::floor(M / twopi);
+    T E = Mr + T(0.85) * ecc * (std::sin(Mr) >= 0 ? T(1) : T(-1));
+    for (int it = 0; it < 100; ++it) {
+        const T f = E - ecc * std::sin(E) - Mr;
+        const T fp = 1 - ecc * std::cos(E);
+        const T d = f / fp;
         E -= d;
-        if (std::fabs(d) < 1e-15) break;
+        if (std::fabs(d) < tol) break;
     }
     return E + (M - Mr);
 }
 
-double newton_kepF(double h, double kk, double lam)
+template <typename T>
+T newton_kepF(T h, T kk, T lam)
 {
-    const double twopi = 6.283185307179586476925286766559;
-    double lr = lam - twopi * std::floor(lam / twopi);
-    double F = lr;
-    for (int it = 0; it < 50; ++it) {
-        const double f = F + h * std::cos(F) - kk * std::sin(F) - lr;
-        const double fp = 1.0 - h * std::sin(F) - kk * std::cos(F);
-        const double d = f / fp;
+    const T twopi = 2 * std::acos(T(-1));
+    const T tol = 10 * std::numeric_limits<T>::epsilon();
+    T lr = lam - twopi * std::floor(lam / twopi);
+    T F = lr;
+    for (int it = 0; it < 100; ++it) {
+        const T f = F + h * std::cos(F) - kk * std::sin(F) - lr;
+        const T fp = 1 - h * std::sin(F) - kk * std::cos(F);
+        const T d = f / fp;
         F -= d;
-        if (std::fabs(d) < 1e-15) break;
+        if (std::fabs(d) < tol) break;
     }
     return F + (lam - lr);
 }
 
-double newton_kepDE(double s0, double c0, double DM)
+template <typename T>
+T newton_kepDE(T s0, T c0, T DM)
 {
-    const double twopi = 6.283185307179586476925286766559;
-    double Dr = DM - twopi * std::floor(DM / twopi);
-    double DE = Dr;
-    for (int it = 0; it < 50; ++it) {
-        const double f = DE + s0 * (1.0 - std::cos(DE)) - c0 * std::sin(DE) - Dr;
-        const double fp = 1.0 + s0 * std::sin(DE) - c0 * std::cos(DE);
-        const double d = f / fp;
+    const T twopi = 2 * std::acos(T(-1));
+    const T tol = 10 * std::numeric_limits<T>::epsilon();
+    T Dr = DM - twopi * std::floor(DM / twopi);
+    T DE = Dr;
+    for (int it = 0; it < 100; ++it) {
+        const T f = DE + s0 * (1 - std::cos(DE)) - c0 * std::sin(DE) - Dr;
+        const T fp = 1 + s0 * std::sin(DE) - c0 * std::cos(DE);
+        const T d = f / fp;
         DE -= d;
-        if (std::fabs(d) < 1e-15) break;
+        if (std::fabs(d) < tol) break;
     }
     return DE + (DM - Dr);
 }
 
 // order-0 evaluation of one op
-double eval0(const Tape &tp, const TapeOp &op, const double *cc, int32_t n_u,
-             const double *pars, double t)
+template <typename T>
+T eval0(const Tape<T> &tp, const TapeOp &op, const T *cc, int32_t n_u,
+        const T *pars, T t)
 {
     auto g = [&](int a) { return gval(cc, n_u, tp, pars, t, op.in[a], 0); };
     switch (op.opcode) {
         case OP_SUM: {
-            double s = 0;
+            T s = 0;
             for (int a = 0; a < op.arity; ++a) s += g(a);
             return s;
         }
         case OP_MUL: return g(0) * g(1);
         case OP_DIV: return g(0) / g(1);
-        case OP_POW: return std::pow(g(0), op.alpha);
+        case OP_POW: return std::pow(g(0), T(op.alpha));
         case OP_SIN: return std::sin(g(0));
         case OP_COS: return std::cos(g(0));
         case OP_SINH: return std::sinh(g(0));
@@ -179,7 +192,7 @@ double eval0(const Tape &tp, const TapeOp &op, const double *cc, int32_t n_u,
         case OP_EXP: return std::exp(g(0));
         case OP_LOG: return std::log(g(0));
         case OP_SQRT: return std::sqrt(g(0));
-        case OP_SIGMOID: return 1.0 / (1.0 + std::exp(-g(0)));
+        case OP_SIGMOID: return 1 / (1 + std::exp(-g(0)));
         case OP_ASIN: return std::asin(g(0));
         case OP_ACOS: return std::acos(g(0));
         case OP_ATAN: return std::atan(g(0));
@@ -188,38 +201,39 @@ double eval0(const Tape &tp, const TapeOp &op, const double *cc, int32_t n_u,
         case OP_ATANH: return std::atanh(g(0));
         case OP_ERF: return std::erf(g(0));
         case OP_ATAN2: return std::atan2(g(0), g(1));
-        case OP_RELU: return g(0) > 0 ? g(0) : 0.0;
-        case OP_RELUP: return g(0) > 0 ? 1.0 : 0.0;
-        case OP_SELECT: return g(0) != 0.0 ? g(1) : g(2);
-        case OP_CMP_LT: return g(0) < g(1) ? 1.0 : 0.0;
-        case OP_CMP_LE: return g(0) <= g(1) ? 1.0 : 0.0;
-        case OP_CMP_GT: return g(0) > g(1) ? 1.0 : 0.0;
-        case OP_CMP_GE: return g(0) >= g(1) ? 1.0 : 0.0;
-        case OP_CMP_EQ: return g(0) == g(1) ? 1.0 : 0.0;
-        case OP_CMP_NE: return g(0) != g(1) ? 1.0 : 0.0;
+        case OP_RELU: return g(0) > 0 ? g(0) : T(0);
+        case OP_RELUP: return g(0) > 0 ? T(1) : T(0);
+        case OP_SELECT: return g(0) != 0 ? g(1) : g(2);
+        case OP_CMP_LT: return g(0) < g(1) ? T(1) : T(0);
+        case OP_CMP_LE: return g(0) <= g(1) ? T(1) : T(0);
+        case OP_CMP_GT: return g(0) > g(1) ? T(1) : T(0);
+        case OP_CMP_GE: return g(0) >= g(1) ? T(1) : T(0);
+        case OP_CMP_EQ: return g(0) == g(1) ? T(1) : T(0);
+        case OP_CMP_NE: return g(0) != g(1) ? T(1) : T(0);
         case OP_LAND: {
             for (int a = 0; a < op.arity; ++a)
-                if (g(a) == 0.0) return 0.0;
-            return 1.0;
+                if (g(a) == 0) return T(0);
+            return T(1);
         }
         case OP_LOR: {
             for (int a = 0; a < op.arity; ++a)
-                if (g(a) != 0.0) return 1.0;
-            return 0.0;
+                if (g(a) != 0) return T(1);
+            return T(0);
         }
-        case OP_LNOT: return g(0) == 0.0 ? 1.0 : 0.0;
+        case OP_LNOT: return g(0) == 0 ? T(1) : T(0);
         case OP_KEPE: return newton_kepE(g(0), g(1));
         case OP_KEPF: return newton_kepF(g(0), g(1), g(2));
         case OP_KEPDE: return newton_kepDE(g(0), g(1), g(2));
     }
-    return NAN;
+    return std::numeric_limits<T>::quiet_NaN();
 }
 
 // order-k recurrence of one op (k >= 1); u = this op's u-var index
-double rec(const Tape &tp, const TapeOp &op, int32_t u, const double *cc,
-           int32_t n_u, const double *pars, double t, int32_t k)
+template <typename T>
+T rec(const Tape<T> &tp, const TapeOp &op, int32_t u, const T *cc,
+      int32_t n_u, const T *pars, T t, int32_t k)
 {
-    const double kd = static_cast<double>(k);
+    const T kd = static_cast<T>(k);
     auto G = [&](int a, int32_t j) {
         return gval(cc, n_u, tp, pars, t, op.in[a], j);
     };
@@ -228,69 +242,69 @@ double rec(const Tape &tp, const TapeOp &op, int32_t u, const double *cc,
     };
     switch (op.opcode) {
         case OP_SUM: {
-            double s = 0;
+            T s = 0;
             for (int a = 0; a < op.arity; ++a) s += G(a, k);
             return s;
         }
         case OP_MUL: {
-            double s = 0;
+            T s = 0;
             for (int32_t j = 0; j <= k; ++j) s += G(0, j) * G(1, k - j);
             return s;
         }
         case OP_DIV: {
-            double s = 0;
+            T s = 0;
             for (int32_t j = 0; j < k; ++j) s += U(u, j) * G(1, k - j);
             return (G(0, k) - s) / G(1, 0);
         }
         case OP_POW: {
-            double s = 0;
+            T s = 0;
             for (int32_t j = 0; j < k; ++j)
-                s += (op.alpha * (k - j) - j) * G(0, k - j) * U(u, j);
+                s += (T(op.alpha) * (k - j) - j) * G(0, k - j) * U(u, j);
             return s / (kd * G(0, 0));
         }
         case OP_SIN:
         case OP_SINH:
         case OP_COSH: {
-            double s = 0;
+            T s = 0;
             for (int32_t j = 1; j <= k; ++j)
                 s += j * G(0, j) * U(op.meta0, k - j);
             return s / kd;
         }
         case OP_COS: {
-            double s = 0;
+            T s = 0;
             for (int32_t j = 1; j <= k; ++j)
                 s += j * G(0, j) * U(op.meta0, k - j);
             return -s / kd;
         }
         case OP_EXP: {
-            double s = 0;
+            T s = 0;
             for (int32_t j = 1; j <= k; ++j) s += j * G(0, j) * U(u, k - j);
             return s / kd;
         }
         case OP_LOG: {
-            double s = 0;
+            T s = 0;
             for (int32_t j = 1; j < k; ++j) s += j * U(u, j) * G(0, k - j);
             return (G(0, k) - s / kd) / G(0, 0);
         }
         case OP_SQRT: {
-            double s = 0;
+            T s = 0;
             for (int32_t j = 1; j < k; ++j) s += U(u, j) * U(u, k - j);
-            return (G(0, k) - s) / (2.0 * U(u, 0));
+            return (G(0, k) - s) / (2 * U(u, 0));
         }
         case OP_TAN: {
-            double s = 0;
+            T s = 0;
             for (int32_t m = 0; m < k; ++m)
                 s += U(op.meta0, m) * (k - m) * G(0, k - m);
             return G(0, k) + s / kd;
         }
         case OP_TANH: {
-            double s = 0;
+            T s = 0;
             for (int32_t m = 0; m < k; ++m)
                 s += U(op.meta0, m) * (k - m) * G(0, k - m);
             return G(0, k) - s / kd;
         }
         case OP_SIGMOID: {
-            double s = 0;
+            T s = 0;
             for (int32_t m = 0; m < k; ++m)
                 s += (U(u, m) - U(op.meta0, m)) * (k - m) * G(0, k - m);
             return s / kd;
@@ -301,20 +315,20 @@ double rec(const Tape &tp, const TapeOp &op, int32_t u, const double *cc,
         case OP_ACOSH:
         case OP_ATANH:
         case OP_ACOS: {
-            const double sign = op.opcode == OP_ACOS ? -1.0 : 1.0;
-            double s = 0;
+            const T sign = op.opcode == OP_ACOS ? T(-1) : T(1);
+            T s = 0;
             for (int32_t m = 1; m < k; ++m)
                 s += G(1, m) * (k - m) * U(u, k - m);
             return (sign * kd * G(0, k) - s) / (kd * G(1, 0));
         }
         case OP_ERF: {
-            double s = 0;
+            T s = 0;
             for (int32_t m = 0; m < k; ++m)
                 s += G(1, m) * (k - m) * G(0, k - m);
-            return (2.0 / std::sqrt(M_PI)) * s / kd;
+            return (2 / std::sqrt(std::acos(T(-1)))) * s / kd;
         }
         case OP_ATAN2: {
-            double r1 = 0, r2 = 0, s = 0;
+            T r1 = 0, r2 = 0, s = 0;
             for (int32_t m = 0; m < k; ++m) {
                 r1 += G(1, m) * (k - m) * G(0, k - m);
                 r2 += G(0, m) * (k - m) * G(1, k - m);
@@ -323,9 +337,9 @@ double rec(const Tape &tp, const TapeOp &op, int32_t u, const double *cc,
                 s += G(2, m) * (k - m) * U(u, k - m);
             return (r1 - r2 - s) / (kd * G(2, 0));
         }
-        case OP_RELU: return G(0, 0) > 0 ? G(0, k) : 0.0;
-        case OP_RELUP: return 0.0;
-        case OP_SELECT: return G(0, 0) != 0.0 ? G(1, k) : G(2, k);
+        case OP_RELU: return G(0, 0) > 0 ? G(0, k) : T(0);
+        case OP_RELUP: return T(0);
+        case OP_SELECT: return G(0, 0) != 0 ? G(1, k) : G(2, k);
         case OP_CMP_LT:
         case OP_CMP_LE:
         case OP_CMP_GT:
@@ -334,68 +348,68 @@ double rec(const Tape &tp, const TapeOp &op, int32_t u, const double *cc,
         case OP_CMP_NE:
         case OP_LAND:
         case OP_LOR:
-        case OP_LNOT: return 0.0;
+        case OP_LNOT: return T(0);
         case OP_KEPE: {
             const int32_t si = op.meta0, ci = op.meta1;
             auto q = [&](int32_t m) {
-                double s = 0;
+                T s = 0;
                 for (int32_t j = 0; j <= m; ++j) s += G(0, j) * U(ci, m - j);
                 return s;
             };
-            double t1 = kd * G(1, k), t2 = 0, t3 = 0;
+            T t1 = kd * G(1, k), t2 = 0, t3 = 0;
             for (int32_t j = 1; j <= k; ++j) t2 += j * G(0, j) * U(si, k - j);
             for (int32_t m = 1; m < k; ++m) t3 += q(m) * (k - m) * U(u, k - m);
-            return (t1 + t2 + t3) / (kd * (1.0 - q(0)));
+            return (t1 + t2 + t3) / (kd * (1 - q(0)));
         }
         case OP_KEPF: {
             const int32_t si = op.meta0, ci = op.meta1;
             auto w = [&](int32_t m) {
-                double s = 0;
+                T s = 0;
                 for (int32_t j = 0; j <= m; ++j)
                     s += G(0, j) * U(si, m - j) + G(1, j) * U(ci, m - j);
                 return s;
             };
-            double t1 = kd * G(2, k), t2 = 0, t3 = 0, t4 = 0;
+            T t1 = kd * G(2, k), t2 = 0, t3 = 0, t4 = 0;
             for (int32_t j = 1; j <= k; ++j) {
                 t2 -= j * G(0, j) * U(ci, k - j);
                 t3 += j * G(1, j) * U(si, k - j);
             }
             for (int32_t m = 1; m < k; ++m) t4 += w(m) * (k - m) * U(u, k - m);
-            return (t1 + t2 + t3 + t4) / (kd * (1.0 - w(0)));
+            return (t1 + t2 + t3 + t4) / (kd * (1 - w(0)));
         }
         case OP_KEPDE: {
             const int32_t si = op.meta0, ci = op.meta1;
             auto w = [&](int32_t m) {
-                double s = 0;
+                T s = 0;
                 for (int32_t j = 0; j <= m; ++j)
                     s += G(0, j) * U(si, m - j) - G(1, j) * U(ci, m - j);
                 return s;
             };
             auto omc = [&](int32_t i) {
-                return i == 0 ? (1.0 - U(ci, 0)) : -U(ci, i);
+                return i == 0 ? (1 - U(ci, 0)) : -U(ci, i);
             };
-            double t1 = kd * G(2, k), t2 = 0, t3 = 0, t4 = 0;
+            T t1 = kd * G(2, k), t2 = 0, t3 = 0, t4 = 0;
             for (int32_t j = 1; j <= k; ++j) {
                 t2 -= j * G(0, j) * omc(k - j);
                 t3 += j * G(1, j) * U(si, k - j);
             }
             for (int32_t m = 1; m < k; ++m) t4 -= w(m) * (k - m) * U(u, k - m);
-            return (t1 + t2 + t3 + t4) / (kd * (1.0 + w(0)));
+            return (t1 + t2 + t3 + t4) / (kd * (1 + w(0)));
         }
     }
-    return NAN;
+    return std::numeric_limits<T>::quiet_NaN();
 }
 
-// full jet: cc has (order+1) * n_u doubles, state preloaded into order 0
-void compute_jet(const Tape &tp, double *cc, const double *pars, double t,
-                 int32_t order)
+// full jet: cc has (order+1) * n_u scalars, state preloaded into order 0
+template <typename T>
+void compute_jet(const Tape<T> &tp, T *cc, const T *pars, T t, int32_t order)
 {
     const int32_t n_u = tp.n_eq + tp.n_ops;
     for (int32_t i = 0; i < tp.n_ops; ++i) {
         cc[tp.n_eq + i] = eval0(tp, tp.ops[i], cc, n_u, pars, t);
     }
     for (int32_t k = 1; k <= order; ++k) {
-        double *row = cc + static_cast<std::size_t>(k) * n_u;
+        T *row = cc + static_cast<std::size_t>(k) * n_u;
         for (int32_t i = 0; i < tp.n_eq; ++i) {
             row[i] = gval(cc, n_u, tp, pars, t, tp.rhs[i], k - 1) / k;
         }
@@ -407,10 +421,10 @@ void compute_jet(const Tape &tp, double *cc, const double *pars, double t,
 }
 
 // Jorba rho step-size control (taylor_00.cpp:102-273 semantics)
-double determine_h(const double *cc, int32_t n_u, int32_t n_eq, int32_t order,
-                   double max_dt)
+template <typename T>
+T determine_h(const T *cc, int32_t n_u, int32_t n_eq, int32_t order, T max_dt)
 {
-    double m0 = 0, mo = 0, mo1 = 0;
+    T m0 = 0, mo = 0, mo1 = 0;
     for (int32_t i = 0; i < n_eq; ++i) {
         m0 = std::fmax(m0, std::fabs(cc[i]));
         mo = std::fmax(
@@ -419,21 +433,24 @@ double determine_h(const double *cc, int32_t n_u, int32_t n_eq, int32_t order,
             mo1,
             std::fabs(cc[static_cast<std::size_t>(order - 1) * n_u + i]));
     }
-    const double num = m0 <= 1.0 ? 1.0 : m0;
-    const double rho_o = std::pow(num / mo, 1.0 / order);
-    const double rho_o1 = std::pow(num / mo1, 1.0 / (order - 1));
-    const double rho = std::fmin(rho_o, rho_o1);
-    const double fac = std::exp(-0.7 / (order - 1)) / (M_E * M_E);
-    double h = rho * fac;
+    const T num = m0 <= 1 ? T(1) : m0;
+    const T rho_o = std::pow(num / mo, T(1) / order);
+    const T rho_o1 = std::pow(num / mo1, T(1) / (order - 1));
+    const T rho = std::fmin(rho_o, rho_o1);
+    // e*e as a product (not exp(2)) to match the python/double constant
+    const T e1 = std::exp(T(1));
+    const T fac = std::exp(T(-0.7) / (order - 1)) / (e1 * e1);
+    T h = rho * fac;
     h = std::fmin(h, std::fabs(max_dt));
     return max_dt < 0 ? -h : h;
 }
 
-void horner_update(const double *cc, int32_t n_u, int32_t n_eq, int32_t order,
-                   double h, double *out)
+template <typename T>
+void horner_update(const T *cc, int32_t n_u, int32_t n_eq, int32_t order,
+                   T h, T *out)
 {
     for (int32_t i = 0; i < n_eq; ++i) {
-        double r = cc[static_cast<std::size_t>(order) * n_u + i];
+        T r = cc[static_cast<std::size_t>(order) * n_u + i];
         for (int32_t k = order - 1; k >= 0; --k) {
             r = cc[static_cast<std::size_t>(k) * n_u + i] + r * h;
         }
@@ -441,13 +458,14 @@ void horner_update(const double *cc, int32_t n_u, int32_t n_eq, int32_t order,
     }
 }
 
-Tape build_tape(int32_t n_eq, int32_t n_ops, int32_t n_pars,
-                const int32_t *opcodes, const int32_t *arity,
-                const int32_t *inputs, const int32_t *meta,
-                const double *alpha, const double *consts, int32_t n_consts,
-                const int32_t *rhs)
+template <typename T>
+Tape<T> build_tape(int32_t n_eq, int32_t n_ops, int32_t n_pars,
+                   const int32_t *opcodes, const int32_t *arity,
+                   const int32_t *inputs, const int32_t *meta,
+                   const double *alpha, const double *consts,
+                   int32_t n_consts, const int32_t *rhs)
 {
-    Tape tp;
+    Tape<T> tp;
     tp.n_eq = n_eq;
     tp.n_ops = n_ops;
     tp.n_pars = n_pars;
@@ -467,6 +485,67 @@ Tape build_tape(int32_t n_eq, int32_t n_ops, int32_t n_pars,
     return tp;
 }
 
+template <typename T>
+void jet_impl(int32_t n_eq, int32_t n_ops, int32_t n_pars,
+              const int32_t *opcodes, const int32_t *arity,
+              const int32_t *inputs, const int32_t *meta, const double *alpha,
+              const double *consts, int32_t n_consts, const int32_t *rhs,
+              const T *state, const T *pars, T t, int32_t order, T *out_cc)
+{
+    const Tape<T> tp = build_tape<T>(n_eq, n_ops, n_pars, opcodes, arity,
+                                     inputs, meta, alpha, consts, n_consts,
+                                     rhs);
+    const int32_t n_u = n_eq + n_ops;
+    std::memset(out_cc, 0,
+                sizeof(T) * static_cast<std::size_t>(order + 1) * n_u);
+    std::memcpy(out_cc, state, sizeof(T) * n_eq);
+    compute_jet(tp, out_cc, pars, t, order);
+}
+
+template <typename T>
+int64_t propagate_until_impl(const Tape<T> &tp, T *state, const T *pars,
+                             T *time_io, T target, T max_dt,
+                             int64_t max_steps, int32_t order)
+{
+    const int32_t n_u = tp.n_eq + tp.n_ops;
+    std::vector<T> cc(static_cast<std::size_t>(order + 1) * n_u);
+    T t_hi = *time_io, t_lo = 0;
+    const bool fwd = target >= t_hi;
+    int64_t steps = 0;
+    while (true) {
+        const T rem = target - (t_hi + t_lo);
+        if ((fwd && rem <= 0) || (!fwd && rem >= 0)) break;
+        T cap = std::fmin(std::fabs(rem), max_dt);
+        std::fill(cc.begin(), cc.end(), T(0));
+        std::memcpy(cc.data(), state, sizeof(T) * tp.n_eq);
+        compute_jet(tp, cc.data(), pars, t_hi, order);
+        const T h
+            = determine_h(cc.data(), n_u, tp.n_eq, order, fwd ? cap : -cap);
+        horner_update(cc.data(), n_u, tp.n_eq, order, h, state);
+        // double-length time accumulation (Knuth two-sum)
+        {
+            const T s = t_hi + h;
+            const T v = s - t_hi;
+            const T err = (t_hi - (s - v)) + (h - v);
+            t_lo += err;
+            t_hi = s;
+            const T s2 = t_hi + t_lo;
+            t_lo = t_lo - (s2 - t_hi);
+            t_hi = s2;
+        }
+        ++steps;
+        for (int32_t i = 0; i < tp.n_eq; ++i) {
+            if (!std::isfinite(state[i])) {
+                *time_io = t_hi + t_lo;
+                return -steps;
+            }
+        }
+        if (max_steps > 0 && steps >= max_steps) break;
+    }
+    *time_io = t_hi + t_lo;
+    return steps;
+}
+
 } // namespace
 
 extern "C" {
@@ -480,13 +559,23 @@ void ht_jet(int32_t n_eq, int32_t n_ops, int32_t n_pars,
             const double *state, const double *pars, double t, int32_t order,
             double *out_cc)
 {
-    const Tape tp = build_tape(n_eq, n_ops, n_pars, opcodes, arity, inputs,
-                               meta, alpha, consts, n_consts, rhs);
-    const int32_t n_u = n_eq + n_ops;
-    std::memset(out_cc, 0,
-                sizeof(double) * static_cast<std::size_t>(order + 1) * n_u);
-    std::memcpy(out_cc, state, sizeof(double) * n_eq);
-    compute_jet(tp, out_cc, pars, t, order);
+    jet_impl<double>(n_eq, n_ops, n_pars, opcodes, arity, inputs, meta,
+                     alpha, consts, n_consts, rhs, state, pars, t, order,
+                     out_cc);
+}
+
+// Extended-precision (80-bit long double) jet.
+void ht_jet_ld(int32_t n_eq, int32_t n_ops, int32_t n_pars,
+               const int32_t *opcodes, const int32_t *arity,
+               const int32_t *inputs, const int32_t *meta,
+               const double *alpha, const double *consts, int32_t n_consts,
+               const int32_t *rhs, const long double *state,
+               const long double *pars, long double t, int32_t order,
+               long double *out_cc)
+{
+    jet_impl<long double>(n_eq, n_ops, n_pars, opcodes, arity, inputs, meta,
+                          alpha, consts, n_consts, rhs, state, pars, t,
+                          order, out_cc);
 }
 
 // Adaptive propagate-until; returns the step count (negative on non-finite
@@ -498,45 +587,28 @@ int64_t ht_propagate_until(
     const int32_t *rhs, double *state, const double *pars, double *time_io,
     double target, double max_dt, int64_t max_steps, int32_t order)
 {
-    const Tape tp = build_tape(n_eq, n_ops, n_pars, opcodes, arity, inputs,
-                               meta, alpha, consts, n_consts, rhs);
-    const int32_t n_u = n_eq + n_ops;
-    std::vector<double> cc(static_cast<std::size_t>(order + 1) * n_u);
-    double t_hi = *time_io, t_lo = 0.0;
-    const bool fwd = target >= t_hi;
-    int64_t steps = 0;
-    while (true) {
-        const double rem = target - (t_hi + t_lo);
-        if ((fwd && rem <= 0) || (!fwd && rem >= 0)) break;
-        double cap = std::fmin(std::fabs(rem), max_dt);
-        std::fill(cc.begin(), cc.end(), 0.0);
-        std::memcpy(cc.data(), state, sizeof(double) * n_eq);
-        compute_jet(tp, cc.data(), pars, t_hi, order);
-        const double h = determine_h(cc.data(), n_u, n_eq, order,
-                                     fwd ? cap : -cap);
-        horner_update(cc.data(), n_u, n_eq, order, h, state);
-        // double-double time accumulation (Knuth two-sum)
-        {
-            const double s = t_hi + h;
-            const double v = s - t_hi;
-            const double err = (t_hi - (s - v)) + (h - v);
-            t_lo += err;
-            t_hi = s;
-            const double s2 = t_hi + t_lo;
-            t_lo = t_lo - (s2 - t_hi);
-            t_hi = s2;
-        }
-        ++steps;
-        for (int32_t i = 0; i < n_eq; ++i) {
-            if (!std::isfinite(state[i])) {
-                *time_io = t_hi + t_lo;
-                return -steps;
-            }
-        }
-        if (max_steps > 0 && steps >= max_steps) break;
-    }
-    *time_io = t_hi + t_lo;
-    return steps;
+    const Tape<double> tp = build_tape<double>(
+        n_eq, n_ops, n_pars, opcodes, arity, inputs, meta, alpha, consts,
+        n_consts, rhs);
+    return propagate_until_impl<double>(tp, state, pars, time_io, target,
+                                        max_dt, max_steps, order);
+}
+
+// Extended-precision adaptive propagate-until.
+int64_t ht_propagate_until_ld(
+    int32_t n_eq, int32_t n_ops, int32_t n_pars, const int32_t *opcodes,
+    const int32_t *arity, const int32_t *inputs, const int32_t *meta,
+    const double *alpha, const double *consts, int32_t n_consts,
+    const int32_t *rhs, long double *state, const long double *pars,
+    long double *time_io, long double target, long double max_dt,
+    int64_t max_steps, int32_t order)
+{
+    const Tape<long double> tp = build_tape<long double>(
+        n_eq, n_ops, n_pars, opcodes, arity, inputs, meta, alpha, consts,
+        n_consts, rhs);
+    return propagate_until_impl<long double>(tp, state, pars, time_io,
+                                             target, max_dt, max_steps,
+                                             order);
 }
 
 // Batched adaptive propagate-until: B independent trajectories, thread
@@ -553,16 +625,18 @@ void ht_propagate_until_batch(
     double *times, const double *targets, double max_dt, int64_t max_steps,
     int32_t order, int64_t *steps_out)
 {
+    const Tape<double> tp = build_tape<double>(
+        n_eq, n_ops, n_pars, opcodes, arity, inputs, meta, alpha, consts,
+        n_consts, rhs);
+    const int32_t stride = n_pars > 0 ? n_pars : 1;
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(dynamic)
 #endif
     for (int32_t b = 0; b < batch; ++b) {
-        steps_out[b] = ht_propagate_until(
-            n_eq, n_ops, n_pars, opcodes, arity, inputs, meta, alpha,
-            consts, n_consts, rhs,
-            states + static_cast<std::size_t>(b) * n_eq,
-            pars + static_cast<std::size_t>(b) * (n_pars > 0 ? n_pars : 1),
-            times + b, targets[b], max_dt, max_steps, order);
+        steps_out[b] = propagate_until_impl<double>(
+            tp, states + static_cast<std::size_t>(b) * n_eq,
+            pars + static_cast<std::size_t>(b) * stride, times + b,
+            targets[b], max_dt, max_steps, order);
     }
 }
 

@@ -82,6 +82,21 @@ def _lib():
         ctypes.c_double, ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
     ]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    ldp = np.ctypeslib.ndpointer(np.longdouble, flags="C")
+    lib.ht_jet_ld.restype = None
+    lib.ht_jet_ld.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        ldp, ldp, ctypes.c_longdouble, ctypes.c_int32, ldp,
+    ]
+    lib.ht_propagate_until_ld.restype = ctypes.c_int64
+    lib.ht_propagate_until_ld.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        ldp, ldp, ctypes.POINTER(ctypes.c_longdouble),
+        ctypes.c_longdouble, ctypes.c_longdouble, ctypes.c_int64,
+        ctypes.c_int32,
+    ]
     lib.ht_propagate_until_batch.restype = None
     lib.ht_propagate_until_batch.argtypes = [
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -249,3 +264,59 @@ def native_propagate_until_batch(
         steps,
     )
     return states, times, steps
+
+
+def native_jet_ld(tape: Tape, state, pars, t, order: int) -> np.ndarray:
+    """Extended-precision (80-bit long double) Taylor coefficients —
+    the native analog of the reference's tut_extended_precision support
+    (TPUs cap at emulated f64; the host runtime does not)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ compiler?)")
+    p = pack_tape(tape)
+    n_u = tape.n_uvars
+    out = np.zeros(((order + 1), n_u), np.longdouble)
+    state = np.ascontiguousarray(state, np.longdouble)
+    pars = np.ascontiguousarray(
+        pars if pars is not None and len(pars) else [0.0], np.longdouble
+    )
+    lib.ht_jet_ld(
+        p["n_eq"], p["n_ops"], p["n_pars"], p["opcodes"], p["arity"],
+        p["inputs"], p["meta"], p["alpha"], p["consts"], p["n_consts"],
+        p["rhs"], state, pars, np.longdouble(t), np.int32(order),
+        out.reshape(-1),
+    )
+    return out
+
+
+def native_propagate_until_ld(
+    tape: Tape, state, pars, t0, target, order: int,
+    *, max_delta_t=np.inf, max_steps: int = 0,
+):
+    """Extended-precision adaptive Taylor propagation on the host CPU;
+    returns (state (longdouble), time (longdouble), nsteps).
+
+    The appropriate order for long double comes from
+    ``taylor_order_from_tol(1.1e-19)`` (~26); tolerances below double
+    epsilon are exactly the reason this backend exists.
+    """
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ compiler?)")
+    p = pack_tape(tape)
+    state = np.array(state, np.longdouble)
+    pars = np.ascontiguousarray(
+        pars if pars is not None and len(pars) else [0.0], np.longdouble
+    )
+    t = ctypes.c_longdouble(np.longdouble(t0))
+    steps = lib.ht_propagate_until_ld(
+        p["n_eq"], p["n_ops"], p["n_pars"], p["opcodes"], p["arity"],
+        p["inputs"], p["meta"], p["alpha"], p["consts"], p["n_consts"],
+        p["rhs"], state, pars, ctypes.byref(t), np.longdouble(target),
+        np.longdouble(max_delta_t), np.int64(max_steps), np.int32(order),
+    )
+    if steps < 0:
+        raise FloatingPointError(
+            f"non-finite state after {-steps} steps at t={t.value}"
+        )
+    return state, np.longdouble(t.value), int(steps)

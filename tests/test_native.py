@@ -129,3 +129,32 @@ def test_native_propagate_until_batch():
     ta = hy.taylor_adaptive(pendulum(), states[0], tol=1e-15)
     ta.propagate_until(10.0)
     np.testing.assert_allclose(st[0], ta.state, rtol=0, atol=5e-14)
+
+
+def test_native_extended_precision():
+    # 80-bit long double backend (the reference's tut_extended_precision
+    # analog): the pendulum back-and-forth 0 -> 1000 -> 0 return error must
+    # beat double by orders of magnitude (benchmarks.rst:162-192 behaviour)
+    from heyoka_tpu.native import (
+        native_jet, native_jet_ld,
+        native_propagate_until, native_propagate_until_ld,
+    )
+
+    tape = taylor_decompose_sys(pendulum())
+    jd = native_jet(tape, [0.05, 0.025], None, 0.0, 15)
+    jl = native_jet_ld(tape, [0.05, 0.025], None, 0.0, 15)
+    np.testing.assert_allclose(
+        jl.astype(np.float64), jd, rtol=5e-15, atol=1e-18
+    )
+
+    s0 = np.array([0.05, 0.025], np.longdouble)
+    s1, t1, _ = native_propagate_until_ld(tape, s0, None, 0.0, 1000.0, 26)
+    s2, _, _ = native_propagate_until_ld(tape, s1, None, t1, 0.0, 26)
+    err_ld = float(np.abs(s2 - s0).max())
+    sd1, td1, _ = native_propagate_until(
+        tape, [0.05, 0.025], None, 0.0, 1000.0, 20
+    )
+    sd2, _, _ = native_propagate_until(tape, sd1, None, td1, 0.0, 20)
+    err_d = float(np.abs(sd2 - np.array([0.05, 0.025])).max())
+    assert err_ld < err_d / 50
+    assert err_ld < 1e-16
