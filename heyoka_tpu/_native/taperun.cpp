@@ -37,7 +37,68 @@
 #include <limits>
 #include <vector>
 
+#if defined(__SIZEOF_FLOAT128__)
+#include <quadmath.h>
+#endif
+
 namespace {
+
+// math dispatch: std:: overloads for float/double/long double; quadmath
+// for __float128 (libstdc++ does not provide std:: overloads for it in
+// strict modes)
+template <typename T> inline T m_sin(T x) { return std::sin(x); }
+template <typename T> inline T m_cos(T x) { return std::cos(x); }
+template <typename T> inline T m_sinh(T x) { return std::sinh(x); }
+template <typename T> inline T m_cosh(T x) { return std::cosh(x); }
+template <typename T> inline T m_tan(T x) { return std::tan(x); }
+template <typename T> inline T m_tanh(T x) { return std::tanh(x); }
+template <typename T> inline T m_exp(T x) { return std::exp(x); }
+template <typename T> inline T m_log(T x) { return std::log(x); }
+template <typename T> inline T m_sqrt(T x) { return std::sqrt(x); }
+template <typename T> inline T m_asin(T x) { return std::asin(x); }
+template <typename T> inline T m_acos(T x) { return std::acos(x); }
+template <typename T> inline T m_atan(T x) { return std::atan(x); }
+template <typename T> inline T m_asinh(T x) { return std::asinh(x); }
+template <typename T> inline T m_acosh(T x) { return std::acosh(x); }
+template <typename T> inline T m_atanh(T x) { return std::atanh(x); }
+template <typename T> inline T m_erf(T x) { return std::erf(x); }
+template <typename T> inline T m_atan2(T y, T x) { return std::atan2(y, x); }
+template <typename T> inline T m_pow(T x, T a) { return std::pow(x, a); }
+template <typename T> inline T m_fabs(T x) { return std::fabs(x); }
+template <typename T> inline T m_floor(T x) { return std::floor(x); }
+template <typename T> inline T m_fmax(T a, T b) { return std::fmax(a, b); }
+template <typename T> inline T m_fmin(T a, T b) { return std::fmin(a, b); }
+template <typename T> inline bool m_isfinite(T x) { return std::isfinite(x); }
+template <typename T> inline T m_eps() { return std::numeric_limits<T>::epsilon(); }
+template <typename T> inline T m_nan() { return std::numeric_limits<T>::quiet_NaN(); }
+
+#if defined(__SIZEOF_FLOAT128__)
+inline __float128 m_sin(__float128 x) { return sinq(x); }
+inline __float128 m_cos(__float128 x) { return cosq(x); }
+inline __float128 m_sinh(__float128 x) { return sinhq(x); }
+inline __float128 m_cosh(__float128 x) { return coshq(x); }
+inline __float128 m_tan(__float128 x) { return tanq(x); }
+inline __float128 m_tanh(__float128 x) { return tanhq(x); }
+inline __float128 m_exp(__float128 x) { return expq(x); }
+inline __float128 m_log(__float128 x) { return logq(x); }
+inline __float128 m_sqrt(__float128 x) { return sqrtq(x); }
+inline __float128 m_asin(__float128 x) { return asinq(x); }
+inline __float128 m_acos(__float128 x) { return acosq(x); }
+inline __float128 m_atan(__float128 x) { return atanq(x); }
+inline __float128 m_asinh(__float128 x) { return asinhq(x); }
+inline __float128 m_acosh(__float128 x) { return acoshq(x); }
+inline __float128 m_atanh(__float128 x) { return atanhq(x); }
+inline __float128 m_erf(__float128 x) { return erfq(x); }
+inline __float128 m_atan2(__float128 y, __float128 x) { return atan2q(y, x); }
+inline __float128 m_pow(__float128 x, __float128 a) { return powq(x, a); }
+inline __float128 m_fabs(__float128 x) { return fabsq(x); }
+inline __float128 m_floor(__float128 x) { return floorq(x); }
+inline __float128 m_fmax(__float128 a, __float128 b) { return a > b ? a : b; }
+inline __float128 m_fmin(__float128 a, __float128 b) { return a < b ? a : b; }
+inline bool m_isfinite(__float128 x) { return finiteq(x) != 0; }
+template <> inline __float128 m_eps<__float128>() { return FLT128_EPSILON; }
+template <> inline __float128 m_nan<__float128>() { return nanq(""); }
+#endif
 
 constexpr int MAXA = 8;
 
@@ -120,16 +181,16 @@ inline T gval(const T *cc, int32_t n_u, const Tape<T> &tp, const T *pars,
 template <typename T>
 T newton_kepE(T ecc, T M)
 {
-    const T twopi = 2 * std::acos(T(-1));
-    const T tol = 10 * std::numeric_limits<T>::epsilon();
-    T Mr = M - twopi * std::floor(M / twopi);
-    T E = Mr + T(0.85) * ecc * (std::sin(Mr) >= 0 ? T(1) : T(-1));
+    const T twopi = 2 * m_acos(T(-1));
+    const T tol = 10 * m_eps<T>();
+    T Mr = M - twopi * m_floor(M / twopi);
+    T E = Mr + T(0.85) * ecc * (m_sin(Mr) >= 0 ? T(1) : T(-1));
     for (int it = 0; it < 100; ++it) {
-        const T f = E - ecc * std::sin(E) - Mr;
-        const T fp = 1 - ecc * std::cos(E);
+        const T f = E - ecc * m_sin(E) - Mr;
+        const T fp = 1 - ecc * m_cos(E);
         const T d = f / fp;
         E -= d;
-        if (std::fabs(d) < tol) break;
+        if (m_fabs(d) < tol) break;
     }
     return E + (M - Mr);
 }
@@ -137,16 +198,16 @@ T newton_kepE(T ecc, T M)
 template <typename T>
 T newton_kepF(T h, T kk, T lam)
 {
-    const T twopi = 2 * std::acos(T(-1));
-    const T tol = 10 * std::numeric_limits<T>::epsilon();
-    T lr = lam - twopi * std::floor(lam / twopi);
+    const T twopi = 2 * m_acos(T(-1));
+    const T tol = 10 * m_eps<T>();
+    T lr = lam - twopi * m_floor(lam / twopi);
     T F = lr;
     for (int it = 0; it < 100; ++it) {
-        const T f = F + h * std::cos(F) - kk * std::sin(F) - lr;
-        const T fp = 1 - h * std::sin(F) - kk * std::cos(F);
+        const T f = F + h * m_cos(F) - kk * m_sin(F) - lr;
+        const T fp = 1 - h * m_sin(F) - kk * m_cos(F);
         const T d = f / fp;
         F -= d;
-        if (std::fabs(d) < tol) break;
+        if (m_fabs(d) < tol) break;
     }
     return F + (lam - lr);
 }
@@ -154,16 +215,16 @@ T newton_kepF(T h, T kk, T lam)
 template <typename T>
 T newton_kepDE(T s0, T c0, T DM)
 {
-    const T twopi = 2 * std::acos(T(-1));
-    const T tol = 10 * std::numeric_limits<T>::epsilon();
-    T Dr = DM - twopi * std::floor(DM / twopi);
+    const T twopi = 2 * m_acos(T(-1));
+    const T tol = 10 * m_eps<T>();
+    T Dr = DM - twopi * m_floor(DM / twopi);
     T DE = Dr;
     for (int it = 0; it < 100; ++it) {
-        const T f = DE + s0 * (1 - std::cos(DE)) - c0 * std::sin(DE) - Dr;
-        const T fp = 1 + s0 * std::sin(DE) - c0 * std::cos(DE);
+        const T f = DE + s0 * (1 - m_cos(DE)) - c0 * m_sin(DE) - Dr;
+        const T fp = 1 + s0 * m_sin(DE) - c0 * m_cos(DE);
         const T d = f / fp;
         DE -= d;
-        if (std::fabs(d) < tol) break;
+        if (m_fabs(d) < tol) break;
     }
     return DE + (DM - Dr);
 }
@@ -182,25 +243,25 @@ T eval0(const Tape<T> &tp, const TapeOp &op, const T *cc, int32_t n_u,
         }
         case OP_MUL: return g(0) * g(1);
         case OP_DIV: return g(0) / g(1);
-        case OP_POW: return std::pow(g(0), T(op.alpha));
-        case OP_SIN: return std::sin(g(0));
-        case OP_COS: return std::cos(g(0));
-        case OP_SINH: return std::sinh(g(0));
-        case OP_COSH: return std::cosh(g(0));
-        case OP_TAN: return std::tan(g(0));
-        case OP_TANH: return std::tanh(g(0));
-        case OP_EXP: return std::exp(g(0));
-        case OP_LOG: return std::log(g(0));
-        case OP_SQRT: return std::sqrt(g(0));
-        case OP_SIGMOID: return 1 / (1 + std::exp(-g(0)));
-        case OP_ASIN: return std::asin(g(0));
-        case OP_ACOS: return std::acos(g(0));
-        case OP_ATAN: return std::atan(g(0));
-        case OP_ASINH: return std::asinh(g(0));
-        case OP_ACOSH: return std::acosh(g(0));
-        case OP_ATANH: return std::atanh(g(0));
-        case OP_ERF: return std::erf(g(0));
-        case OP_ATAN2: return std::atan2(g(0), g(1));
+        case OP_POW: return m_pow(g(0), T(op.alpha));
+        case OP_SIN: return m_sin(g(0));
+        case OP_COS: return m_cos(g(0));
+        case OP_SINH: return m_sinh(g(0));
+        case OP_COSH: return m_cosh(g(0));
+        case OP_TAN: return m_tan(g(0));
+        case OP_TANH: return m_tanh(g(0));
+        case OP_EXP: return m_exp(g(0));
+        case OP_LOG: return m_log(g(0));
+        case OP_SQRT: return m_sqrt(g(0));
+        case OP_SIGMOID: return 1 / (1 + m_exp(-g(0)));
+        case OP_ASIN: return m_asin(g(0));
+        case OP_ACOS: return m_acos(g(0));
+        case OP_ATAN: return m_atan(g(0));
+        case OP_ASINH: return m_asinh(g(0));
+        case OP_ACOSH: return m_acosh(g(0));
+        case OP_ATANH: return m_atanh(g(0));
+        case OP_ERF: return m_erf(g(0));
+        case OP_ATAN2: return m_atan2(g(0), g(1));
         case OP_RELU: return g(0) > 0 ? g(0) : T(0);
         case OP_RELUP: return g(0) > 0 ? T(1) : T(0);
         case OP_SELECT: return g(0) != 0 ? g(1) : g(2);
@@ -225,7 +286,7 @@ T eval0(const Tape<T> &tp, const TapeOp &op, const T *cc, int32_t n_u,
         case OP_KEPF: return newton_kepF(g(0), g(1), g(2));
         case OP_KEPDE: return newton_kepDE(g(0), g(1), g(2));
     }
-    return std::numeric_limits<T>::quiet_NaN();
+    return m_nan<T>();
 }
 
 // order-k recurrence of one op (k >= 1); u = this op's u-var index
@@ -325,7 +386,7 @@ T rec(const Tape<T> &tp, const TapeOp &op, int32_t u, const T *cc,
             T s = 0;
             for (int32_t m = 0; m < k; ++m)
                 s += G(1, m) * (k - m) * G(0, k - m);
-            return (2 / std::sqrt(std::acos(T(-1)))) * s / kd;
+            return (2 / m_sqrt(m_acos(T(-1)))) * s / kd;
         }
         case OP_ATAN2: {
             T r1 = 0, r2 = 0, s = 0;
@@ -397,7 +458,7 @@ T rec(const Tape<T> &tp, const TapeOp &op, int32_t u, const T *cc,
             return (t1 + t2 + t3 + t4) / (kd * (1 + w(0)));
         }
     }
-    return std::numeric_limits<T>::quiet_NaN();
+    return m_nan<T>();
 }
 
 // full jet: cc has (order+1) * n_u scalars, state preloaded into order 0
@@ -426,22 +487,22 @@ T determine_h(const T *cc, int32_t n_u, int32_t n_eq, int32_t order, T max_dt)
 {
     T m0 = 0, mo = 0, mo1 = 0;
     for (int32_t i = 0; i < n_eq; ++i) {
-        m0 = std::fmax(m0, std::fabs(cc[i]));
-        mo = std::fmax(
-            mo, std::fabs(cc[static_cast<std::size_t>(order) * n_u + i]));
-        mo1 = std::fmax(
+        m0 = m_fmax(m0, m_fabs(cc[i]));
+        mo = m_fmax(
+            mo, m_fabs(cc[static_cast<std::size_t>(order) * n_u + i]));
+        mo1 = m_fmax(
             mo1,
-            std::fabs(cc[static_cast<std::size_t>(order - 1) * n_u + i]));
+            m_fabs(cc[static_cast<std::size_t>(order - 1) * n_u + i]));
     }
     const T num = m0 <= 1 ? T(1) : m0;
-    const T rho_o = std::pow(num / mo, T(1) / order);
-    const T rho_o1 = std::pow(num / mo1, T(1) / (order - 1));
-    const T rho = std::fmin(rho_o, rho_o1);
+    const T rho_o = m_pow(num / mo, T(1) / order);
+    const T rho_o1 = m_pow(num / mo1, T(1) / (order - 1));
+    const T rho = m_fmin(rho_o, rho_o1);
     // e*e as a product (not exp(2)) to match the python/double constant
-    const T e1 = std::exp(T(1));
-    const T fac = std::exp(T(-0.7) / (order - 1)) / (e1 * e1);
+    const T e1 = m_exp(T(1));
+    const T fac = m_exp(T(-0.7) / (order - 1)) / (e1 * e1);
     T h = rho * fac;
-    h = std::fmin(h, std::fabs(max_dt));
+    h = m_fmin(h, m_fabs(max_dt));
     return max_dt < 0 ? -h : h;
 }
 
@@ -515,7 +576,7 @@ int64_t propagate_until_impl(const Tape<T> &tp, T *state, const T *pars,
     while (true) {
         const T rem = target - (t_hi + t_lo);
         if ((fwd && rem <= 0) || (!fwd && rem >= 0)) break;
-        T cap = std::fmin(std::fabs(rem), max_dt);
+        T cap = m_fmin(m_fabs(rem), max_dt);
         std::fill(cc.begin(), cc.end(), T(0));
         std::memcpy(cc.data(), state, sizeof(T) * tp.n_eq);
         compute_jet(tp, cc.data(), pars, t_hi, order);
@@ -535,7 +596,7 @@ int64_t propagate_until_impl(const Tape<T> &tp, T *state, const T *pars,
         }
         ++steps;
         for (int32_t i = 0; i < tp.n_eq; ++i) {
-            if (!std::isfinite(state[i])) {
+            if (!m_isfinite(state[i])) {
                 *time_io = t_hi + t_lo;
                 return -steps;
             }
@@ -639,5 +700,73 @@ void ht_propagate_until_batch(
             targets[b], max_dt, max_steps, order);
     }
 }
+
+// Quad-precision (__float128) backends: tape literals/pars/times enter as
+// double (they are python doubles anyway); states and coefficients cross
+// the boundary as double-double (hi, lo) pairs, preserving ~106 of the 113
+// bits.  The *internal* arithmetic is full quad — the accumulated error of
+// a long propagation stays at the 1e-34 level (the reference's
+// tut_arbitrary_precision f128 tier).
+#if defined(__SIZEOF_FLOAT128__)
+
+void ht_jet_f128(int32_t n_eq, int32_t n_ops, int32_t n_pars,
+                 const int32_t *opcodes, const int32_t *arity,
+                 const int32_t *inputs, const int32_t *meta,
+                 const double *alpha, const double *consts, int32_t n_consts,
+                 const int32_t *rhs, const double *state_hi,
+                 const double *state_lo, const double *pars, double t_hi,
+                 double t_lo, int32_t order, double *cc_hi, double *cc_lo)
+{
+    using Q = __float128;
+    const Tape<Q> tp = build_tape<Q>(n_eq, n_ops, n_pars, opcodes, arity,
+                                     inputs, meta, alpha, consts, n_consts,
+                                     rhs);
+    const int32_t n_u = n_eq + n_ops;
+    std::vector<Q> st(n_eq), pr(n_pars > 0 ? n_pars : 1);
+    for (int32_t i = 0; i < n_eq; ++i)
+        st[i] = Q(state_hi[i]) + Q(state_lo[i]);
+    for (int32_t i = 0; i < (n_pars > 0 ? n_pars : 1); ++i) pr[i] = Q(pars[i]);
+    std::vector<Q> cc(static_cast<std::size_t>(order + 1) * n_u, Q(0));
+    for (int32_t i = 0; i < n_eq; ++i) cc[i] = st[i];
+    compute_jet(tp, cc.data(), pr.data(), Q(t_hi) + Q(t_lo), order);
+    for (std::size_t i = 0; i < cc.size(); ++i) {
+        const double hi = static_cast<double>(cc[i]);
+        cc_hi[i] = hi;
+        cc_lo[i] = static_cast<double>(cc[i] - Q(hi));
+    }
+}
+
+int64_t ht_propagate_until_f128(
+    int32_t n_eq, int32_t n_ops, int32_t n_pars, const int32_t *opcodes,
+    const int32_t *arity, const int32_t *inputs, const int32_t *meta,
+    const double *alpha, const double *consts, int32_t n_consts,
+    const int32_t *rhs, double *state_hi, double *state_lo,
+    const double *pars, double *time_hi, double *time_lo, double target,
+    double max_dt, int64_t max_steps, int32_t order)
+{
+    using Q = __float128;
+    const Tape<Q> tp = build_tape<Q>(n_eq, n_ops, n_pars, opcodes, arity,
+                                     inputs, meta, alpha, consts, n_consts,
+                                     rhs);
+    std::vector<Q> st(n_eq), pr(n_pars > 0 ? n_pars : 1);
+    for (int32_t i = 0; i < n_eq; ++i)
+        st[i] = Q(state_hi[i]) + Q(state_lo[i]);
+    for (int32_t i = 0; i < (n_pars > 0 ? n_pars : 1); ++i) pr[i] = Q(pars[i]);
+    Q t = Q(*time_hi) + Q(*time_lo);
+    const int64_t steps = propagate_until_impl<Q>(
+        tp, st.data(), pr.data(), &t, Q(target), Q(max_dt), max_steps,
+        order);
+    for (int32_t i = 0; i < n_eq; ++i) {
+        const double hi = static_cast<double>(st[i]);
+        state_hi[i] = hi;
+        state_lo[i] = static_cast<double>(st[i] - Q(hi));
+    }
+    const double th = static_cast<double>(t);
+    *time_hi = th;
+    *time_lo = static_cast<double>(t - Q(th));
+    return steps;
+}
+
+#endif // __SIZEOF_FLOAT128__
 
 } // extern "C"

@@ -53,8 +53,9 @@ def _lib():
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
         cxx = os.environ.get("CXX", "g++")
         cmd = [
-            cxx, "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            "-fopenmp", src, "-o", so + ".tmp",
+            cxx, "-O3", "-march=native", "-shared", "-fPIC",
+            "-std=gnu++17", "-fopenmp", src, "-o", so + ".tmp",
+            "-lquadmath",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
@@ -96,6 +97,21 @@ def _lib():
         ldp, ldp, ctypes.POINTER(ctypes.c_longdouble),
         ctypes.c_longdouble, ctypes.c_longdouble, ctypes.c_int64,
         ctypes.c_int32,
+    ]
+    lib.ht_jet_f128.restype = None
+    lib.ht_jet_f128.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        f64p, f64p, f64p, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, f64p, f64p,
+    ]
+    lib.ht_propagate_until_f128.restype = ctypes.c_int64
+    lib.ht_propagate_until_f128.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        f64p, f64p, f64p,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
     ]
     lib.ht_propagate_until_batch.restype = None
     lib.ht_propagate_until_batch.argtypes = [
@@ -320,3 +336,61 @@ def native_propagate_until_ld(
             f"non-finite state after {-steps} steps at t={t.value}"
         )
     return state, np.longdouble(t.value), int(steps)
+
+
+def native_jet_f128(tape: Tape, state, pars, t, order: int):
+    """Quad-precision (__float128) Taylor coefficients; inputs/outputs
+    cross the boundary as double-double (hi, lo) pairs (~106 of 113 bits);
+    internal arithmetic is full quad — the f128 tier of the reference's
+    arbitrary-precision support. Returns (cc_hi, cc_lo)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ compiler?)")
+    p = pack_tape(tape)
+    n_u = tape.n_uvars
+    hi = np.zeros(((order + 1), n_u), np.float64)
+    lo = np.zeros_like(hi)
+    st = np.ascontiguousarray(state, np.float64)
+    st_lo = np.zeros_like(st)
+    pars = np.ascontiguousarray(
+        pars if pars is not None and len(pars) else [0.0], np.float64
+    )
+    lib.ht_jet_f128(
+        p["n_eq"], p["n_ops"], p["n_pars"], p["opcodes"], p["arity"],
+        p["inputs"], p["meta"], p["alpha"], p["consts"], p["n_consts"],
+        p["rhs"], st, st_lo, pars, float(t), 0.0, np.int32(order),
+        hi.reshape(-1), lo.reshape(-1),
+    )
+    return hi, lo
+
+
+def native_propagate_until_f128(
+    tape: Tape, state, pars, t0, target, order: int,
+    *, max_delta_t=np.inf, max_steps: int = 0,
+):
+    """Quad-precision adaptive Taylor propagation on the host CPU; returns
+    (state_hi, state_lo, time_hi, time_lo, nsteps).  The appropriate order
+    for f128 comes from ``taylor_order_from_tol(1.9e-34)`` (~40)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ compiler?)")
+    p = pack_tape(tape)
+    hi = np.array(state, np.float64)
+    lo = np.zeros_like(hi)
+    pars = np.ascontiguousarray(
+        pars if pars is not None and len(pars) else [0.0], np.float64
+    )
+    th = ctypes.c_double(float(t0))
+    tl = ctypes.c_double(0.0)
+    steps = lib.ht_propagate_until_f128(
+        p["n_eq"], p["n_ops"], p["n_pars"], p["opcodes"], p["arity"],
+        p["inputs"], p["meta"], p["alpha"], p["consts"], p["n_consts"],
+        p["rhs"], hi, lo, pars, ctypes.byref(th), ctypes.byref(tl),
+        float(target), float(max_delta_t), np.int64(max_steps),
+        np.int32(order),
+    )
+    if steps < 0:
+        raise FloatingPointError(
+            f"non-finite state after {-steps} steps at t={th.value}"
+        )
+    return hi, lo, th.value, tl.value, int(steps)

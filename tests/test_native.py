@@ -158,3 +158,28 @@ def test_native_extended_precision():
     err_d = float(np.abs(sd2 - np.array([0.05, 0.025])).max())
     assert err_ld < err_d / 50
     assert err_ld < 1e-16
+
+
+def test_native_quad_precision():
+    # __float128 backend (the f128 tier of the reference's
+    # arbitrary-precision support): pendulum 0 -> 200 -> 0 return error at
+    # the 1e-33 level, resolved through the double-double boundary
+    import ctypes
+    from heyoka_tpu import native as nat
+
+    tape = taylor_decompose_sys(pendulum())
+    hi, lo, th, tl, n1 = nat.native_propagate_until_f128(
+        tape, [0.05, 0.025], None, 0.0, 200.0, 40
+    )
+    p = nat.pack_tape(tape)
+    th2 = ctypes.c_double(th)
+    tl2 = ctypes.c_double(tl)
+    nat._lib().ht_propagate_until_f128(
+        p["n_eq"], p["n_ops"], p["n_pars"], p["opcodes"], p["arity"],
+        p["inputs"], p["meta"], p["alpha"], p["consts"], p["n_consts"],
+        p["rhs"], hi, lo, np.zeros(1), ctypes.byref(th2),
+        ctypes.byref(tl2), 0.0, np.inf, np.int64(0), np.int32(40),
+    )
+    assert hi[0] == 0.05 and hi[1] == 0.025  # hi parts return exactly
+    err = max(abs((hi[0] - 0.05) + lo[0]), abs((hi[1] - 0.025) + lo[1]))
+    assert err < 1e-30
