@@ -77,6 +77,7 @@ from .logging import (  # noqa: E402
     set_logger_level_err,
 )
 from . import models  # noqa: E402
+from . import multiprec  # noqa: E402
 from .ensemble import (  # noqa: E402
     ensemble_propagate_until,
     ensemble_propagate_for,

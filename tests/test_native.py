@@ -183,3 +183,32 @@ def test_native_quad_precision():
     assert hi[0] == 0.05 and hi[1] == 0.025  # hi parts return exactly
     err = max(abs((hi[0] - 0.05) + lo[0]), abs((hi[1] - 0.025) + lo[1]))
     assert err < 1e-30
+
+
+def test_multiprec_integrator():
+    # arbitrary-precision (mpmath) tier: back-and-forth return error at the
+    # requested digit count, and jets identical to the f128 backend through
+    # the double-double boundary
+    import mpmath as mp
+    from heyoka_tpu.multiprec import MPTaylorIntegrator
+    from heyoka_tpu.native import native_jet_f128
+
+    tape = taylor_decompose_sys(pendulum())
+    mpta = MPTaylorIntegrator(tape, [0.05, 0.025], dps=30)
+    with mp.workdps(30):
+        x0, v0 = mp.mpf(0.05), mp.mpf(0.025)
+    mpta.propagate_until(5.0)
+    mpta.propagate_until(0.0)
+    with mp.workdps(30):
+        err = max(abs(mpta.state[0] - x0), abs(mpta.state[1] - v0))
+        assert err < mp.mpf(10) ** -27
+
+    m2 = MPTaylorIntegrator(tape, [0.05, 0.025], dps=40, order=12)
+    with mp.workdps(40):
+        m2._t = m2.time
+        cc = m2._jet()
+    jh, jl = native_jet_f128(tape, [0.05, 0.025], None, 0.0, 12)
+    for k in range(13):
+        for i in range(2):
+            q = float(jh[k, i]) + float(jl[k, i])
+            assert abs(q - float(cc[k][i])) <= 1e-30 + 1e-15 * abs(q)
