@@ -114,12 +114,14 @@ class TaylorAdaptive:
         if self._t_events or self._nt_events:
             from .events import make_event_step
 
-            self._ev_step = make_event_step(
+            self._ev_step_raw = make_event_step(
                 self._fns, self._tape, self._t_events, self._nt_events,
-                self._dtype, self._tol,
+                self._dtype, self._tol, jit=False,
             )
+            self._ev_step = jax.jit(self._ev_step_raw)
         else:
             self._ev_step = None
+            self._ev_step_raw = None
         self._te_cooldowns = jnp.zeros((len(self._t_events),), self._dtype)
         self._event_stop = False
 
@@ -233,6 +235,15 @@ class TaylorAdaptive:
     #: device-side step-record buffer capacity per re-entry of the
     #: continuous-output driver (static shape; host accumulates chunks)
     _COUT_CHUNK = 1024
+
+    @cached_property
+    def _pu_nt_jit(self):
+        from .events import make_propagate_until_nt
+
+        pu = make_propagate_until_nt(
+            self._ev_step_raw, self._order, self.dim, len(self._nt_events),
+        )
+        return jax.jit(pu)
 
     @cached_property
     def _pu_cout_jit(self):
@@ -349,6 +360,16 @@ class TaylorAdaptive:
                 int(res["nsteps"]),
             )
         if self._ev_step is not None or callback is not None:
+            if (self._ev_step is not None and not self._t_events
+                    and callback is None):
+                # nt-only events: whole propagation on-device, nt callbacks
+                # dispatched chronologically afterwards (they observe the
+                # integrator at its *final* state; the reference invokes
+                # them mid-flight with the post-step state — identical for
+                # the common (t, d_sgn)-only callbacks)
+                return self._propagate_until_nt_fast(
+                    t, float(max_delta_t), int(max_steps)
+                )
             return self._propagate_until_stepwise(
                 t, float(max_delta_t), int(max_steps), callback
             )
@@ -420,6 +441,49 @@ class TaylorAdaptive:
             tl = np.asarray(self._t_lo)[None]
         c_out = ContinuousOutput(th, tl, all_tc, self._order, self.dim, fwd)
         return outcome, min_h, max_h, nsteps, c_out
+
+    def _propagate_until_nt_fast(self, t, max_delta_t, max_steps):
+        """On-device propagate-until with non-terminal events: chunked
+        re-entry of the recording driver, then chronological callback
+        dispatch (see ``events.make_propagate_until_nt``)."""
+        min_h, max_h, nsteps = _pymath.inf, 0.0, 0
+        fwd = t >= self.time
+        hits_t, hits_i, hits_s = [], [], []
+        while True:
+            rem_steps = max(0, max_steps - nsteps) if max_steps else 0
+            res = self._pu_nt_jit(
+                self._state, self._pars, self._t_hi, self._t_lo,
+                jnp.asarray(t, self._dtype), jnp.asarray(0.0, self._dtype),
+                jnp.asarray(max_delta_t, self._dtype),
+                jnp.asarray(rem_steps, jnp.int64),
+                self._te_cooldowns,
+            )
+            n = int(res["rec_n"])
+            if n:
+                hits_t.append(np.asarray(res["rec_t"])[:n])
+                hits_i.append(np.asarray(res["rec_idx"])[:n])
+                hits_s.append(np.asarray(res["rec_sgn"])[:n])
+            self._state = res["state"]
+            self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+            self._last_h = res["last_h"]
+            self._tc = res["tc"]
+            self._te_cooldowns = res["cooldowns"]
+            min_h = min(min_h, float(res["min_h"]))
+            max_h = max(max_h, float(res["max_h"]))
+            nsteps += int(res["nsteps"])
+            if not bool(res["overflow"]):
+                outcome = TaylorOutcome(int(res["outcome"]))
+                break
+        if hits_t:
+            times = np.concatenate(hits_t)
+            idxs = np.concatenate(hits_i)
+            sgns = np.concatenate(hits_s)
+            order_ = np.argsort(times) if fwd else np.argsort(-times)
+            for k in order_:
+                self._nt_events[int(idxs[k])].callback(
+                    self, float(times[k]), int(sgns[k])
+                )
+        return outcome, min_h, max_h, nsteps
 
     def _propagate_until_stepwise(self, t, max_delta_t, max_steps, callback):
         # host-driven loop used when per-step host callbacks / events demand it

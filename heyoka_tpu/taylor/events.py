@@ -82,15 +82,18 @@ class t_event:
         )
 
 
-def make_event_step(fns, tape, t_events, nt_events, dtype, tol):
-    """Build the jitted single-step-with-events driver.  Implemented in
-    ``events_impl.py`` (kept separate: it is the largest in-graph kernel)."""
+def make_event_step(fns, tape, t_events, nt_events, dtype, tol, *,
+                    jit: bool = True):
+    """Build the single-step-with-events driver (jitted by default).
+    Implemented in ``events_impl.py`` (kept separate: it is the largest
+    in-graph kernel)."""
     import jax
 
     from .events_impl import build_event_step
 
     make = build_event_step(fns, tape, t_events, nt_events, dtype)
-    return jax.jit(make(float(tol)))
+    step = make(float(tol))
+    return jax.jit(step) if jit else step
 
 
 def dispatch_callbacks(ta, res) -> bool:
@@ -120,3 +123,143 @@ def dispatch_callbacks(ta, res) -> bool:
         cont = ev.callback(ta, int(res["te_sgn"]))
         return cont is False
     return False
+
+
+def make_propagate_until_nt(ev_step_raw, order, n_eq, n_nte, rec_cap=1024):
+    """On-device propagate-until for *non-terminal-only* event configs.
+
+    The host-driven stepwise driver pays a dispatch round-trip per step
+    (~35x overhead measured on the Henon-Heiles Poincare workload); here the
+    whole propagation runs in one ``lax.while_loop``, recording every nt
+    hit ``(t, idx, d_sgn)`` in a bounded on-device buffer.  Callbacks are
+    dispatched chronologically *after* the loop (they see the integrator at
+    its final state — note in ``propagate_until``'s docstring; the
+    reference invokes them mid-flight with the post-step state, so
+    callbacks that only use ``(t, d_sgn)`` — the common case — are
+    unaffected).  On buffer overflow the driver returns early and the host
+    re-enters it (chunked, like the continuous-output recorder).
+    """
+    from jax import lax
+
+    from ..dfloat import dd_add_dd
+    from .outcome import TaylorOutcome
+
+    from .events_impl import MAX_ROOTS
+
+    n_slots = max(1, n_nte) * MAX_ROOTS
+
+    def pu(state, pars, t_hi, t_lo, target_hi, target_lo, max_delta_t,
+           max_steps, cooldowns):
+        dtype = state.dtype
+        zero = jnp.asarray(0.0, dtype)
+
+        def remaining(th, tl):
+            rh, _ = dd_add_dd(target_hi, target_lo, -th, -tl)
+            return rh
+
+        rem0 = remaining(t_hi, t_lo)
+        fwd = rem0 > zero
+
+        init = dict(
+            state=state,
+            t_hi=t_hi,
+            t_lo=t_lo,
+            last_h=zero,
+            tc=jnp.zeros((order + 1, n_eq + n_nte), dtype),
+            nsteps=jnp.int64(0),
+            min_h=jnp.asarray(jnp.inf, dtype),
+            max_h=zero,
+            outcome=jnp.int32(TaylorOutcome.time_limit),
+            done=rem0 == zero,
+            cooldowns=cooldowns,
+            rec_t=jnp.zeros((rec_cap,), dtype),
+            rec_idx=jnp.zeros((rec_cap,), jnp.int32),
+            rec_sgn=jnp.zeros((rec_cap,), jnp.int32),
+            rec_n=jnp.int32(0),
+            overflow=jnp.asarray(False),
+        )
+
+        def cond(c):
+            return ~c["done"] & ~c["overflow"]
+
+        def body(c):
+            rem = remaining(c["t_hi"], c["t_lo"])
+            cap = jnp.minimum(jnp.abs(rem), max_delta_t)
+            dt = jnp.where(fwd, cap, -cap)
+
+            res = ev_step_raw(
+                c["state"], pars, c["t_hi"], c["t_lo"], dt, c["cooldowns"]
+            )
+
+            # if this step's hits would not all fit, do NOT advance: flag
+            # overflow and let the host re-enter with a cleared buffer (no
+            # hit is ever dropped)
+            n_hits = jnp.sum(res["nt_mask"].astype(jnp.int32))
+            overflow = c["rec_n"] + n_hits > rec_cap
+
+            # append recorded nt hits (n_slots is small and static)
+            rec_t, rec_idx, rec_sgn = c["rec_t"], c["rec_idx"], c["rec_sgn"]
+            rec_n = c["rec_n"]
+            for s in range(n_slots):
+                ok = res["nt_mask"][s] & ~overflow
+                rec_t = lax.dynamic_update_slice(
+                    rec_t,
+                    jnp.where(ok, res["nt_times"][s], rec_t[rec_n])[None],
+                    (rec_n,),
+                )
+                rec_idx = lax.dynamic_update_slice(
+                    rec_idx,
+                    jnp.where(ok, res["nt_idx"][s], rec_idx[rec_n])[None],
+                    (rec_n,),
+                )
+                rec_sgn = lax.dynamic_update_slice(
+                    rec_sgn,
+                    jnp.where(ok, res["nt_sgn"][s], rec_sgn[rec_n])[None],
+                    (rec_n,),
+                )
+                rec_n = rec_n + ok.astype(jnp.int32)
+
+            finite = res["outcome"] != jnp.int32(TaylorOutcome.err_nf_state)
+            nsteps = c["nsteps"] + 1
+            rem_after = remaining(res["t_hi"], res["t_lo"])
+            reached = jnp.where(fwd, rem_after <= zero, rem_after >= zero)
+            hit_step_limit = (max_steps > 0) & (nsteps >= max_steps) & ~reached
+
+            outcome = jnp.where(
+                ~finite,
+                jnp.int32(TaylorOutcome.err_nf_state),
+                jnp.where(
+                    hit_step_limit,
+                    jnp.int32(TaylorOutcome.step_limit),
+                    jnp.int32(TaylorOutcome.time_limit),
+                ),
+            )
+            done = ~finite | hit_step_limit | reached
+            abs_h = jnp.abs(res["last_h"])
+
+            def sel(new, old):
+                # overflow: keep the pre-step carry (the step is replayed)
+                return jnp.where(overflow, old, new)
+
+            return dict(
+                state=sel(res["state"], c["state"]),
+                t_hi=sel(res["t_hi"], c["t_hi"]),
+                t_lo=sel(res["t_lo"], c["t_lo"]),
+                last_h=sel(res["last_h"], c["last_h"]),
+                tc=sel(res["tc"], c["tc"]),
+                nsteps=sel(nsteps, c["nsteps"]),
+                min_h=sel(jnp.minimum(c["min_h"], abs_h), c["min_h"]),
+                max_h=sel(jnp.maximum(c["max_h"], abs_h), c["max_h"]),
+                outcome=sel(outcome, c["outcome"]),
+                done=sel(done, c["done"]),
+                cooldowns=sel(res["cooldowns"], c["cooldowns"]),
+                rec_t=rec_t,
+                rec_idx=rec_idx,
+                rec_sgn=rec_sgn,
+                rec_n=rec_n,
+                overflow=overflow,
+            )
+
+        return lax.while_loop(cond, body, init)
+
+    return pu
