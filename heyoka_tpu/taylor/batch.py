@@ -128,9 +128,11 @@ class TaylorAdaptiveBatch:
                 self._fns, self._tape, self._t_events, self._nt_events,
                 self._dtype,
             )
-            self._ev_step = jax.jit(jax.vmap(make(self._tol)))
+            self._ev_step_raw = make(self._tol)
+            self._ev_step = jax.jit(jax.vmap(self._ev_step_raw))
         else:
             self._ev_step = None
+            self._ev_step_raw = None
         self._te_cooldowns = jnp.zeros(
             (self._batch, len(self._t_events)), self._dtype
         )
@@ -408,6 +410,8 @@ class TaylorAdaptiveBatch:
                 )
             return self._propagate_until_cout(t, mdt, int(max_steps))
         if self._ev_step is not None:
+            if not self._t_events:
+                return self._propagate_until_nt_fast(t, mdt, int(max_steps))
             return self._propagate_until_events(t, mdt, int(max_steps))
         res = self._pu_jit(
             self._state,
@@ -504,6 +508,75 @@ class TaylorAdaptiveBatch:
             for i in range(self._batch)
         ]
         return outcomes, min_h, max_h, nsteps, c_out
+
+    @cached_property
+    def _pu_nt_jit(self):
+        from .events import make_propagate_until_nt
+
+        pu = make_propagate_until_nt(
+            self._ev_step_raw, self._order, self.dim, len(self._nt_events),
+        )
+        return jax.jit(
+            jax.vmap(pu, in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0))
+        )
+
+    def _propagate_until_nt_fast(self, t, mdt, max_steps):
+        """On-device lockstep propagate-until with non-terminal events:
+        the vmapped recording driver of ``events.make_propagate_until_nt``;
+        per-lane nt callbacks ``cb(tb, t, d_sgn, lane)`` are dispatched
+        chronologically (within each lane) after the loop."""
+        min_h = np.full((self._batch,), _pymath.inf)
+        max_h = np.zeros((self._batch,))
+        nsteps = np.zeros((self._batch,), np.int64)
+        fwd = t >= self.time
+        lane_hits = [[] for _ in range(self._batch)]
+        while True:
+            rem_steps = (
+                max(0, max_steps - int(nsteps.max())) if max_steps else 0
+            )
+            res = self._pu_nt_jit(
+                self._state, self._pars, self._t_hi, self._t_lo,
+                jnp.asarray(t), jnp.zeros((self._batch,), self._dtype),
+                jnp.asarray(mdt), jnp.asarray(rem_steps, jnp.int64),
+                self._te_cooldowns,
+            )
+            rec_n = np.asarray(res["rec_n"])
+            rec_t = np.asarray(res["rec_t"])
+            rec_i = np.asarray(res["rec_idx"])
+            rec_s = np.asarray(res["rec_sgn"])
+            for i in range(self._batch):
+                n = int(rec_n[i])
+                if n:
+                    lane_hits[i].append((rec_t[i, :n], rec_i[i, :n],
+                                         rec_s[i, :n]))
+            self._state = res["state"]
+            self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+            self._last_h = res["last_h"]
+            self._tc = res["tc"]
+            self._te_cooldowns = res["cooldowns"]
+            min_h = np.minimum(min_h, np.asarray(res["min_h"]))
+            max_h = np.maximum(max_h, np.asarray(res["max_h"]))
+            nsteps += np.asarray(res["nsteps"])
+            if not bool(np.any(np.asarray(res["overflow"]))):
+                oc = np.asarray(res["outcome"])
+                break
+        for i in range(self._batch):
+            if not lane_hits[i]:
+                continue
+            times = np.concatenate([h[0] for h in lane_hits[i]])
+            idxs = np.concatenate([h[1] for h in lane_hits[i]])
+            sgns = np.concatenate([h[2] for h in lane_hits[i]])
+            order_ = np.argsort(times) if fwd[i] else np.argsort(-times)
+            for k in order_:
+                self._nt_events[int(idxs[k])].callback(
+                    self, float(times[k]), int(sgns[k]), i
+                )
+        outcomes = [TaylorOutcome(int(o)) for o in oc]
+        self._last_res = [
+            (outcomes[i], float(np.asarray(self._last_h)[i]))
+            for i in range(self._batch)
+        ]
+        return outcomes, min_h, max_h, nsteps
 
     def _propagate_until_events(self, t, mdt, max_steps):
         """Host-driven per-lane propagate-until in the presence of events:

@@ -195,3 +195,22 @@ def test_close_root_pair_within_one_step():
     assert hits[1] - hits[0] < 1e-3
     assert hits[3] - hits[2] < 1e-3
     assert hits[2] - hits[1] > 0.5
+
+
+def test_nt_fast_path_overflow_chunking():
+    # >1024 hits forces the on-device recorder to overflow and the host to
+    # re-enter (replaying the overflowing step): no hit may be lost
+    hits = []
+    x, v = hy.make_vars("x", "v")
+    ev = nt_event(hy.sin(50.0 * hy.time) + 0.0 * x,
+                  lambda ta, t, d: hits.append(t))
+    ta = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=1e-12, nt_events=[ev]
+    )
+    oc, *_ = ta.propagate_until(100.0)
+    assert oc == TaylorOutcome.time_limit
+    expect = math.floor(100.0 * 50.0 / math.pi) + 1  # incl. the t=0 root
+    assert len(hits) == expect
+    assert all(a <= b for a, b in zip(hits, hits[1:]))
+    worst = max(abs(h - round(h * 50 / math.pi) * math.pi / 50) for h in hits)
+    assert worst < 1e-12
