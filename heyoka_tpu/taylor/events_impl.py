@@ -89,17 +89,22 @@ def _make_isolator(p, dtype, max_roots):
         for i in range(j + 1):
             comb[i, j] = _pymath.comb(j, i)
     COMB = jnp.asarray(comb, dtype)  # C(j, i) for j >= i, else 0
-    EXP = jnp.asarray(np.maximum(idx[None, :] - idx[:, None], 0), dtype)
-    UPPER = jnp.asarray((idx[None, :] >= idx[:, None]).astype(float), dtype)
-    KPOW = jnp.asarray(idx, dtype)
+    EXPI = np.clip(idx[None, :] - idx[:, None], 0, p)  # static int j - i
     eps = float(np.finfo(np.dtype(dtype)).eps)
     tiny = 16.0 * eps  # width floor: emit unresolved V>=2 clusters
+
+    def powvec(x):
+        # [1, x, x^2, ..., x^p] via cumprod — jnp.power lowers through
+        # exp/log on TPU, where 0^0 -> NaN and (negative)^k -> NaN
+        return jnp.concatenate(
+            [jnp.ones((1,), dtype), jnp.cumprod(jnp.full((p,), x, dtype))]
+        )
 
     def shift_scale(c, a, w):
         # coefficients of q(x) = p(a + w*x):
         # Taylor shift by a (b_i = sum_j C(j,i) a^(j-i) c_j), then scale by w
-        M = COMB * UPPER * jnp.power(a, EXP)
-        return (M @ c) * jnp.power(w, KPOW)
+        M = COMB * jnp.take(powvec(a), EXPI)
+        return (M @ c) * powvec(w)
 
     def descartes(q):
         # sign variations of (1+x)^p q(1/(1+x)): reverse + translate by 1;
@@ -207,7 +212,6 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
     )
 
     isolate = _make_isolator(order, dtype, MAX_ROOTS)
-    kpow = jnp.arange(order + 1, dtype=dtype)
 
     def find_roots(gcoeffs, h):
         """Roots of each event polynomial in s = tau/h over [0, 1).
@@ -220,8 +224,13 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
         guaranteed for odd-multiplicity roots; even-multiplicity clusters
         resolve to the interval midpoint).
         """
-        # polynomial in s: c_k = g_k * h^k
-        cs = gcoeffs * jnp.power(h, kpow)[None, :]  # (ne, order+1)
+        # polynomial in s: c_k = g_k * h^k (powers via cumprod: jnp.power
+        # lowers through exp/log on TPU, NaN for negative h)
+        hp = jnp.concatenate(
+            [jnp.ones((1,), h.dtype),
+             jnp.cumprod(jnp.full((order,), h, h.dtype))]
+        )
+        cs = gcoeffs * hp[None, :]  # (ne, order+1)
         rlo, rhi, valid = jax.vmap(isolate)(cs)  # (ne, MAX_ROOTS)
 
         g_lo = _poly_eval(cs[:, None, :], rlo)
