@@ -133,11 +133,20 @@ def _pow0(b, alpha: float):
         return r * r * r
     if alpha == 1.5:
         return b * jnp.sqrt(b)
-    if alpha == float(int(alpha)) and abs(alpha) <= 8:
+    if alpha == float(int(alpha)) and abs(alpha) <= 512:
+        # any integer exponent via squaring: jnp.power lowers through
+        # exp/log on TPU, where negative bases produce NaN (PERF.md)
         n = int(alpha)
-        r = 1.0
         x = b if n > 0 else 1.0 / b
-        for _ in range(abs(n)):
-            r = r * x
+        n = abs(n)
+        if n == 0:
+            return jnp.ones_like(b)
+        r = None
+        while n:
+            if n & 1:
+                r = x if r is None else r * x
+            n >>= 1
+            if n:
+                x = x * x
         return r
     return jnp.power(b, alpha)
