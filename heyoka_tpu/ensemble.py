@@ -64,6 +64,18 @@ def _build_inputs(ta, n_iter, gen):
     return states, pars, times
 
 
+def _check_no_events(ta):
+    """Ensemble drivers run the event-free propagation kernels; an
+    integrator carrying events would otherwise fail deep inside the driver
+    with a shape error (its tape has extra sv_func columns)."""
+    if getattr(ta, "_ev_step", None) is not None:
+        raise NotImplementedError(
+            "ensemble propagation does not support integrators with events "
+            "yet; use taylor_adaptive_batch with events, or strip the "
+            "events from the template integrator"
+        )
+
+
 def _mesh_shard(fun, mesh, n_args):
     """shard_map ``fun`` over the trajectory axis of an (optional) mesh."""
     if mesh is None:
@@ -96,6 +108,7 @@ def ensemble_propagate_until(
     When ``mesh`` is given, the trajectory axis is sharded across its first
     axis (``n_iter`` must be divisible by the mesh size).
     """
+    _check_no_events(ta)
     states, pars, times = _build_inputs(ta, n_iter, gen)
     if max_delta_t is None:
         max_delta_t = _pymath.inf
@@ -171,6 +184,7 @@ def ensemble_propagate_grid(
 ):
     """Ensemble dense-output sampling on a shared grid; returns the stacked
     output array (n_iter, len(grid), dim) plus per-instance diagnostics."""
+    _check_no_events(ta)
     states, pars, times = _build_inputs(ta, n_iter, gen)
     if max_delta_t is None:
         max_delta_t = _pymath.inf
