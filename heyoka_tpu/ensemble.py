@@ -64,16 +64,25 @@ def _build_inputs(ta, n_iter, gen):
     return states, pars, times
 
 
-def _check_no_events(ta):
-    """Ensemble drivers run the event-free propagation kernels; an
-    integrator carrying events would otherwise fail deep inside the driver
-    with a shape error (its tape has extra sv_func columns)."""
-    if getattr(ta, "_ev_step", None) is not None:
+def _events_config(ta):
+    """Classify the template integrator's event configuration for the
+    ensemble drivers: ``None`` when event-free, else ``(t_events,
+    nt_events)``.  Raises for configurations needing mid-flight host
+    callbacks (terminal events with callbacks decide continue-vs-stop
+    per step in the reference, ``events.hpp:151-309`` — that round-trip
+    cannot ride the on-device driver)."""
+    if getattr(ta, "_ev_step", None) is None:
+        return None
+    tes = list(ta._t_events)
+    ntes = list(ta._nt_events)
+    if any(ev.callback is not None for ev in tes):
         raise NotImplementedError(
-            "ensemble propagation does not support integrators with events "
-            "yet; use taylor_adaptive_batch with events, or strip the "
-            "events from the template integrator"
+            "ensemble propagation supports terminal events only in "
+            "pure-stop form (callback=None); a terminal-event callback "
+            "decides continue-vs-stop mid-flight and cannot run inside "
+            "the on-device ensemble driver"
         )
+    return tes, ntes
 
 
 def _mesh_shard(fun, mesh, n_args):
@@ -108,11 +117,17 @@ def ensemble_propagate_until(
     When ``mesh`` is given, the trajectory axis is sharded across its first
     axis (``n_iter`` must be divisible by the mesh size).
     """
-    _check_no_events(ta)
     states, pars, times = _build_inputs(ta, n_iter, gen)
     if max_delta_t is None:
         max_delta_t = _pymath.inf
     dtype = ta._dtype
+
+    evcfg = _events_config(ta)
+    if evcfg is not None:
+        return _ensemble_propagate_until_ev(
+            ta, evcfg, n_iter, states, pars, times, t,
+            float(max_delta_t), int(max_steps), mesh,
+        )
 
     if getattr(ta, "_flat", False):
         # the integrator runs the staged flat engine: each mesh shard steps
@@ -170,6 +185,133 @@ def ensemble_propagate_until(
     }
 
 
+def _ensemble_propagate_until_ev(
+    ta, evcfg, n_iter, states, pars, times, t, max_delta_t, max_steps, mesh,
+    rec_cap=1024,
+):
+    """Ensemble propagate-until for event-carrying integrators.
+
+    Runs the on-device recording driver (``events.make_propagate_until_ev``)
+    vmapped over the instance axis and shard_map-ed over the mesh: terminal
+    events stop their instance with outcome = event index; every nt hit is
+    recorded on device and returned (padded) as ``nt_times/nt_idx/nt_sgn``
+    with per-instance ``nt_count``.  nt callbacks, if any, are dispatched
+    host-side afterwards, chronologically within each instance, as
+    ``cb(results, t, d_sgn, instance)``.  Overflowed recording chunks are
+    replayed with finished instances masked inactive.
+    """
+    from .taylor.events import make_propagate_until_ev
+
+    tes, ntes = evcfg
+    dtype = ta._dtype
+    pu = make_propagate_until_ev(
+        ta._ev_step_raw, ta._order, ta.dim, len(tes), len(ntes),
+        rec_cap=rec_cap,
+    )
+    mdt = jnp.asarray(max_delta_t, dtype)
+
+    def one(state, pars_, t_hi, t_lo, tgt, msteps, cd, act):
+        return pu(
+            state, pars_, t_hi, t_lo, tgt, jnp.zeros_like(tgt), mdt,
+            msteps, cd, act,
+        )
+
+    vm = jax.vmap(one)
+    fn = jax.jit(_mesh_shard(vm, mesh, 8))
+
+    targets = jnp.broadcast_to(jnp.asarray(t, dtype), (n_iter,))
+    cur = dict(
+        state=jnp.asarray(states),
+        t_hi=jnp.asarray(times),
+        t_lo=jnp.zeros((n_iter,), dtype),
+        cooldowns=jnp.zeros((n_iter, len(tes)), dtype),
+    )
+    pars_j = jnp.asarray(pars)
+    done = np.zeros((n_iter,), bool)
+    oc = np.full((n_iter,), int(TaylorOutcome.time_limit), np.int32)
+    te_idx = np.full((n_iter,), -1, np.int32)
+    te_sgn = np.zeros((n_iter,), np.int32)
+    min_h = np.full((n_iter,), _pymath.inf)
+    max_h = np.zeros((n_iter,))
+    nsteps = np.zeros((n_iter,), np.int64)
+    last_h = np.zeros((n_iter,))
+    inst_hits = [[] for _ in range(n_iter)]
+    while True:
+        if max_steps:
+            msteps = np.maximum(0, max_steps - nsteps)
+        else:
+            msteps = np.zeros((n_iter,), np.int64)
+        res = fn(
+            cur["state"], pars_j, cur["t_hi"], cur["t_lo"], targets,
+            jnp.asarray(msteps, jnp.int64), cur["cooldowns"],
+            jnp.asarray(~done),
+        )
+        rec_n = np.asarray(res["rec_n"])
+        rec_t = np.asarray(res["rec_t"])
+        rec_i = np.asarray(res["rec_idx"])
+        rec_s = np.asarray(res["rec_sgn"])
+        for i in range(n_iter):
+            n = int(rec_n[i])
+            if n:
+                inst_hits[i].append((rec_t[i, :n], rec_i[i, :n], rec_s[i, :n]))
+        cur = dict(
+            state=res["state"], t_hi=res["t_hi"], t_lo=res["t_lo"],
+            cooldowns=res["cooldowns"],
+        )
+        min_h = np.minimum(min_h, np.asarray(res["min_h"]))
+        max_h = np.maximum(max_h, np.asarray(res["max_h"]))
+        nsteps += np.asarray(res["nsteps"])
+        newly = ~done & np.asarray(res["done"])
+        oc = np.where(newly, np.asarray(res["outcome"]), oc)
+        te_idx = np.where(newly, np.asarray(res["te_idx"]), te_idx)
+        te_sgn = np.where(newly, np.asarray(res["te_sgn"]), te_sgn)
+        last_h = np.where(newly, np.asarray(res["last_h"]), last_h)
+        done |= newly
+        if not bool(np.any(np.asarray(res["overflow"]))):
+            break
+
+    counts = np.array([sum(h[0].shape[0] for h in inst_hits[i])
+                       for i in range(n_iter)])
+    cap = max(1, int(counts.max())) if counts.size else 1
+    nt_times = np.full((n_iter, cap), np.nan)
+    nt_idx = np.full((n_iter, cap), -1, np.int32)
+    nt_sgn = np.zeros((n_iter, cap), np.int32)
+    fwd = np.asarray(targets) >= times
+    for i in range(n_iter):
+        if not inst_hits[i]:
+            continue
+        ts = np.concatenate([h[0] for h in inst_hits[i]])
+        ix = np.concatenate([h[1] for h in inst_hits[i]])
+        sg = np.concatenate([h[2] for h in inst_hits[i]])
+        order_ = np.argsort(ts) if fwd[i] else np.argsort(-ts)
+        n = ts.shape[0]
+        nt_times[i, :n] = ts[order_]
+        nt_idx[i, :n] = ix[order_]
+        nt_sgn[i, :n] = sg[order_]
+
+    results = {
+        "state": cur["state"],
+        "time": cur["t_hi"] + cur["t_lo"],
+        "outcome": oc,
+        "min_h": min_h,
+        "max_h": max_h,
+        "nsteps": nsteps,
+        "te_idx": te_idx,
+        "te_sgn": te_sgn,
+        "nt_times": nt_times,
+        "nt_idx": nt_idx,
+        "nt_sgn": nt_sgn,
+        "nt_count": counts,
+    }
+    if any(ev.callback is not None for ev in ntes):
+        for i in range(n_iter):
+            for k in range(int(counts[i])):
+                cb = ntes[int(nt_idx[i, k])].callback
+                if cb is not None:
+                    cb(results, float(nt_times[i, k]), int(nt_sgn[i, k]), i)
+    return results
+
+
 def ensemble_propagate_for(ta, delta_t, n_iter: int, gen, **kw):
     states, pars, times = _build_inputs(ta, n_iter, gen)
     # target per instance = its own start time + delta
@@ -184,7 +326,12 @@ def ensemble_propagate_grid(
 ):
     """Ensemble dense-output sampling on a shared grid; returns the stacked
     output array (n_iter, len(grid), dim) plus per-instance diagnostics."""
-    _check_no_events(ta)
+    if _events_config(ta) is not None:
+        raise NotImplementedError(
+            "ensemble_propagate_grid does not support event-carrying "
+            "integrators; use ensemble_propagate_until/for (events "
+            "supported) or a taylor_adaptive_batch grid"
+        )
     states, pars, times = _build_inputs(ta, n_iter, gen)
     if max_delta_t is None:
         max_delta_t = _pymath.inf
@@ -257,6 +404,10 @@ class _BatchShim:
         self._flat = getattr(tab, "_flat", False)
         self._order = tab._order
         self._high_accuracy = tab._high_accuracy
+        self._ev_step = getattr(tab, "_ev_step", None)
+        self._ev_step_raw = getattr(tab, "_ev_step_raw", None)
+        self._t_events = getattr(tab, "_t_events", [])
+        self._nt_events = getattr(tab, "_nt_events", [])
         self.state = tab.state[0]
         self.pars = tab.pars[0]
         self.time = float(np.asarray(tab.time)[0])

@@ -64,6 +64,20 @@ class TaylorAdaptive:
         t_events=(),
         nt_events=(),
     ):
+        # a var_ode_sys may be passed directly (reference
+        # ``taylor_adaptive{vsys, ...}``): integrate its augmented system;
+        # if only the original initial conditions are given, the variational
+        # ICs are filled in automatically (setup_variational_ics)
+        from ..varsys import var_ode_sys as _vsys_t
+
+        self._vsys = sys if isinstance(sys, _vsys_t) else None
+        if self._vsys is not None:
+            state = np.asarray(state, dtype=np.float64)
+            if state.shape == (self._vsys.n_orig,):
+                state = self._vsys.initial_state(
+                    state, pars=pars, t0=float(time)
+                )
+            sys = self._vsys.sys
         self._sys = _normalize_sys(sys)
         self._dtype = jnp.dtype(dtype)
         if tol is None:
@@ -130,6 +144,56 @@ class TaylorAdaptive:
     @property
     def sys(self):
         return list(self._sys)
+
+    # -- variational API (reference taylor_adaptive, taylor_adaptive.cpp:1960-2100) --
+
+    def is_variational(self) -> bool:
+        return self._vsys is not None
+
+    def _check_variational(self, fname):
+        if self._vsys is None:
+            raise ValueError(
+                f"'{fname}()' cannot be invoked on non-variational integrators"
+            )
+
+    def get_vargs(self):
+        self._check_variational("get_vargs")
+        return list(self._vsys.vargs)
+
+    def get_vorder(self) -> int:
+        self._check_variational("get_vorder")
+        return self._vsys.order
+
+    def get_vslice(self, order: int, component: int | None = None) -> slice:
+        self._check_variational("get_vslice")
+        return self._vsys.get_vslice(order, component)
+
+    def get_mindex(self, i: int):
+        self._check_variational("get_mindex")
+        return self._vsys.get_mindex(i)
+
+    @cached_property
+    def _taylor_map(self):
+        return self._vsys.make_taylor_map(dtype=self._dtype)
+
+    def eval_taylor_map(self, s):
+        """Evaluate the Taylor map of the flow in the deviations ``s`` of
+        the variational arguments (reference ``eval_taylor_map``,
+        ``taylor_adaptive.cpp:2013``): the state polynomial built from the
+        propagated variational derivatives, evaluated at ``s``."""
+        self._check_variational("eval_taylor_map")
+        s = np.asarray(s, dtype=self._dtype)
+        if s.shape != (self._vsys.n_vargs,):
+            raise ValueError(
+                f"expected {self._vsys.n_vargs} deviation values, got "
+                f"{s.shape}"
+            )
+        self._tstate = np.asarray(self._taylor_map(s, self.state))
+        return self._tstate
+
+    def get_tstate(self):
+        self._check_variational("get_tstate")
+        return self._tstate
 
     @property
     def decomposition(self) -> Tape:
@@ -237,11 +301,12 @@ class TaylorAdaptive:
     _COUT_CHUNK = 1024
 
     @cached_property
-    def _pu_nt_jit(self):
-        from .events import make_propagate_until_nt
+    def _pu_ev_jit(self):
+        from .events import make_propagate_until_ev
 
-        pu = make_propagate_until_nt(
-            self._ev_step_raw, self._order, self.dim, len(self._nt_events),
+        pu = make_propagate_until_ev(
+            self._ev_step_raw, self._order, self.dim,
+            len(self._t_events), len(self._nt_events),
         )
         return jax.jit(pu)
 
@@ -360,14 +425,17 @@ class TaylorAdaptive:
                 int(res["nsteps"]),
             )
         if self._ev_step is not None or callback is not None:
-            if (self._ev_step is not None and not self._t_events
-                    and callback is None):
-                # nt-only events: whole propagation on-device, nt callbacks
-                # dispatched chronologically afterwards (they observe the
-                # integrator at its *final* state; the reference invokes
-                # them mid-flight with the post-step state — identical for
-                # the common (t, d_sgn)-only callbacks)
-                return self._propagate_until_nt_fast(
+            if (self._ev_step is not None and callback is None
+                    and all(ev.callback is None for ev in self._t_events)):
+                # events whose terminal members are pure-stop: whole
+                # propagation on-device; nt callbacks are dispatched
+                # chronologically afterwards (they observe the integrator at
+                # its *final* state; the reference invokes them mid-flight
+                # with the post-step state — identical for the common
+                # (t, d_sgn)-only callbacks).  Terminal events with
+                # callbacks (continue-vs-stop decided mid-flight) take the
+                # stepwise driver below.
+                return self._propagate_until_ev_fast(
                     t, float(max_delta_t), int(max_steps)
                 )
             return self._propagate_until_stepwise(
@@ -442,21 +510,22 @@ class TaylorAdaptive:
         c_out = ContinuousOutput(th, tl, all_tc, self._order, self.dim, fwd)
         return outcome, min_h, max_h, nsteps, c_out
 
-    def _propagate_until_nt_fast(self, t, max_delta_t, max_steps):
-        """On-device propagate-until with non-terminal events: chunked
-        re-entry of the recording driver, then chronological callback
-        dispatch (see ``events.make_propagate_until_nt``)."""
+    def _propagate_until_ev_fast(self, t, max_delta_t, max_steps):
+        """On-device propagate-until with events (terminal ones pure-stop):
+        chunked re-entry of the recording driver, then chronological nt
+        callback dispatch (see ``events.make_propagate_until_ev``)."""
         min_h, max_h, nsteps = _pymath.inf, 0.0, 0
         fwd = t >= self.time
         hits_t, hits_i, hits_s = [], [], []
         while True:
             rem_steps = max(0, max_steps - nsteps) if max_steps else 0
-            res = self._pu_nt_jit(
+            res = self._pu_ev_jit(
                 self._state, self._pars, self._t_hi, self._t_lo,
                 jnp.asarray(t, self._dtype), jnp.asarray(0.0, self._dtype),
                 jnp.asarray(max_delta_t, self._dtype),
                 jnp.asarray(rem_steps, jnp.int64),
                 self._te_cooldowns,
+                jnp.asarray(True),
             )
             n = int(res["rec_n"])
             if n:
@@ -472,7 +541,9 @@ class TaylorAdaptive:
             max_h = max(max_h, float(res["max_h"]))
             nsteps += int(res["nsteps"])
             if not bool(res["overflow"]):
-                outcome = TaylorOutcome(int(res["outcome"]))
+                oc_val = int(res["outcome"])
+                # non-negative = stopping terminal event index (outcome.py)
+                outcome = TaylorOutcome(oc_val) if oc_val < 0 else oc_val
                 break
         if hits_t:
             times = np.concatenate(hits_t)
@@ -627,6 +698,7 @@ class TaylorAdaptive:
 
     def __getstate__(self):
         return {
+            "vsys": self._vsys,
             "sys": self._sys,
             "tol": self._tol,
             "high_accuracy": self._high_accuracy,
@@ -662,6 +734,7 @@ class TaylorAdaptive:
         self._tc = jnp.asarray(st["tc"], self._dtype)
         self._te_cooldowns = jnp.asarray(st["cooldowns"], self._dtype)
         self._event_stop = st["event_stop"]
+        self._vsys = st.get("vsys")
 
     def __repr__(self):
         return (

@@ -410,8 +410,8 @@ class TaylorAdaptiveBatch:
                 )
             return self._propagate_until_cout(t, mdt, int(max_steps))
         if self._ev_step is not None:
-            if not self._t_events:
-                return self._propagate_until_nt_fast(t, mdt, int(max_steps))
+            if all(ev.callback is None for ev in self._t_events):
+                return self._propagate_until_ev_fast(t, mdt, int(max_steps))
             return self._propagate_until_events(t, mdt, int(max_steps))
         res = self._pu_jit(
             self._state,
@@ -510,35 +510,42 @@ class TaylorAdaptiveBatch:
         return outcomes, min_h, max_h, nsteps, c_out
 
     @cached_property
-    def _pu_nt_jit(self):
-        from .events import make_propagate_until_nt
+    def _pu_ev_jit(self):
+        from .events import make_propagate_until_ev
 
-        pu = make_propagate_until_nt(
-            self._ev_step_raw, self._order, self.dim, len(self._nt_events),
+        pu = make_propagate_until_ev(
+            self._ev_step_raw, self._order, self.dim,
+            len(self._t_events), len(self._nt_events),
         )
         return jax.jit(
-            jax.vmap(pu, in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0))
+            jax.vmap(pu, in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0, 0))
         )
 
-    def _propagate_until_nt_fast(self, t, mdt, max_steps):
-        """On-device lockstep propagate-until with non-terminal events:
-        the vmapped recording driver of ``events.make_propagate_until_nt``;
-        per-lane nt callbacks ``cb(tb, t, d_sgn, lane)`` are dispatched
-        chronologically (within each lane) after the loop."""
+    def _propagate_until_ev_fast(self, t, mdt, max_steps):
+        """On-device lockstep propagate-until with events (terminal ones
+        pure-stop): the vmapped recording driver of
+        ``events.make_propagate_until_ev``; per-lane nt callbacks
+        ``cb(tb, t, d_sgn, lane)`` are dispatched chronologically (within
+        each lane) after the loop.  A lane ending on a terminal event keeps
+        that outcome across overflow replays via the driver's ``active``
+        mask."""
         min_h = np.full((self._batch,), _pymath.inf)
         max_h = np.zeros((self._batch,))
         nsteps = np.zeros((self._batch,), np.int64)
         fwd = t >= self.time
         lane_hits = [[] for _ in range(self._batch)]
+        lane_done = np.zeros((self._batch,), bool)
+        oc = np.full((self._batch,), int(TaylorOutcome.time_limit), np.int32)
         while True:
             rem_steps = (
                 max(0, max_steps - int(nsteps.max())) if max_steps else 0
             )
-            res = self._pu_nt_jit(
+            res = self._pu_ev_jit(
                 self._state, self._pars, self._t_hi, self._t_lo,
                 jnp.asarray(t), jnp.zeros((self._batch,), self._dtype),
                 jnp.asarray(mdt), jnp.asarray(rem_steps, jnp.int64),
                 self._te_cooldowns,
+                jnp.asarray(~lane_done),
             )
             rec_n = np.asarray(res["rec_n"])
             rec_t = np.asarray(res["rec_t"])
@@ -551,14 +558,28 @@ class TaylorAdaptiveBatch:
                                          rec_s[i, :n]))
             self._state = res["state"]
             self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
-            self._last_h = res["last_h"]
-            self._tc = res["tc"]
+            # inactive lanes come back with the driver's init last_h/tc
+            # (zeros), not their stored values: keep the stored ones (the
+            # stored tc only matches the driver's sv-column shape once a
+            # chunk has run, hence the gate)
+            if lane_done.any():
+                self._last_h = jnp.where(
+                    jnp.asarray(lane_done), self._last_h, res["last_h"]
+                )
+                self._tc = jnp.where(
+                    jnp.asarray(lane_done)[:, None, None], self._tc, res["tc"]
+                )
+            else:
+                self._last_h = res["last_h"]
+                self._tc = res["tc"]
             self._te_cooldowns = res["cooldowns"]
             min_h = np.minimum(min_h, np.asarray(res["min_h"]))
             max_h = np.maximum(max_h, np.asarray(res["max_h"]))
             nsteps += np.asarray(res["nsteps"])
+            newly = ~lane_done & np.asarray(res["done"])
+            oc = np.where(newly, np.asarray(res["outcome"]), oc)
+            lane_done |= newly
             if not bool(np.any(np.asarray(res["overflow"]))):
-                oc = np.asarray(res["outcome"])
                 break
         for i in range(self._batch):
             if not lane_hits[i]:
@@ -571,7 +592,10 @@ class TaylorAdaptiveBatch:
                 self._nt_events[int(idxs[k])].callback(
                     self, float(times[k]), int(sgns[k]), i
                 )
-        outcomes = [TaylorOutcome(int(o)) for o in oc]
+        # non-negative lane outcome = stopping terminal event index
+        outcomes = [
+            TaylorOutcome(int(o)) if int(o) < 0 else int(o) for o in oc
+        ]
         self._last_res = [
             (outcomes[i], float(np.asarray(self._last_h)[i]))
             for i in range(self._batch)

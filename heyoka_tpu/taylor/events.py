@@ -125,8 +125,10 @@ def dispatch_callbacks(ta, res) -> bool:
     return False
 
 
-def make_propagate_until_nt(ev_step_raw, order, n_eq, n_nte, rec_cap=1024):
-    """On-device propagate-until for *non-terminal-only* event configs.
+def make_propagate_until_ev(ev_step_raw, order, n_eq, n_te, n_nte,
+                            rec_cap=1024):
+    """On-device propagate-until with events; terminal events are
+    *pure-stop* (no host callback).
 
     The host-driven stepwise driver pays a dispatch round-trip per step
     (~35x overhead measured on the Henon-Heiles Poincare workload); here the
@@ -138,6 +140,24 @@ def make_propagate_until_nt(ev_step_raw, order, n_eq, n_nte, rec_cap=1024):
     callbacks that only use ``(t, d_sgn)`` — the common case — are
     unaffected).  On buffer overflow the driver returns early and the host
     re-enters it (chunked, like the continuous-output recorder).
+
+    A triggering terminal event ends the lane at the (truncated) event
+    time with outcome = the event index (heyoka's stopping-terminal-event
+    outcome, ``taylor_adaptive.cpp:868-890`` — there the outcome is the
+    index biased into the reserved band; here outcomes are int32 lane
+    values and terminal indices are the non-negative codes, see
+    ``outcome.py``).  Terminal-event *callbacks* decide continue-vs-stop
+    mid-flight in the reference and therefore cannot ride in this driver;
+    callers must route callback-carrying terminal events through the
+    stepwise driver.
+
+    The trailing ``active`` input gates the lane: when False the driver
+    returns its inputs untouched (``done`` immediately) — this is how the
+    vmapped chunked re-entry keeps terminally-stopped lanes stopped while
+    other lanes replay an overflowed recording chunk.
+
+    Returns a dict with the final integrator arrays, per-lane diagnostics,
+    the nt hit record, and ``te_idx`` (-1 = none) / ``te_sgn``.
     """
     from jax import lax
 
@@ -146,10 +166,10 @@ def make_propagate_until_nt(ev_step_raw, order, n_eq, n_nte, rec_cap=1024):
 
     from .events_impl import MAX_ROOTS
 
-    n_slots = max(1, n_nte) * MAX_ROOTS
+    n_slots = n_nte * MAX_ROOTS
 
     def pu(state, pars, t_hi, t_lo, target_hi, target_lo, max_delta_t,
-           max_steps, cooldowns):
+           max_steps, cooldowns, active):
         dtype = state.dtype
         zero = jnp.asarray(0.0, dtype)
 
@@ -165,13 +185,15 @@ def make_propagate_until_nt(ev_step_raw, order, n_eq, n_nte, rec_cap=1024):
             t_hi=t_hi,
             t_lo=t_lo,
             last_h=zero,
-            tc=jnp.zeros((order + 1, n_eq + n_nte), dtype),
+            tc=jnp.zeros((order + 1, n_eq + n_te + n_nte), dtype),
             nsteps=jnp.int64(0),
             min_h=jnp.asarray(jnp.inf, dtype),
             max_h=zero,
             outcome=jnp.int32(TaylorOutcome.time_limit),
-            done=rem0 == zero,
+            done=(rem0 == zero) | ~active,
             cooldowns=cooldowns,
+            te_idx=jnp.int32(-1),
+            te_sgn=jnp.int32(0),
             rec_t=jnp.zeros((rec_cap,), dtype),
             rec_idx=jnp.zeros((rec_cap,), jnp.int32),
             rec_sgn=jnp.zeros((rec_cap,), jnp.int32),
@@ -200,7 +222,7 @@ def make_propagate_until_nt(ev_step_raw, order, n_eq, n_nte, rec_cap=1024):
             # append recorded nt hits (n_slots is small and static)
             rec_t, rec_idx, rec_sgn = c["rec_t"], c["rec_idx"], c["rec_sgn"]
             rec_n = c["rec_n"]
-            for s in range(n_slots):
+            for s in range(n_slots):  # empty when n_nte == 0
                 ok = res["nt_mask"][s] & ~overflow
                 rec_t = lax.dynamic_update_slice(
                     rec_t,
@@ -220,6 +242,10 @@ def make_propagate_until_nt(ev_step_raw, order, n_eq, n_nte, rec_cap=1024):
                 rec_n = rec_n + ok.astype(jnp.int32)
 
             finite = res["outcome"] != jnp.int32(TaylorOutcome.err_nf_state)
+            if n_te:
+                te_hit = res["te_idx"] >= 0
+            else:
+                te_hit = jnp.asarray(False)
             nsteps = c["nsteps"] + 1
             rem_after = remaining(res["t_hi"], res["t_lo"])
             reached = jnp.where(fwd, rem_after <= zero, rem_after >= zero)
@@ -229,12 +255,16 @@ def make_propagate_until_nt(ev_step_raw, order, n_eq, n_nte, rec_cap=1024):
                 ~finite,
                 jnp.int32(TaylorOutcome.err_nf_state),
                 jnp.where(
-                    hit_step_limit,
-                    jnp.int32(TaylorOutcome.step_limit),
-                    jnp.int32(TaylorOutcome.time_limit),
+                    te_hit,
+                    res["te_idx"] if n_te else jnp.int32(0),
+                    jnp.where(
+                        hit_step_limit,
+                        jnp.int32(TaylorOutcome.step_limit),
+                        jnp.int32(TaylorOutcome.time_limit),
+                    ),
                 ),
             )
-            done = ~finite | hit_step_limit | reached
+            done = ~finite | te_hit | hit_step_limit | reached
             abs_h = jnp.abs(res["last_h"])
 
             def sel(new, old):
@@ -253,6 +283,16 @@ def make_propagate_until_nt(ev_step_raw, order, n_eq, n_nte, rec_cap=1024):
                 outcome=sel(outcome, c["outcome"]),
                 done=sel(done, c["done"]),
                 cooldowns=sel(res["cooldowns"], c["cooldowns"]),
+                te_idx=sel(
+                    jnp.where(te_hit, res["te_idx"] if n_te else jnp.int32(0),
+                              c["te_idx"]),
+                    c["te_idx"],
+                ),
+                te_sgn=sel(
+                    jnp.where(te_hit, res["te_sgn"] if n_te else jnp.int32(0),
+                              c["te_sgn"]),
+                    c["te_sgn"],
+                ),
                 rec_t=rec_t,
                 rec_idx=rec_idx,
                 rec_sgn=rec_sgn,

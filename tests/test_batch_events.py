@@ -105,3 +105,53 @@ def test_batch_grid_with_stopping_t_event(states):
         ta = hy.taylor_adaptive(pendulum(), states[i], tol=1e-12)
         _, *_, ref = ta.propagate_grid(grid[filled])
         np.testing.assert_allclose(out[i][filled], ref, rtol=0, atol=5e-13)
+
+
+def test_batch_mixed_te_nt_on_device(states):
+    # terminal + non-terminal events together ride the on-device batch
+    # driver (callback-free terminal events are pure-stop); nt hits after
+    # a lane's terminal stop must not be recorded
+    x, v = hy.make_vars("x", "v")
+    nhits = [[] for _ in range(BATCH)]
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-12,
+        t_events=[t_event(v)],
+        nt_events=[nt_event(x, lambda tb, t, d, lane: nhits[lane].append(t))],
+    )
+    ocs, *_ = tab.propagate_until(100.0)
+    assert all(oc == 0 for oc in ocs)
+    for i in range(BATCH):
+        # the first turning point precedes the first x zero-crossing
+        assert not nhits[i]
+        ta = hy.taylor_adaptive(
+            pendulum(), states[i], tol=1e-12, t_events=[t_event(v)]
+        )
+        ta.propagate_until(100.0)
+        assert tab.time[i] == ta.time
+        np.testing.assert_array_equal(tab.state[i], ta.state)
+
+
+def test_batch_event_overflow_replay_keeps_stopped_lanes():
+    # lane 0 terminal-stops at t=0.5 while lane 1 records >1024 nt hits,
+    # overflowing the recorder and replaying chunks: lane 0's outcome,
+    # time, and state must survive the replays
+    import math
+
+    x, v = hy.make_vars("x", "v")
+    nhits = [[] for _ in range(2)]
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), np.tile([0.05, 0.025], (2, 1)), tol=1e-12,
+        pars=np.array([[0.5], [1e9]]),
+        t_events=[t_event(hy.time - hy.par[0])],
+        nt_events=[nt_event(hy.sin(50.0 * hy.time) + 0.0 * x,
+                            lambda tb, t, d, lane: nhits[lane].append(t))],
+    )
+    ocs, mn, mx, ns = tab.propagate_until(100.0)
+    assert ocs[0] == 0
+    assert ocs[1] == TaylorOutcome.time_limit
+    assert abs(float(tab.time[0]) - 0.5) < 1e-12
+    assert abs(float(tab.time[1]) - 100.0) < 1e-12
+    expect = math.floor(100.0 * 50.0 / math.pi) + 1  # incl. the t=0 root
+    assert len(nhits[1]) == expect
+    assert all(a <= b for a, b in zip(nhits[1], nhits[1][1:]))
+    assert all(t <= 0.5 + 1e-12 for t in nhits[0])

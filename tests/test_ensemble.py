@@ -7,7 +7,13 @@ import numpy as np
 import jax
 
 import heyoka_tpu as hy
-from heyoka_tpu import ensemble_propagate_until, ensemble_propagate_grid
+from heyoka_tpu import (
+    TaylorOutcome,
+    ensemble_propagate_until,
+    ensemble_propagate_grid,
+    nt_event,
+    t_event,
+)
 from heyoka_tpu.models import pendulum
 
 
@@ -80,6 +86,113 @@ def test_ensemble_batch_variants(rng):
     ta = hy.taylor_adaptive(pendulum(), states[1, 2], tol=1e-12)
     ta.propagate_until(5.0)
     np.testing.assert_allclose(res["state"][1, 2], ta.state, rtol=0, atol=5e-14)
+
+
+def test_ensemble_terminal_event_stops_match_scalar(rng):
+    # pure-stop terminal events ride the on-device ensemble driver; every
+    # instance must stop at its own first turning point, bitwise equal to
+    # the scalar integrator's stop
+    x, v = hy.make_vars("x", "v")
+    states = 0.05 + 0.01 * rng.standard_normal((N_ITER, 2))
+    ta = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=1e-12, t_events=[t_event(v)]
+    )
+    res = ensemble_propagate_until(ta, 100.0, N_ITER, {"state": states})
+    assert (np.asarray(res["outcome"]) == 0).all()
+    assert (np.asarray(res["te_idx"]) == 0).all()
+    for i in range(N_ITER):
+        tai = hy.taylor_adaptive(
+            pendulum(), states[i], tol=1e-12, t_events=[t_event(v)]
+        )
+        oc, *_ = tai.propagate_until(100.0)
+        assert oc == 0
+        assert float(res["time"][i]) == tai.time
+        np.testing.assert_array_equal(np.asarray(res["state"][i]), tai.state)
+
+
+def test_ensemble_terminal_event_callback_rejected():
+    x, v = hy.make_vars("x", "v")
+    ta = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=1e-12,
+        t_events=[t_event(v, callback=lambda *a: True)],
+    )
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        ensemble_propagate_until(ta, 1.0, 2, {"state": np.zeros((2, 2))})
+
+
+def test_ensemble_nt_events_recorded_and_sharded(rng):
+    from jax.sharding import Mesh
+
+    x, v = hy.make_vars("x", "v")
+    states = 0.05 + 0.01 * rng.standard_normal((N_ITER, 2))
+    ta = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=1e-12,
+        nt_events=[nt_event(x, lambda *a: None)],
+    )
+    res = ensemble_propagate_until(ta, 10.0, N_ITER, {"state": states})
+    assert (np.asarray(res["outcome"]) == int(TaylorOutcome.time_limit)).all()
+    # pendulum angle crosses zero twice per ~2.007 s period
+    assert (res["nt_count"] == 10).all()
+    for i in range(N_ITER):
+        times = res["nt_times"][i, :10]
+        sgns = res["nt_sgn"][i, :10]
+        assert (np.diff(times) > 0).all()
+        assert all(a != b for a, b in zip(sgns, sgns[1:]))
+        # cross-check against the scalar nt driver
+        hits = []
+        tai = hy.taylor_adaptive(
+            pendulum(), states[i], tol=1e-12,
+            nt_events=[nt_event(x, lambda ta_, t_, d_: hits.append(t_))],
+        )
+        tai.propagate_until(10.0)
+        np.testing.assert_allclose(times, hits, rtol=0, atol=1e-12)
+
+    mesh = Mesh(np.array(jax.devices()), ("traj",))
+    res_m = ensemble_propagate_until(
+        ta, 10.0, N_ITER, {"state": states}, mesh=mesh
+    )
+    np.testing.assert_array_equal(res["nt_count"], res_m["nt_count"])
+    np.testing.assert_allclose(
+        res["nt_times"][:, :10], res_m["nt_times"][:, :10], rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["state"]), np.asarray(res_m["state"]),
+        rtol=0, atol=5e-14,
+    )
+
+
+def test_ensemble_event_overflow_replay_keeps_stopped_instances():
+    # instance 0 terminal-stops almost immediately; instance 1 records
+    # >1024 nt hits, overflowing the on-device buffer and forcing replays:
+    # the stopped instance's outcome/time/state must survive the replays
+    # and the replaying instance must lose no hit
+    import math
+
+    x, v = hy.make_vars("x", "v")
+    par = hy.par
+    ta = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=1e-12,
+        t_events=[t_event(hy.time - par[0])],
+        nt_events=[nt_event(hy.sin(50.0 * hy.time) + 0.0 * x,
+                            lambda *a: None)],
+    )
+    res = ensemble_propagate_until(
+        ta, 100.0, 2,
+        {"state": np.tile([0.05, 0.025], (2, 1)), "pars": [[0.5], [1e9]]},
+    )
+    oc = np.asarray(res["outcome"])
+    assert oc[0] == 0  # stopped by the terminal event
+    assert oc[1] == int(TaylorOutcome.time_limit)
+    assert abs(float(res["time"][0]) - 0.5) < 1e-12
+    expect = math.floor(100.0 * 50.0 / math.pi) + 1  # incl. the t=0 root
+    assert int(res["nt_count"][1]) == expect
+    t1 = res["nt_times"][1, : res["nt_count"][1]]
+    assert (np.diff(t1) > 0).all()
+    # instance 0 only collects hits up to its stop time
+    t0 = res["nt_times"][0, : res["nt_count"][0]]
+    assert (t0 <= 0.5 + 1e-12).all()
 
 
 def test_ensemble_flat_batch_matches_loop():
