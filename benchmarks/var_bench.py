@@ -21,13 +21,12 @@ t0 = time.perf_counter()
 vsys = hy.var_ode_sys(sys_, hy.VarArgs.vars, order=1)
 t_build = time.perf_counter() - t0
 
-full0 = vsys.initial_state(ic)
-ta = hy.taylor_adaptive(vsys.sys, full0, tol=1e-15, compact_mode=True)
+ta = hy.taylor_adaptive(vsys, ic, tol=1e-15, compact_mode=True)
 t0 = time.perf_counter()
 ta.propagate_until(10.0)
 t_prop = time.perf_counter() - t0
-# variational layout: one block per argument a_j (see varsys docstring)
-stm = np.stack([ta.state[vsys.get_vslice(j)] for j in range(4)], axis=1)
+# variational layout: dtens ordering — order-1 block grouped by component
+stm = np.stack([ta.state[ta.get_vslice(1, i)] for i in range(4)], axis=0)
 
 # FD cross-check of one column
 eps = 1e-7

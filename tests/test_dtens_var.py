@@ -73,14 +73,16 @@ def test_var_ode_sys_stm_pendulum():
     assert len(vsys.sys) == 2 + 4
     state0 = [0.05, 0.025]
     full0 = vsys.initial_state(state0)
+    # dtens layout: order-1 block grouped by component, then by argument
     np.testing.assert_array_equal(full0[2:], [1, 0, 0, 1])
-    ta = hy.taylor_adaptive(vsys.sys, full0, tol=1e-15)
+    # passing the var_ode_sys directly auto-fills the variational ICs
+    ta = hy.taylor_adaptive(vsys, state0, tol=1e-15)
+    assert ta.is_variational() and ta.get_vorder() == 1
     t = 3.0
     ta.propagate_until(t)
-    # STM layout: block per argument a_j holds d state / d a_j
     stm = np.empty((2, 2))
-    for j in range(2):
-        stm[:, j] = ta.state[vsys.get_vslice(j)]
+    for i in range(2):
+        stm[i, :] = ta.state[ta.get_vslice(1, i)]
     M = fd_stm(sys, state0, t)
     np.testing.assert_allclose(stm, M, atol=5e-6)
 
@@ -91,12 +93,11 @@ def test_var_ode_sys_param_sensitivity():
     vsys = var_ode_sys(sys, VarArgs.params)
     assert vsys.n_vargs == 1
     state0 = [0.05, 0.025]
-    ta = hy.taylor_adaptive(
-        vsys.sys, vsys.initial_state(state0), pars=[9.8], tol=1e-15
-    )
+    ta = hy.taylor_adaptive(vsys, state0, pars=[9.8], tol=1e-15)
     t = 2.0
     ta.propagate_until(t)
-    sens = ta.state[vsys.get_vslice(0)]
+    sl = ta.get_vslice(1)
+    sens = ta.state[sl]
     # finite differences in the parameter
     eps = 1e-6
     tap = hy.taylor_adaptive(sys, state0, pars=[9.8 + eps], tol=1e-15)
@@ -105,3 +106,85 @@ def test_var_ode_sys_param_sensitivity():
     tam.propagate_until(t)
     fd = (tap.state - tam.state) / (2 * eps)
     np.testing.assert_allclose(sens, fd, atol=1e-7)
+
+
+def test_var_ode_sys_order2_and_taylor_map():
+    # reference analog: test/taylor_adaptive_var.cpp order-2 checks + the
+    # Taylor-map evaluation of the flow polynomial
+    sys = pendulum()
+    state0 = np.array([0.05, 0.025])
+    vsys = var_ode_sys(sys, VarArgs.vars, order=2)
+    # 2 originals + 4 first + 6 second derivatives (symmetric mixed)
+    assert len(vsys.sys) == 12
+    ta = hy.taylor_adaptive(vsys, state0, tol=1e-15)
+    assert ta.get_vorder() == 2
+    t = 3.0
+    ta.propagate_until(t)
+
+    # second derivatives vs central finite differences of the order-1 STM
+    eps = 1e-6
+
+    def stm_at(s0):
+        v1 = var_ode_sys(sys, VarArgs.vars)
+        t1 = hy.taylor_adaptive(v1, s0, tol=1e-15)
+        t1.propagate_until(t)
+        out = np.empty((2, 2))
+        for i in range(2):
+            out[i, :] = t1.state[t1.get_vslice(1, i)]
+        return out
+
+    flat = vsys.get_dtens().items()
+    for j in range(2):
+        sp = state0.copy()
+        sp[j] += eps
+        sm = state0.copy()
+        sm[j] -= eps
+        dstm = (stm_at(sp) - stm_at(sm)) / (2 * eps)
+        for i in range(2):
+            for k in range(2):
+                counts = [0, 0]
+                counts[j] += 1
+                counts[k] += 1
+                key = (i, tuple(counts))
+                pos = next(p for p, (kk, _) in enumerate(flat) if kk == key)
+                assert ta.get_mindex(pos) == key
+                got = float(ta.state[pos])
+                assert abs(got - dstm[i, k]) < 2e-5
+
+    # Taylor map: quadratic flow expansion beats the linear one and lands
+    # at the |da|^3 error level
+    da = np.array([3e-3, -2e-3])
+    approx = ta.eval_taylor_map(da)
+    tp = hy.taylor_adaptive(sys, state0 + da, tol=1e-15)
+    tp.propagate_until(t)
+    assert np.max(np.abs(approx - tp.state)) < 5e-7
+    np.testing.assert_array_equal(ta.get_tstate(), approx)
+
+
+def test_var_ode_sys_initial_time():
+    # derivative wrt the initial time: IC is -f(x0, t0)
+    sys = pendulum()
+    state0 = [0.05, 0.025]
+    vsys = var_ode_sys(sys, VarArgs.time)
+    full0 = vsys.initial_state(state0)
+    # -f(x0) = [-v, +9.8 sin(x)]
+    np.testing.assert_allclose(
+        full0[2:], [-0.025, 9.8 * np.sin(0.05)], rtol=1e-15
+    )
+    ta = hy.taylor_adaptive(vsys, np.asarray(state0), tol=1e-15)
+    t = 2.0
+    ta.propagate_until(t)
+    dxdt0 = ta.state[ta.get_vslice(1)]
+    # finite differences: start at t0 +- eps from the same state, integrate
+    # to the same absolute final time
+    eps = 1e-7
+    tap = hy.taylor_adaptive(sys, state0, time=eps, tol=1e-15)
+    tap.propagate_until(t)
+    tam = hy.taylor_adaptive(sys, state0, time=-eps, tol=1e-15)
+    tam.propagate_until(t)
+    fd = (tap.state - tam.state) / (2 * eps)
+    np.testing.assert_allclose(dxdt0, fd, atol=1e-6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        var_ode_sys(sys, VarArgs.time, order=2).initial_state(state0)
