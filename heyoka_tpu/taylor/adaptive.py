@@ -391,8 +391,12 @@ class TaylorAdaptive:
             max_delta_t = _pymath.inf
         if c_output:
             if self._ev_step is not None or callback is not None:
-                raise NotImplementedError(
-                    "c_output cannot be combined with events/callbacks yet"
+                # events / host callbacks force per-step host dispatch, so
+                # the recording happens in the stepwise driver (reference:
+                # c_output recording is per accepted step regardless of
+                # events, taylor_adaptive.cpp:1216)
+                return self._propagate_until_cout_stepwise(
+                    t, float(max_delta_t), int(max_steps), callback
                 )
             return self._propagate_until_cout(t, float(max_delta_t), int(max_steps))
         # in-graph callbacks (AngleReducer, StepCallbackSet, anything with
@@ -508,6 +512,55 @@ class TaylorAdaptive:
             th = np.asarray(self._t_hi)[None]
             tl = np.asarray(self._t_lo)[None]
         c_out = ContinuousOutput(th, tl, all_tc, self._order, self.dim, fwd)
+        return outcome, min_h, max_h, nsteps, c_out
+
+    def _propagate_until_cout_stepwise(self, t, max_delta_t, max_steps,
+                                       callback):
+        """Continuous-output propagation through the stepwise driver (used
+        when events or host callbacks require per-step dispatch): records
+        each accepted step's start time and Taylor coefficients, mirroring
+        the on-device recorder's conventions."""
+        from .continuous import ContinuousOutput
+
+        fwd = t >= self.time
+        th, tl, tcs = [], [], []
+        min_h, max_h, nsteps = _pymath.inf, 0.0, 0
+        outcome = TaylorOutcome.time_limit
+        while True:
+            rem = t - self.time
+            if (rem <= 0 if fwd else rem >= 0):
+                break
+            cap = min(abs(rem), max_delta_t)
+            th.append(float(self._t_hi))
+            tl.append(float(self._t_lo))
+            oc, h = self._do_step(cap if fwd else -cap)
+            tcs.append(np.asarray(self._tc)[:, : self.dim])
+            nsteps += 1
+            min_h = min(min_h, abs(h))
+            max_h = max(max_h, abs(h))
+            if oc == TaylorOutcome.err_nf_state:
+                outcome = oc
+                break
+            if isinstance(oc, int) and oc >= 0 and self._event_stop:
+                outcome = oc  # stopping terminal event
+                break
+            if callback is not None and not callback(self):
+                outcome = TaylorOutcome.cb_stop
+                break
+            if max_steps and nsteps >= max_steps:
+                rem = t - self.time
+                if not (rem <= 0 if fwd else rem >= 0):
+                    outcome = TaylorOutcome.step_limit
+                break
+        if tcs:
+            all_tc = np.stack(tcs)
+            ths = np.asarray(th + [float(self._t_hi)])
+            tls = np.asarray(tl + [float(self._t_lo)])
+        else:
+            all_tc = np.zeros((0, self._order + 1, self.dim), self._dtype)
+            ths = np.asarray([float(self._t_hi)])
+            tls = np.asarray([float(self._t_lo)])
+        c_out = ContinuousOutput(ths, tls, all_tc, self._order, self.dim, fwd)
         return outcome, min_h, max_h, nsteps, c_out
 
     def _propagate_until_ev_fast(self, t, max_delta_t, max_steps):

@@ -405,8 +405,8 @@ class TaylorAdaptiveBatch:
         )
         if c_output:
             if self._ev_step is not None:
-                raise NotImplementedError(
-                    "c_output with events is not supported in batch mode"
+                return self._propagate_until_cout_stepwise(
+                    t, mdt, int(max_steps)
                 )
             return self._propagate_until_cout(t, mdt, int(max_steps))
         if self._ev_step is not None:
@@ -601,6 +601,84 @@ class TaylorAdaptiveBatch:
             for i in range(self._batch)
         ]
         return outcomes, min_h, max_h, nsteps
+
+    def _propagate_until_cout_stepwise(self, t, mdt, max_steps):
+        """Per-lane continuous-output recording through the stepwise driver
+        (used with events: per-step host dispatch is already required);
+        records each active lane's step start time + Taylor coefficients,
+        padded to the longest lane like the on-device batch recorder."""
+        from .continuous import ContinuousOutputBatch
+
+        fwd = t >= self.time
+        lane_tc = [[] for _ in range(self._batch)]
+        lane_th = [[] for _ in range(self._batch)]
+        lane_tl = [[] for _ in range(self._batch)]
+        min_h = np.full((self._batch,), _pymath.inf)
+        max_h = np.zeros((self._batch,))
+        nsteps = np.zeros((self._batch,), np.int64)
+        outcomes = [TaylorOutcome.time_limit] * self._batch
+        done = np.zeros((self._batch,), bool)
+        while not done.all():
+            rem = t - self.time
+            arrived = np.where(fwd, rem <= 0, rem >= 0)
+            done |= arrived
+            if done.all():
+                break
+            cap = np.minimum(np.abs(rem), mdt)
+            cap = np.where(done, 0.0, cap)
+            step_mdt = np.where(fwd, cap, -cap)
+            start_hi = np.asarray(self._t_hi)
+            start_lo = np.asarray(self._t_lo)
+            self.step(max_delta_t=step_mdt)
+            tc_now = np.asarray(self._tc)[:, :, : self.dim]
+            for i in range(self._batch):
+                if done[i]:
+                    continue
+                oc, h = self._last_res[i]
+                lane_th[i].append(start_hi[i])
+                lane_tl[i].append(start_lo[i])
+                lane_tc[i].append(tc_now[i])
+                nsteps[i] += 1
+                min_h[i] = min(min_h[i], abs(h))
+                max_h[i] = max(max_h[i], abs(h))
+                if oc == TaylorOutcome.err_nf_state:
+                    outcomes[i] = oc
+                    done[i] = True
+                elif isinstance(oc, int) and oc >= 0 and self._event_stop[i]:
+                    outcomes[i] = oc
+                    done[i] = True
+            if max_steps and int(nsteps.max()) >= max_steps:
+                for i in range(self._batch):
+                    if not done[i]:
+                        outcomes[i] = TaylorOutcome.step_limit
+                break
+
+        fin_th = np.asarray(self._t_hi)
+        fin_tl = np.asarray(self._t_lo)
+        counts = np.array([len(lane_tc[i]) for i in range(self._batch)])
+        cap_n = max(1, int(counts.max()))
+        tcs = np.zeros((self._batch, cap_n, self._order + 1, self.dim),
+                       self._dtype)
+        th = np.zeros((self._batch, cap_n + 1), self._dtype)
+        tl = np.zeros((self._batch, cap_n + 1), self._dtype)
+        for i in range(self._batch):
+            n = int(counts[i])
+            pad = np.inf if fwd[i] else -np.inf
+            th[i, :] = pad
+            tl[i, :] = 0.0
+            if n:
+                tcs[i, :n] = np.stack(lane_tc[i])
+                th[i, :n] = np.asarray(lane_th[i])
+                tl[i, :n] = np.asarray(lane_tl[i])
+            th[i, n] = fin_th[i]
+            tl[i, n] = fin_tl[i]
+        c_out = ContinuousOutputBatch(
+            th, tl, tcs, counts, self._order, self.dim, jnp.asarray(fwd)
+        )
+        self._last_res = [
+            (outcomes[i], self._last_res[i][1]) for i in range(self._batch)
+        ]
+        return outcomes, min_h, max_h, nsteps, c_out
 
     def _propagate_until_events(self, t, mdt, max_steps):
         """Host-driven per-lane propagate-until in the presence of events:

@@ -76,3 +76,64 @@ def test_batch_c_output(rng):
     # (n_times, batch) queries
     qs = np.stack([q * 0.3, q * 0.9])
     assert co(qs).shape == (2, 4, 2)
+
+
+def test_c_output_with_nt_events_matches_plain():
+    # c_output + events rides the stepwise recorder; interpolated values
+    # must match the event-free on-device recorder
+    x, v = hy.make_vars("x", "v")
+    hits = []
+    ta = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=TOL,
+        nt_events=[hy.nt_event(x, lambda ta_, t_, d_: hits.append(t_))],
+    )
+    oc, mn, mx, ns, co = ta.propagate_until(10.0, c_output=True)
+    assert oc == TaylorOutcome.time_limit
+    assert len(hits) == 10
+    ta2 = hy.taylor_adaptive(pendulum(), [0.05, 0.025], tol=TOL)
+    *_, co2 = ta2.propagate_until(10.0, c_output=True)
+    ts = np.linspace(0.0, 10.0, 101)
+    np.testing.assert_allclose(co(ts), co2(ts), rtol=0, atol=1e-12)
+
+
+def test_c_output_with_terminal_event_stop():
+    # the recording ends at the terminal stop; the dense output covers
+    # [0, t_stop] and matches the integrator's stop state at the boundary
+    x, v = hy.make_vars("x", "v")
+    ta = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=TOL, t_events=[hy.t_event(v)]
+    )
+    oc, mn, mx, ns, co = ta.propagate_until(100.0, c_output=True)
+    assert oc == 0
+    t_stop = float(ta.time)
+    lo, hi = co.bounds
+    assert hi == pytest.approx(t_stop)
+    np.testing.assert_allclose(
+        np.asarray(co(np.array([t_stop]))[0]), ta.state, rtol=0, atol=1e-11
+    )
+    # velocity along the recorded trajectory vanishes only at the stop
+    ts = np.linspace(0.0, t_stop, 50)
+    vs = np.asarray(co(ts))[:, 1]
+    assert np.min(np.abs(vs[:-1])) > 1e-4
+
+
+def test_batch_c_output_with_events(rng):
+    # per-lane terminal stops: each lane's dense output covers its own
+    # interval, padded like the event-free batch recorder
+    x, v = hy.make_vars("x", "v")
+    states = 0.05 + 0.01 * rng.standard_normal((4, 2))
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), states, tol=TOL, t_events=[hy.t_event(v)]
+    )
+    ocs, mn, mx, ns, co = tab.propagate_until(100.0, c_output=True)
+    assert all(oc == 0 for oc in ocs)
+    for i in range(4):
+        t_stop = float(tab.time[i])
+        ts = np.linspace(0.0, t_stop, 20)
+        # ContinuousOutputBatch takes per-lane query times: (n_times, batch)
+        per_lane = np.asarray(co(np.tile(ts[:, None], (1, 4))))
+        ref = hy.taylor_adaptive(pendulum(), states[i], tol=TOL)
+        *_, ref_co = ref.propagate_until(t_stop, c_output=True)
+        np.testing.assert_allclose(
+            per_lane[:, i, :], np.asarray(ref_co(ts)), rtol=0, atol=1e-10
+        )
