@@ -253,6 +253,23 @@ class TaylorAdaptive:
         self._t_lo = jnp.asarray(0.0, self._dtype)
 
     @property
+    def dtime(self) -> tuple:
+        """The (hi, lo) double-length time pair (heyoka ``get_dtime``)."""
+        return float(self._t_hi), float(self._t_lo)
+
+    def set_dtime(self, hi: float, lo: float):
+        """Set the double-length time (heyoka ``set_dtime``,
+        ``taylor_adaptive.cpp``): components must be finite and normalized
+        (|lo| no larger than ulp-level of hi)."""
+        if not (_pymath.isfinite(hi) and _pymath.isfinite(lo)):
+            raise ValueError("the dtime components must be finite")
+        h, l = dd_normalize(
+            jnp.asarray(float(hi), self._dtype),
+            jnp.asarray(float(lo), self._dtype),
+        )
+        self._t_hi, self._t_lo = h, l
+
+    @property
     def last_h(self) -> float:
         return float(self._last_h)
 
@@ -272,6 +289,16 @@ class TaylorAdaptive:
     @property
     def nt_events(self):
         return list(self._nt_events)
+
+    @property
+    def te_cooldowns(self):
+        """Current terminal-event cooldown values (heyoka
+        ``get_te_cooldowns``; here a plain array, 0 = inactive)."""
+        return np.asarray(self._te_cooldowns)
+
+    def reset_cooldowns(self):
+        """Zero all terminal-event cooldowns (heyoka ``reset_cooldowns``)."""
+        self._te_cooldowns = jnp.zeros_like(self._te_cooldowns)
 
     # -- compiled drivers ------------------------------------------------------
 
@@ -644,14 +671,18 @@ class TaylorAdaptive:
         target = float(hi) + float(lo)
         return self.propagate_until(target, **kw)
 
-    def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0):
+    def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0,
+                       callback=None):
         """Dense-output sampling at the points of a monotonic time grid;
         returns (outcome, min_h, max_h, nsteps, out[len(grid), dim]).
 
-        With events present, a host-driven stepwise driver is used
+        With events present or a host ``callback`` (heyoka
+        ``kw::callback``: invoked after every step, returning False stops
+        with ``cb_stop``), a host-driven stepwise driver is used
         (reference: the event-aware ``propagate_grid_impl`` of
         taylor_adaptive.cpp); grid rows not reached before a stopping
-        terminal event / step limit / non-finite state are NaN."""
+        terminal event / callback stop / step limit / non-finite state are
+        NaN.  In-graph callbacks trace into the on-device grid driver."""
         grid = np.asarray(grid, dtype=self._dtype)
         if grid.ndim != 1 or grid.size == 0:
             raise ValueError("grid must be a non-empty 1-D array")
@@ -661,9 +692,36 @@ class TaylorAdaptive:
                 raise ValueError("grid must be strictly monotonic")
         if max_delta_t is None:
             max_delta_t = _pymath.inf
-        if self._ev_step is not None:
+        in_graph_cb = callback is not None and (
+            getattr(callback, "in_graph", False)
+            or hasattr(callback, "pre_hook")
+        )
+        if in_graph_cb and self._ev_step is None:
+            if hasattr(callback, "pre_hook"):
+                callback.pre_hook(self)
+            pg = jax.jit(
+                _loops.make_propagate_grid(self._fns, step_callback=callback)
+            )
+            res = pg(
+                self._state, self._pars, self._t_hi, self._t_lo,
+                jnp.asarray(grid),
+                jnp.asarray(float(max_delta_t), self._dtype),
+                jnp.asarray(int(max_steps), jnp.int64),
+            )
+            self._state = res["state"]
+            self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+            self._last_h = res["last_h"]
+            self._tc = res["tc"]
+            return (
+                TaylorOutcome(int(res["outcome"])),
+                float(res["min_h"]),
+                float(res["max_h"]),
+                int(res["nsteps"]),
+                np.asarray(res["out"]),
+            )
+        if self._ev_step is not None or callback is not None:
             return self._propagate_grid_stepwise(
-                grid, float(max_delta_t), int(max_steps)
+                grid, float(max_delta_t), int(max_steps), callback
             )
         res = self._pg_jit(
             self._state,
@@ -686,7 +744,8 @@ class TaylorAdaptive:
             np.asarray(res["out"]),
         )
 
-    def _propagate_grid_stepwise(self, grid, max_delta_t, max_steps):
+    def _propagate_grid_stepwise(self, grid, max_delta_t, max_steps,
+                                 callback=None):
         """Event-aware propagate_grid: one adaptive step (with event
         detection) at a time; after each step, every grid point inside the
         step's span is evaluated with the dense-output kernel.  A stopping
@@ -721,6 +780,8 @@ class TaylorAdaptive:
                 gi += 1
             if isinstance(oc, int) and oc >= 0 and self._event_stop:
                 return oc, min_h, max_h, nsteps, out
+            if callback is not None and not callback(self):
+                return TaylorOutcome.cb_stop, min_h, max_h, nsteps, out
             if max_steps and nsteps >= max_steps and gi < ngrid:
                 return TaylorOutcome.step_limit, min_h, max_h, nsteps, out
         return TaylorOutcome.time_limit, min_h, max_h, nsteps, out

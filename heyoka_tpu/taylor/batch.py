@@ -195,12 +195,41 @@ class TaylorAdaptiveBatch:
         self._t_lo = jnp.zeros((self._batch,), self._dtype)
 
     @property
+    def dtime(self) -> tuple:
+        """Per-lane (hi, lo) double-length times (heyoka ``get_dtime``)."""
+        return np.asarray(self._t_hi), np.asarray(self._t_lo)
+
+    def set_dtime(self, hi, lo):
+        """Set the per-lane double-length times (heyoka ``set_dtime``)."""
+        from ..dfloat import dd_normalize
+
+        hi = np.broadcast_to(np.asarray(hi, self._dtype), (self._batch,))
+        lo = np.broadcast_to(np.asarray(lo, self._dtype), (self._batch,))
+        if not (np.isfinite(hi).all() and np.isfinite(lo).all()):
+            raise ValueError("the dtime components must be finite")
+        h, l = dd_normalize(jnp.asarray(hi), jnp.asarray(lo))
+        self._t_hi, self._t_lo = h, l
+
+    @property
     def last_h(self) -> np.ndarray:
         return np.asarray(self._last_h)
 
     @property
     def tc(self) -> np.ndarray:
         return np.asarray(self._tc)
+
+    @property
+    def te_cooldowns(self) -> np.ndarray:
+        """Per-lane terminal-event cooldowns (heyoka ``get_te_cooldowns``)."""
+        return np.asarray(self._te_cooldowns)
+
+    def reset_cooldowns(self, lane: int | None = None):
+        """Zero terminal-event cooldowns, of one lane or all (heyoka
+        ``reset_cooldowns``/``reset_cooldowns(i)``)."""
+        if lane is None:
+            self._te_cooldowns = jnp.zeros_like(self._te_cooldowns)
+        else:
+            self._te_cooldowns = self._te_cooldowns.at[int(lane)].set(0.0)
 
     # -- compiled drivers --------------------------------------------------------
 
@@ -391,11 +420,16 @@ class TaylorAdaptiveBatch:
         pu = make_propagate_until_cout(self._fns, 1024)
         return jax.jit(jax.vmap(pu, in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
 
-    def propagate_until(self, t, *, max_delta_t=None, max_steps=0, c_output=False):
+    def propagate_until(self, t, *, max_delta_t=None, max_steps=0,
+                        c_output=False, callback=None):
         """Per-lane propagate-until; ``t`` may be scalar or per-lane.
 
         With ``c_output=True``, a :class:`ContinuousOutputBatch` is appended
         to the result tuple (heyoka ``taylor_adaptive_batch`` + c_output).
+        ``callback`` (heyoka ``kw::callback``) is invoked after every
+        lockstep step as ``cb(tb) -> bool``; False stops the still-running
+        lanes with ``cb_stop``.  In-graph callbacks trace into the on-device
+        driver (per lane), host callables take the stepwise driver.
         """
         t = np.broadcast_to(np.asarray(t, dtype=self._dtype), (self._batch,))
         if max_delta_t is None:
@@ -404,15 +438,48 @@ class TaylorAdaptiveBatch:
             np.asarray(max_delta_t, dtype=self._dtype), (self._batch,)
         )
         if c_output:
-            if self._ev_step is not None:
+            if self._ev_step is not None or callback is not None:
                 return self._propagate_until_cout_stepwise(
-                    t, mdt, int(max_steps)
+                    t, mdt, int(max_steps), callback
                 )
             return self._propagate_until_cout(t, mdt, int(max_steps))
-        if self._ev_step is not None:
-            if all(ev.callback is None for ev in self._t_events):
+        in_graph_cb = callback is not None and (
+            getattr(callback, "in_graph", False)
+            or hasattr(callback, "pre_hook")
+        )
+        if in_graph_cb and self._ev_step is None:
+            if hasattr(callback, "pre_hook"):
+                callback.pre_hook(self)
+            pu = _loops.make_propagate_until(self._fns, step_callback=callback)
+            fn = jax.jit(jax.vmap(pu, in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
+            res = fn(
+                self._state, self._pars, self._t_hi, self._t_lo,
+                jnp.asarray(t), jnp.zeros((self._batch,), self._dtype),
+                jnp.asarray(mdt), jnp.asarray(int(max_steps), jnp.int64),
+            )
+            self._state = res["state"]
+            self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+            self._last_h = res["last_h"]
+            self._tc = res["tc"]
+            oc = np.asarray(res["outcome"])
+            self._last_res = [
+                (TaylorOutcome(int(oc[i])),
+                 float(np.asarray(res["last_h"])[i]))
+                for i in range(self._batch)
+            ]
+            return (
+                [TaylorOutcome(int(o)) for o in oc],
+                np.asarray(res["min_h"]),
+                np.asarray(res["max_h"]),
+                np.asarray(res["nsteps"]),
+            )
+        if self._ev_step is not None or callback is not None:
+            if (callback is None
+                    and all(ev.callback is None for ev in self._t_events)):
                 return self._propagate_until_ev_fast(t, mdt, int(max_steps))
-            return self._propagate_until_events(t, mdt, int(max_steps))
+            return self._propagate_until_events(
+                t, mdt, int(max_steps), callback
+            )
         res = self._pu_jit(
             self._state,
             self._pars,
@@ -602,11 +669,13 @@ class TaylorAdaptiveBatch:
         ]
         return outcomes, min_h, max_h, nsteps
 
-    def _propagate_until_cout_stepwise(self, t, mdt, max_steps):
+    def _propagate_until_cout_stepwise(self, t, mdt, max_steps,
+                                       callback=None):
         """Per-lane continuous-output recording through the stepwise driver
-        (used with events: per-step host dispatch is already required);
-        records each active lane's step start time + Taylor coefficients,
-        padded to the longest lane like the on-device batch recorder."""
+        (used with events or host callbacks: per-step host dispatch is
+        already required); records each active lane's step start time +
+        Taylor coefficients, padded to the longest lane like the on-device
+        batch recorder."""
         from .continuous import ContinuousOutputBatch
 
         fwd = t >= self.time
@@ -644,9 +713,15 @@ class TaylorAdaptiveBatch:
                 if oc == TaylorOutcome.err_nf_state:
                     outcomes[i] = oc
                     done[i] = True
-                elif isinstance(oc, int) and oc >= 0 and self._event_stop[i]:
+                elif (self._ev_step is not None and isinstance(oc, int)
+                        and oc >= 0 and self._event_stop[i]):
                     outcomes[i] = oc
                     done[i] = True
+            if callback is not None and not callback(self):
+                for i in range(self._batch):
+                    if not done[i]:
+                        outcomes[i] = TaylorOutcome.cb_stop
+                break
             if max_steps and int(nsteps.max()) >= max_steps:
                 for i in range(self._batch):
                     if not done[i]:
@@ -680,16 +755,18 @@ class TaylorAdaptiveBatch:
         ]
         return outcomes, min_h, max_h, nsteps, c_out
 
-    def _propagate_until_events(self, t, mdt, max_steps):
-        """Host-driven per-lane propagate-until in the presence of events:
-        lanes step in lockstep with per-lane caps; a lane stops at its
-        target, a stopping terminal event, or non-finite state."""
+    def _propagate_until_events(self, t, mdt, max_steps, callback=None):
+        """Host-driven per-lane propagate-until in the presence of events
+        and/or a host step callback: lanes step in lockstep with per-lane
+        caps; a lane stops at its target, a stopping terminal event,
+        callback stop, or non-finite state."""
         min_h = np.full((self._batch,), _pymath.inf)
         max_h = np.zeros((self._batch,))
         nsteps = np.zeros((self._batch,), np.int64)
         outcomes = [TaylorOutcome.time_limit] * self._batch
         fwd = t >= self.time
         done = np.zeros((self._batch,), bool)
+        with_events = self._ev_step is not None
         while not done.all():
             rem = t - self.time
             arrived = np.where(fwd, rem <= 0, rem >= 0)
@@ -710,9 +787,15 @@ class TaylorAdaptiveBatch:
                 if oc == TaylorOutcome.err_nf_state:
                     outcomes[i] = oc
                     done[i] = True
-                elif isinstance(oc, int) and self._event_stop[i]:
+                elif (with_events and isinstance(oc, int)
+                        and self._event_stop[i]):
                     outcomes[i] = oc
                     done[i] = True
+            if callback is not None and not callback(self):
+                for i in range(self._batch):
+                    if not done[i]:
+                        outcomes[i] = TaylorOutcome.cb_stop
+                break
             if max_steps and int(nsteps.max()) >= max_steps:
                 for i in range(self._batch):
                     if not done[i]:
@@ -729,21 +812,25 @@ class TaylorAdaptiveBatch:
         )
         return self.propagate_until(target, **kw)
 
-    def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0):
+    def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0,
+                       callback=None):
         """Shared time grid, per-lane dense output:
         returns (outcomes, min_h, max_h, nsteps, out[batch, len(grid), dim]).
 
-        With events present, a host-driven lockstep driver is used; grid
-        rows a lane does not reach (stopping terminal event / step limit /
-        non-finite state) are NaN in that lane."""
+        With events or a host ``callback`` present, a host-driven lockstep
+        driver is used; grid rows a lane does not reach (stopping terminal
+        event / callback stop / step limit / non-finite state) are NaN in
+        that lane."""
         grid = np.asarray(grid, dtype=self._dtype)
         if max_delta_t is None:
             max_delta_t = _pymath.inf
         mdt = np.broadcast_to(
             np.asarray(max_delta_t, dtype=self._dtype), (self._batch,)
         )
-        if self._ev_step is not None:
-            return self._propagate_grid_stepwise(grid, mdt, int(max_steps))
+        if self._ev_step is not None or callback is not None:
+            return self._propagate_grid_stepwise(
+                grid, mdt, int(max_steps), callback
+            )
         res = self._pg_jit(
             self._state,
             self._pars,
@@ -766,7 +853,7 @@ class TaylorAdaptiveBatch:
             np.asarray(res["out"]),
         )
 
-    def _propagate_grid_stepwise(self, grid, mdt, max_steps):
+    def _propagate_grid_stepwise(self, grid, mdt, max_steps, callback=None):
         """Event-aware batch propagate_grid: lanes step in lockstep with
         per-lane caps (event detection per lane via the vmapped event step);
         after each step, each live lane fills the grid points inside its step
@@ -831,11 +918,17 @@ class TaylorAdaptiveBatch:
                         res = tc[i, order - k] + res * rel
                     out[i, gi[i]] = res[: self.dim]
                     gi[i] += 1
-                if isinstance(oc, int) and self._event_stop[i]:
+                if (self._ev_step is not None and isinstance(oc, int)
+                        and self._event_stop[i]):
                     outcomes[i] = oc
                     done[i] = True
                 elif gi[i] >= ngrid:
                     done[i] = True
+            if callback is not None and not callback(self):
+                for i in range(self._batch):
+                    if not done[i]:
+                        outcomes[i] = TaylorOutcome.cb_stop
+                break
             if max_steps and int(nsteps.max()) >= max_steps:
                 for i in range(self._batch):
                     if not done[i]:
