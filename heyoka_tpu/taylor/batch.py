@@ -46,6 +46,7 @@ class TaylorAdaptiveBatch:
         t_events=(),
         nt_events=(),
         mp_order=None,
+        pallas_phase=False,
     ):
         self._sys = _normalize_sys(sys)
         self._dtype = jnp.dtype(dtype)
@@ -66,6 +67,10 @@ class TaylorAdaptiveBatch:
         # run in f32 (TPU-native extension; drift analysis in PERF.md).
         # Only meaningful with compact_mode="flat".
         self._mp_order = None if mp_order is None else int(mp_order)
+        # pallas_phase: run the f32 jet phase of the staged flat engine in
+        # a VMEM-resident Pallas kernel (True on TPU, "interpret" for CPU
+        # tests); requires compact_mode="flat" and mp_order
+        self._pallas_phase = pallas_phase
         self._t_events = list(t_events)
         self._nt_events = list(nt_events)
         ev_eqs = [ev.expression for ev in self._t_events] + [
@@ -116,6 +121,7 @@ class TaylorAdaptiveBatch:
                 high_accuracy=self._high_accuracy,
                 mp_order=self._mp_order,
                 layout="3d", unroll=True, staged=True, return_tc=True,
+                pallas_phase=self._pallas_phase,
             )
         if self._t_events or self._nt_events:
             # the scalar in-graph event step vmaps directly over the lanes

@@ -101,6 +101,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                            high_accuracy: bool = True, mp_order: int | None = None,
                            unroll: bool = False, layout: str = "flat",
                            staged: bool = False, return_tc: bool = False,
+                           pallas_phase=False,
                            _debug_tc: bool = False):
     """Whole-batch adaptive Taylor step over the flat layout.
 
@@ -271,8 +272,35 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
     three_d = layout == "3d"
 
+    # optional Pallas f32-phase kernel (pallas_phase.py): True (TPU) or
+    # "interpret" (CPU tests); validated eagerly so unsupported tapes fail
+    # at build, like the staged engine's own rule check
+    _pp_cache: dict = {}
+    if pallas_phase:
+        from .pallas_phase import make_phase_kernel as _mk_pp
+
+        if mp_order is None or not three_d:
+            raise ValueError(
+                "pallas_phase requires mp_order and layout='3d'"
+            )
+        _mk_pp(plan, mp_order + 1, K, 128,
+               interpret=(pallas_phase == "interpret"))  # validation build
+
+    def _get_pallas(B):
+        # batch tiles are 128 lanes (the TPU lane width); batches that do
+        # not tile fall back to the XLA phase rather than padding
+        if B % 128 != 0 and B != min(128, B):
+            return None
+        fn = _pp_cache.get(B)
+        if fn is None:
+            fn = _mk_pp(plan, mp_order + 1, K, B,
+                        interpret=(pallas_phase == "interpret"))
+            _pp_cache[B] = fn
+        return fn
+
     def step(states, pars, t, max_dt):
         B = states.shape[0]
+        _pallas_fn = _get_pallas(B) if pallas_phase else None
         f32 = jnp.float32
         use_mp = mp_order is not None and jnp.dtype(dtype) == jnp.float64
 
@@ -413,16 +441,24 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             else:
                 tc32 = jnp.zeros((W, (K + 1) * B), f32)
                 tc32 = lax.dynamic_update_slice(tc32, tc.astype(f32), (0, 0))
-            if staged:
-                _stage_widen(f32, K)
-            if unroll:
-                for k_ in range(mp_order + 1, K + 1):
-                    tc32 = body(k_, tc32, _mkctx(jnp, f32, B, K, kwin=k_,
-                                                 three_d=three_d, stage=stage))
+            if _pallas_fn is not None:
+                # whole f32 phase in one VMEM-resident Pallas kernel
+                # (pallas_phase.py; ~3x the XLA phase at the north-star
+                # workload, PERF.md)
+                tc32 = _pallas_fn(tc32)
             else:
-                tc32 = lax.fori_loop(
-                    mp_order + 1, K + 1, lambda k, a: body(k, a, ctx32), tc32
-                )
+                if staged:
+                    _stage_widen(f32, K)
+                if unroll:
+                    for k_ in range(mp_order + 1, K + 1):
+                        tc32 = body(k_, tc32,
+                                    _mkctx(jnp, f32, B, K, kwin=k_,
+                                           three_d=three_d, stage=stage))
+                else:
+                    tc32 = lax.fori_loop(
+                        mp_order + 1, K + 1, lambda k, a: body(k, a, ctx32),
+                        tc32,
+                    )
 
         if _debug_tc:
             return tc, (tc32 if use_mp else None)

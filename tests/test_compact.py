@@ -256,6 +256,69 @@ def test_batch_integrator_flat_mode():
     np.testing.assert_array_equal(ta2.state, ta_f.state)
 
 
+def test_pallas_phase_matches_staged():
+    # the VMEM-resident Pallas f32-phase kernel (pallas_phase.py, interpret
+    # mode on CPU) must agree with the staged XLA phase to f32 roundoff
+    from heyoka_tpu.taylor.compact_flat import (
+        make_batched_step_flat, jit_flat_step,
+    )
+    from heyoka_tpu.taylor.pallas_phase import UnsupportedPallasOp
+
+    rng = np.random.default_rng(0)
+    base = np.array(
+        [0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 1.5, 0, -0.8, 0, 0], float
+    )
+    B = 4
+    st = jnp.asarray(np.tile(base + 0.01 * rng.standard_normal(18), (B, 1)))
+    tape = taylor_decompose_sys(nbody(3, masses=[1.0, 1e-3, 2e-3]))
+    p = jnp.zeros((B, 0))
+    t = jnp.zeros((B,))
+    mdt = jnp.full((B,), 1e9)
+    kw = dict(layout="3d", unroll=True, staged=True, mp_order=8)
+    s0, h0 = jit_flat_step(make_batched_step_flat(tape, 15, **kw))(
+        st, p, t, mdt)
+    s1, h1 = jit_flat_step(
+        make_batched_step_flat(tape, 15, pallas_phase="interpret", **kw)
+    )(st, p, t, mdt)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-4)
+
+    # sin/cos pair groups (pendulum)
+    tape2 = taylor_decompose_sys(pendulum())
+    st2 = jnp.asarray(0.05 + 0.01 * rng.standard_normal((B, 2)))
+    kw2 = dict(layout="3d", unroll=True, staged=True, mp_order=6)
+    s2, h2 = jit_flat_step(make_batched_step_flat(tape2, 13, **kw2))(
+        st2, p, t, mdt)
+    s3, h3 = jit_flat_step(
+        make_batched_step_flat(tape2, 13, pallas_phase="interpret", **kw2)
+    )(st2, p, t, mdt)
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s2), rtol=1e-5,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(h3), np.asarray(h2), rtol=1e-4)
+
+    # unsupported tape ops raise at build time
+    sys_ = [(x, hy.kepE(0.3, y)), (y, x)]
+    tape3 = taylor_decompose_sys(sys_)
+    with pytest.raises(UnsupportedPallasOp):
+        make_batched_step_flat(tape3, 13, pallas_phase="interpret", **kw2)
+
+    # through the public batch-integrator API
+    import heyoka_tpu as hy_
+
+    states = 0.05 + 0.01 * rng.standard_normal((4, 2))
+    ta_p = hy_.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-15, compact_mode="flat", mp_order=6,
+        pallas_phase="interpret",
+    )
+    ta_l = hy_.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-15, compact_mode="flat", mp_order=6,
+    )
+    ta_p.step()
+    ta_l.step()
+    np.testing.assert_allclose(ta_p.state, ta_l.state, rtol=1e-6, atol=1e-8)
+
+
 def test_batch_integrator_flat_grid():
     # propagate_grid through the lockstep flat driver matches the vmapped
     # loop-engine grid driver

@@ -172,14 +172,24 @@ def main():
 
     def kernel(tc_ref, o_ref):
         o_ref[...] = tc_ref[...]
-        # seed histories for orders 0..LO-1
+        # seed histories for orders 0..LO-1; contiguous column sets read
+        # straight from o_ref instead (free slices, no VMEM duplication)
         hist = {}
         for gi, (g, colsets) in enumerate(gops):
             for ci, cols in enumerate(colsets):
+                if _contig(cols):
+                    continue
                 rows = []
                 for j in range(LO):
                     rows.append(vrows(o_ref[:, j, :], cols))
                 hist[(gi, ci)] = rows
+
+        def hrow(gi, ci, cols, j):
+            h = hist.get((gi, ci))
+            if h is not None:
+                return h[j]
+            r = _contig(cols)
+            return o_ref[r[0]:r[1], j, :]
         for k in range(LO, K + 1):
             kf = np.float32(k)
             prev = o_ref[:, k - 1, :]
@@ -196,26 +206,26 @@ def main():
                     for a in range(1, g.in_cols.shape[1]):
                         vals = vals + vrows(row_k, g.in_cols[:, a])
                 elif g.name == "mul":
-                    A = hist[(gi, 0)]
-                    C = hist[(gi, 1)]
+                    cA = g.in_cols[:, 0]
+                    cC = g.in_cols[:, 1]
                     # rows k of A and C are appended after computing vals:
                     # a_k c_0 + a_0 c_k handled via row_k gathers
-                    a_k = vrows(row_k, g.in_cols[:, 0])
-                    c_k = vrows(row_k, g.in_cols[:, 1])
-                    vals = A[0] * c_k + a_k * C[0]
+                    a_k = vrows(row_k, cA)
+                    c_k = vrows(row_k, cC)
+                    vals = hrow(gi, 0, cA, 0) * c_k + a_k * hrow(gi, 1, cC, 0)
                     for j in range(1, k):
-                        vals = vals + A[j] * C[k - j]
+                        vals = vals + hrow(gi, 0, cA, j) * hrow(gi, 1, cC, k - j)
                 elif g.name == "pow":
                     au = np.unique(g.alpha)
                     alpha = float(au[0])
-                    A = hist[(gi, 0)]   # out_cols history (orders < k)
-                    Bh = hist[(gi, 1)]  # base history
-                    b_k = vrows(row_k, g.in_cols[:, 0])
-                    vals = A[0] * b_k * np.float32(alpha * k)
+                    cA = g.out_cols     # out_cols history (orders < k)
+                    cB = g.in_cols[:, 0]
+                    b_k = vrows(row_k, cB)
+                    vals = hrow(gi, 0, cA, 0) * b_k * np.float32(alpha * k)
                     for j in range(1, k):
                         w = np.float32(alpha * (k - j) - j)
-                        vals = vals + A[j] * Bh[k - j] * w
-                    vals = vals / (kf * Bh[0])
+                        vals = vals + hrow(gi, 0, cA, j) * hrow(gi, 1, cB, k - j) * w
+                    vals = vals / (kf * hrow(gi, 1, cB, 0))
                 else:
                     raise NotImplementedError(g.name)
                 o_ref[g.out_start:g.out_start + m, k, :] = vals
@@ -223,14 +233,19 @@ def main():
             row_k = o_ref[:, k, :]
             for gi, (g, colsets) in enumerate(gops):
                 for ci, cols in enumerate(colsets):
-                    hist[(gi, ci)].append(vrows(row_k, cols))
+                    if (gi, ci) in hist:
+                        hist[(gi, ci)].append(vrows(row_k, cols))
 
+    from jax.experimental.pallas import tpu as pltpu
     phase = pl.pallas_call(
         kernel,
         grid=(B // BT,),
         in_specs=[pl.BlockSpec((W, K + 1, BT), lambda i: (0, 0, i))],
         out_specs=pl.BlockSpec((W, K + 1, BT), lambda i: (0, 0, i)),
         out_shape=jax.ShapeDtypeStruct((W, K + 1, B), jnp.float32),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )
     phase = jax.jit(phase)
     t_c0 = time.perf_counter()
