@@ -81,15 +81,21 @@ def main():
     tape = taylor_decompose_sys(sys_)
     order = taylor_order_from_tol(TOL)
 
-    # the hot kernel: whole-batch adaptive step — 3-D coefficient layout
-    # (no re-tiling), unrolled order loop (exact-window convolutions) and
-    # staged operand buffers (scattered history gathers replaced by one
-    # appended row per order; see PERF.md), with mixed precision: orders
-    # > 10 in f32 (error-analysis-safe for tol=1e-15 parity)
-    step = jax.jit(make_batched_step_flat(tape, order, dtype=dtype,
-                                          high_accuracy=True, mp_order=10,
-                                          layout="3d", unroll=True,
-                                          staged=True))
+    # the hot kernel: whole-batch adaptive step.  On TPU the full jet runs
+    # in one VMEM-resident Pallas kernel per batch tile: Taylor orders
+    # 1..8 in double-float (two-f32, error-free transforms — matches
+    # XLA's emulated-f64 2^-48 arithmetic; drift parity 1.8e-13 vs
+    # 1.5e-13 over 142 yr, tools/drift_mp.py) and orders 9..19 in f32
+    # (error-analysis-safe for tol=1e-15 parity); the XLA side evaluates
+    # only order 0 in f64 plus stepsize control and the Horner update.
+    # Off-TPU (CPU dev hosts) the staged XLA engine is used instead.
+    on_tpu = jax.default_backend() not in ("cpu",)
+    step = jax.jit(make_batched_step_flat(
+        tape, order, dtype=dtype, high_accuracy=True,
+        mp_order=8 if on_tpu else 10,
+        layout="3d", unroll=True, staged=True,
+        pallas_phase="dd" if on_tpu else False,
+    ))
 
     rng = np.random.default_rng(0)
     states = jnp.asarray(
@@ -115,7 +121,7 @@ def main():
         s, h = step(s, pars, t2, mdt)
         t2 = t2 + h
         reps += 1
-        if reps % 8 == 0:
+        if reps % 32 == 0:
             float(t2[0])
             if time.perf_counter() - t_start > 3.0:
                 break

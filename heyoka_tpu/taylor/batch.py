@@ -283,6 +283,7 @@ class TaylorAdaptiveBatch:
                 self._tape, self._order, dtype=self._dtype,
                 high_accuracy=self._high_accuracy,
                 mp_order=self._mp_order,
+                pallas_phase=self._pallas_phase,
             )
             return jit_flat_step(pu)
         pu = _loops.make_propagate_until(self._fns)
@@ -301,6 +302,7 @@ class TaylorAdaptiveBatch:
                 self._tape, self._order, dtype=self._dtype,
                 high_accuracy=self._high_accuracy,
                 mp_order=self._mp_order,
+                pallas_phase=self._pallas_phase,
             )
             return jit_flat_step(pg)
         pg = _loops.make_propagate_grid(self._fns)
@@ -959,6 +961,7 @@ def _batch_getstate(self):
         "high_accuracy": self._high_accuracy,
         "compact_mode": self._compact_mode,
         "mp_order": self._mp_order,
+        "pallas_phase": self._pallas_phase,
         "dtype": self._dtype.name,
         "state": np.asarray(self._state),
         "pars": np.asarray(self._pars),
@@ -974,6 +977,7 @@ def _batch_setstate(self, st):
         st["sys"], st["state"], pars=st["pars"], tol=st["tol"],
         high_accuracy=st["high_accuracy"], compact_mode=st["compact_mode"],
         dtype=st["dtype"], mp_order=st.get("mp_order"),
+        pallas_phase=st.get("pallas_phase", False),
     )
     self._t_hi = jnp.asarray(st["t_hi"], self._dtype)
     self._t_lo = jnp.asarray(st["t_lo"], self._dtype)

@@ -52,13 +52,19 @@ def jit_flat_step(step):
     agreement, so it is an optimizer interaction bug, not a tracing issue.
     TPU compiles the same graph correctly (verified against the flat
     layout bitwise for the staged engine).  On CPU this helper disables
-    ``algsimp`` for the step only.
+    ``algsimp`` for the step only, plus the CPU fusion passes: the fusion
+    emitter recomputes shared subexpressions with FMA contraction, which
+    silently breaks the error-free transforms of the double-float Pallas
+    jet kernel in interpret mode (pallas_phase.py; verified bit-level).
     """
     import jax
 
     if jax.default_backend() == "cpu":
         return jax.jit(
-            step, compiler_options={"xla_disable_hlo_passes": "algsimp"}
+            step, compiler_options={
+                "xla_disable_hlo_passes":
+                    "algsimp,cpu-instruction-fusion,fusion",
+            }
         )
     return jax.jit(step)
 
@@ -272,19 +278,29 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
     three_d = layout == "3d"
 
-    # optional Pallas f32-phase kernel (pallas_phase.py): True (TPU) or
-    # "interpret" (CPU tests); validated eagerly so unsupported tapes fail
-    # at build, like the staged engine's own rule check
+    # optional Pallas jet kernels (pallas_phase.py):
+    #   True / "interpret"      — f32 phase (orders mp_order+1..K) in-kernel
+    #   "dd" / "dd-interpret"   — FULL jet in-kernel: orders 1..mp_order in
+    #                             double-float (two-f32), the rest in f32;
+    #                             the XLA side only evaluates order 0 (f64)
+    # validated eagerly so unsupported tapes fail at build, like the staged
+    # engine's own rule check
     _pp_cache: dict = {}
+    _pp_dd = pallas_phase in ("dd", "dd-interpret")
+    _pp_interp = pallas_phase in ("interpret", "dd-interpret")
     if pallas_phase:
-        from .pallas_phase import make_phase_kernel as _mk_pp
+        from .pallas_phase import (
+            make_phase_kernel as _mk_pp, make_dd_jet_kernel as _mk_dd,
+        )
 
         if mp_order is None or not three_d:
             raise ValueError(
                 "pallas_phase requires mp_order and layout='3d'"
             )
-        _mk_pp(plan, mp_order + 1, K, 128,
-               interpret=(pallas_phase == "interpret"))  # validation build
+        if _pp_dd:  # validation build
+            _mk_dd(plan, mp_order, K, 128, interpret=_pp_interp)
+        else:
+            _mk_pp(plan, mp_order + 1, K, 128, interpret=_pp_interp)
 
     def _get_pallas(B):
         # batch tiles are 128 lanes (the TPU lane width); batches that do
@@ -293,8 +309,10 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             return None
         fn = _pp_cache.get(B)
         if fn is None:
-            fn = _mk_pp(plan, mp_order + 1, K, B,
-                        interpret=(pallas_phase == "interpret"))
+            if _pp_dd:
+                fn = _mk_dd(plan, mp_order, K, B, interpret=_pp_interp)
+            else:
+                fn = _mk_pp(plan, mp_order + 1, K, B, interpret=_pp_interp)
             _pp_cache[B] = fn
         return fn
 
@@ -422,17 +440,37 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
         lo_end = (mp_order if use_mp else K)
         ctx64 = _mkctx(jnp, dtype, B, lo_end, three_d=three_d)
-        tc = order0(init_tc(dtype, lo_end), ctx64)
-        if staged:
-            _stage_init(dtype, lo_end, tc[:, 0, :])
-        if unroll:
-            for k_ in range(1, lo_end + 1):
-                tc = body(k_, tc, _mkctx(jnp, dtype, B, lo_end, kwin=k_,
-                                         three_d=three_d, stage=stage))
+        dd_run = _pp_dd and use_mp and _pallas_fn is not None
+        if dd_run:
+            # full jet in one Pallas kernel: the XLA side evaluates only
+            # order 0 (f64, 2-row buffer so the time column's row-1 seed
+            # fits), splits it into (hi, lo) f32 pairs, and the kernel
+            # runs orders 1..mp_order in double-float + the rest in f32
+            tc = order0(init_tc(dtype, 1), ctx64)
+            hi0 = tc.astype(f32)
+            lo0 = (tc - hi0.astype(dtype)).astype(f32)
+            tc_hi = jnp.zeros((W, K + 1, B), f32)
+            tc_hi = lax.dynamic_update_slice(tc_hi, hi0, (0, 0, 0))
+            tc_lo = jnp.zeros((W, mp_order + 1, B), f32)
+            tc_lo = lax.dynamic_update_slice(tc_lo, lo0, (0, 0, 0))
+            tc_hi, tc_lo = _pallas_fn(tc_hi, tc_lo)
+            tc32 = tc_hi
+            if _debug_tc:
+                return tc_hi, tc_lo
         else:
-            tc = lax.fori_loop(1, lo_end + 1, lambda k, a: body(k, a, ctx64), tc)
+            tc = order0(init_tc(dtype, lo_end), ctx64)
+            if staged:
+                _stage_init(dtype, lo_end, tc[:, 0, :])
+            if unroll:
+                for k_ in range(1, lo_end + 1):
+                    tc = body(k_, tc, _mkctx(jnp, dtype, B, lo_end, kwin=k_,
+                                             three_d=three_d, stage=stage))
+            else:
+                tc = lax.fori_loop(
+                    1, lo_end + 1, lambda k, a: body(k, a, ctx64), tc
+                )
 
-        if use_mp:
+        if use_mp and not dd_run:
             # widen the window to the full order for the f32 phase
             ctx32 = _mkctx(jnp, f32, B, K, three_d=three_d)
             if three_d:
@@ -482,6 +520,15 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         h = jnp.where(max_dt < 0, -h, h)
 
         def coeff(i):
+            if dd_run:
+                # double-float reconstruction: exact f64 order 0, hi+lo for
+                # the dd orders, hi only above
+                if i == 0:
+                    return tcv[:n_eq, 0, :]
+                c = tc_hi[:n_eq, i, :].astype(dtype)
+                if i <= mp_order:
+                    c = c + tc_lo[:n_eq, i, :].astype(dtype)
+                return c
             src = tcv if (not use_mp or i <= mp_order) else hiv
             c = src[:n_eq, i, :]
             return c.astype(dtype)
@@ -514,7 +561,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
 def make_propagate_until_flat(tape: Tape, order: int, *, dtype=None,
                               high_accuracy: bool = True,
-                              mp_order: int | None = None):
+                              mp_order: int | None = None,
+                              pallas_phase=False):
     """On-device lockstep propagate-until over the staged flat engine.
 
     ``pu(state (B,n), pars (B,p), t_hi (B,), t_lo (B,), target_hi (B,),
@@ -535,7 +583,7 @@ def make_propagate_until_flat(tape: Tape, order: int, *, dtype=None,
     step = make_batched_step_flat(
         tape, order, dtype=dtype, high_accuracy=high_accuracy,
         mp_order=mp_order, layout="3d", unroll=True, staged=True,
-        return_tc=True,
+        return_tc=True, pallas_phase=pallas_phase,
     )
     n_eq = tape.n_eq
 
@@ -857,7 +905,8 @@ def _f_kepDE(ctx, tc, k, kf, g, B, off):
 
 def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
                              high_accuracy: bool = True,
-                             mp_order: int | None = None):
+                             mp_order: int | None = None,
+                             pallas_phase=False):
     """On-device lockstep propagate-grid over the staged flat engine.
 
     ``pg(state (B,n), pars (B,p), t_hi (B,), t_lo (B,), grid (ngrid,),
@@ -878,7 +927,7 @@ def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
     step = make_batched_step_flat(
         tape, order, dtype=dtype, high_accuracy=high_accuracy,
         mp_order=mp_order, layout="3d", unroll=True, staged=True,
-        return_tc=True,
+        return_tc=True, pallas_phase=pallas_phase,
     )
     n_eq = tape.n_eq
     K = order

@@ -1,19 +1,26 @@
-"""VMEM-resident Pallas kernel for the high-order (f32) jet phase.
+"""VMEM-resident Pallas kernels for the jet phases of the staged engine.
 
 Reference parity: this is the TPU-native materialization of heyoka's
 compact-mode jet computation (``taylor_compute_jet_compact_mode``,
 ``src/taylor_02.cpp:1194``) for the mixed-precision staged engine
-(``compact_flat.py``): the per-order Taylor recurrences of orders
-``lo..K`` run inside one Pallas kernel per batch tile, with the
-coefficient buffer and the scattered-operand histories held in VMEM.
+(``compact_flat.py``).  Two kernels:
+
+- :func:`make_phase_kernel` — the f32 phase: Taylor orders ``lo..K`` run
+  inside one Pallas kernel per batch tile, coefficient buffer and
+  scattered-operand histories held in VMEM.
+- :func:`make_dd_jet_kernel` — the full jet, orders ``1..K``: orders
+  ``1..dd_until`` in **double-float (two-f32) arithmetic** with exact
+  Dekker/Knuth error-free transforms, orders above in plain f32.  On TPU,
+  XLA's own f64 is already two-float emulation with *inexact* products
+  (~2^-48; tools/hw_parity.py), so the dd kernel matches or beats the
+  "f64" phase's accuracy while running at f32 VPU speed with no HBM
+  round-trips between orders.
 
 Why: the XLA formulation of the staged engine is slice/DUS/copy bound —
 the per-order cost scales with the full coefficient-buffer width and only
-~25% of the step is compute (see PERF.md round-1 third pass).  In-kernel,
-the HBM round-trips between orders disappear: the f32 phase drops from
-~16 ms to ~5 ms at the north-star workload (B=10240, W=381, orders 9..19).
+~25% of the step is compute (see PERF.md round-1 third pass).
 
-Mosaic lowering constraints shape the kernel (measured, PERF.md):
+Mosaic lowering constraints shape the kernels (measured, PERF.md):
 - no value scatter / value dynamic_update_slice -> all order-k writes are
   *ref* stores with static offsets, later reads are read-after-write;
 - no captured constant arrays -> convolutions are unrolled over the
@@ -23,6 +30,12 @@ Mosaic lowering constraints shape the kernel (measured, PERF.md):
 - scattered-row gathers -> unrolled static row slices + concatenate,
   gathered once per order into per-operand VMEM histories (the in-kernel
   analog of the staged engine's operand buffers).
+
+Double-float notes: scalar constants (1/k, Taylor weights) are
+precomputed in f64 at trace time and captured as (hi, lo) f32 *scalar*
+pairs, so their error is ~2^-53, below the dd noise floor.  Products use
+bit-masking splits (low 12 mantissa bits zeroed); if Mosaic fuses
+``a*b - p`` into an FMA the error term only becomes *more* exact.
 """
 
 from __future__ import annotations
@@ -53,6 +66,275 @@ def _contig(cols):
         cols, np.arange(a, a + cols.size)) else None
 
 
+def _validate(plan):
+    for lv in plan.levels:
+        for g in lv:
+            if g.name not in _SUPPORTED:
+                raise UnsupportedPallasOp(g.name)
+            if g.name == "pow" and np.unique(np.asarray(g.alpha)).size > 1:
+                # mixed exponents would need the alpha vector as a kernel
+                # input (Mosaic forbids captured constant arrays); the XLA
+                # phase handles those tapes
+                raise UnsupportedPallasOp("pow (mixed exponents)")
+
+
+def _opsets(g):
+    """Operand column sets whose histories are staged in VMEM (scattered
+    only; contiguous sets are free slices of the coefficient block)."""
+    if g.name == "mul":
+        return [g.in_cols[:, 0], g.in_cols[:, 1]]
+    if g.name == "pow":
+        return [g.out_cols, g.in_cols[:, 0]]
+    if g.name == "div":
+        return [g.out_cols, g.in_cols[:, 1]]
+    if g.name in ("exp", "sqrt", "log"):
+        return [g.out_cols, g.in_cols[:, 0]]
+    if g.name in ("sin", "sinh", "cos", "cosh"):
+        return [g.in_cols[:, 0], g.aux["pair"]]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# arithmetic layers: F32 (plain) and DD (double-float) values.
+# A value is a tuple: (hi,) for F32, (hi, lo) for DD.  Rules below are
+# written once against this interface.
+# ---------------------------------------------------------------------------
+
+def _mk_arith(jnp, barriers: bool = False):
+    from jax import lax as _lax
+
+    f32 = np.float32
+
+    if barriers:
+        def _bar(x):
+            # compiler barrier: without it XLA's CPU fusion emitter
+            # recomputes shared subexpressions with FMA contraction (e.g.
+            # `s = p + e` becomes fma(a, b, e) at one use site and stays
+            # `p + e` at the other), which silently breaks the error-free
+            # transforms at rounding-tie data (observed: dd degraded to
+            # plain-f32 2^-24 error).  Only needed when the kernel lowers
+            # through XLA (interpret mode); Mosaic has no such pass and
+            # does not lower optimization_barrier.
+            return _lax.optimization_barrier(x)
+    else:
+        def _bar(x):
+            return x
+
+    def _two_sum(a, b):
+        s = _bar(a + b)
+        bb = s - a
+        err = (a - (s - bb)) + (b - bb)
+        return s, err
+
+    def _quick_two_sum(a, b):
+        s = _bar(a + b)
+        return s, b - (s - a)
+
+    def _split(a):
+        # bit-masking split (not Veltkamp): zero the low 12 mantissa bits,
+        # so hi has <=12 significant bits and hi*hi products are exact in
+        # f32.  Immune to FMA fusion / algebraic simplification, which can
+        # break the 't - (t - a)' form at rounding ties (observed on
+        # XLA:CPU), and cheaper on the VPU (and + sub).
+        from jax import lax as _lax
+
+        bits = _lax.bitcast_convert_type(a, jnp.int32)
+        hi = _lax.bitcast_convert_type(
+            jnp.bitwise_and(bits, np.int32(-4096)), jnp.float32
+        )
+        return hi, a - hi
+
+    def _two_prod(a, b):
+        p = _bar(a * b)
+        ah, al = _split(a)
+        bh, bl = _split(b)
+        err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        return p, err
+
+    def _pair(c):
+        """f64 python scalar -> (hi, lo) f32 pair."""
+        hi = f32(c)
+        return hi, f32(float(c) - float(hi))
+
+    class F32:
+        width = 1
+
+        @staticmethod
+        def val(hi, lo=None):
+            return (hi,)
+
+        @staticmethod
+        def add(x, y):
+            return (x[0] + y[0],)
+
+        @staticmethod
+        def sub(x, y):
+            return (x[0] - y[0],)
+
+        @staticmethod
+        def mul(x, y):
+            return (x[0] * y[0],)
+
+        @staticmethod
+        def scale(x, c):
+            # c: python float (exact-f32 or not; f32 phase doesn't care)
+            return (x[0] * f32(c),)
+
+        @staticmethod
+        def div(x, y):
+            return (x[0] / y[0],)
+
+        @staticmethod
+        def neg(x):
+            return (-x[0],)
+
+        @staticmethod
+        def zero_like(x):
+            return (jnp.zeros_like(x[0]),)
+
+    class DD:
+        width = 2
+
+        @staticmethod
+        def val(hi, lo=None):
+            return (hi, jnp.zeros_like(hi) if lo is None else lo)
+
+        @staticmethod
+        def add(x, y):
+            s, e = _two_sum(x[0], y[0])
+            e = e + (x[1] + y[1])
+            return _quick_two_sum(s, e)
+
+        @staticmethod
+        def sub(x, y):
+            s, e = _two_sum(x[0], -y[0])
+            e = e + (x[1] - y[1])
+            return _quick_two_sum(s, e)
+
+        @staticmethod
+        def mul(x, y):
+            p, e = _two_prod(x[0], y[0])
+            e = e + (x[0] * y[1] + x[1] * y[0])
+            return _quick_two_sum(p, e)
+
+        @staticmethod
+        def scale(x, c):
+            # scalar two_prod with the constant's split precomputed at
+            # trace time (Mosaic cannot bitcast scalars)
+            ch, cl = _pair(c)
+            bh = np.frombuffer(
+                (np.frombuffer(ch.tobytes(), np.int32) & np.int32(-4096))
+                .tobytes(), np.float32)[0]
+            bl = f32(float(ch) - float(bh))
+            p = _bar(x[0] * ch)
+            ah, al = _split(x[0])
+            err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+            e = err + (x[0] * cl + x[1] * ch)
+            return _quick_two_sum(p, e)
+
+        @staticmethod
+        def div(x, y):
+            q1 = x[0] / y[0]
+            # r = x - q1*y in dd
+            p, e = _two_prod(q1, y[0])
+            e = e + q1 * y[1]
+            r_hi, r_e = _two_sum(x[0], -p)
+            r = r_hi + (r_e + (x[1] - e))
+            q2 = r / y[0]
+            return _quick_two_sum(q1, q2)
+
+        @staticmethod
+        def neg(x):
+            return (-x[0], -x[1])
+
+        @staticmethod
+        def zero_like(x):
+            z = jnp.zeros_like(x[0])
+            return (z, z)
+
+    return F32, DD
+
+
+# ---------------------------------------------------------------------------
+# per-group order-k recurrences, generic over the arithmetic A.
+#   rowv(cols)  -> current-row (order k) value of the operand columns
+#   hrow(ci, j) -> history value of operand set ci at order j (j < k)
+# ---------------------------------------------------------------------------
+
+def _rule(A, g, k, rowv, hrow):
+    name = g.name
+    if name == "sum":
+        vals = rowv(g.in_cols[:, 0])
+        for a in range(1, g.in_cols.shape[1]):
+            vals = A.add(vals, rowv(g.in_cols[:, a]))
+        return vals
+    if name == "mul":
+        a_k = rowv(g.in_cols[:, 0])
+        c_k = rowv(g.in_cols[:, 1])
+        vals = A.add(A.mul(hrow(0, 0), c_k), A.mul(a_k, hrow(1, 0)))
+        for j in range(1, k):
+            vals = A.add(vals, A.mul(hrow(0, j), hrow(1, k - j)))
+        return vals
+    if name == "pow":
+        # c_k = sum_{j<k} c_j b_{k-j} (alpha(k-j) - j) / (k b_0)
+        # (uniform exponent per group, enforced in the preamble)
+        av = float(np.unique(np.asarray(g.alpha))[0])
+        b_k = rowv(g.in_cols[:, 0])
+        vals = A.scale(A.mul(hrow(0, 0), b_k), av * k)
+        for j in range(1, k):
+            w = av * (k - j) - j
+            vals = A.add(vals, A.scale(A.mul(hrow(0, j), hrow(1, k - j)), w))
+        return A.div(A.scale(vals, 1.0 / k), hrow(1, 0))
+    if name == "div":
+        # c_k = (a_k - sum_{j<k} c_j d_{k-j}) / d_0
+        a_k = rowv(g.in_cols[:, 0])
+        s = A.mul(hrow(0, 0), rowv(g.in_cols[:, 1]))
+        for j in range(1, k):
+            s = A.add(s, A.mul(hrow(0, j), hrow(1, k - j)))
+        return A.div(A.sub(a_k, s), hrow(1, 0))
+    if name == "exp":
+        # e_k = (1/k) sum_{j=1..k} j b_j e_{k-j}
+        b_k = rowv(g.in_cols[:, 0])
+        vals = A.scale(A.mul(b_k, hrow(0, 0)), float(k))
+        for j in range(1, k):
+            vals = A.add(vals, A.scale(A.mul(hrow(1, j), hrow(0, k - j)),
+                                       float(j)))
+        return A.scale(vals, 1.0 / k)
+    if name in ("sin", "sinh", "cos", "cosh"):
+        # s_k = (sign/k) sum_{j=1..k} j b_j p_{k-j}
+        sign = -1.0 if name == "cos" else 1.0
+        b_k = rowv(g.in_cols[:, 0])
+        vals = A.scale(A.mul(b_k, hrow(1, 0)), float(k))
+        for j in range(1, k):
+            vals = A.add(vals, A.scale(A.mul(hrow(0, j), hrow(1, k - j)),
+                                       float(j)))
+        return A.scale(vals, sign / k)
+    if name == "log":
+        # c_k = (b_k - (1/k) sum_{j=1..k-1} j c_j b_{k-j}) / b_0
+        b_k = rowv(g.in_cols[:, 1 - 1])
+        s = None
+        for j in range(1, k):
+            t = A.scale(A.mul(hrow(0, j), hrow(1, k - j)), float(j))
+            s = t if s is None else A.add(s, t)
+        if s is None:
+            return A.div(b_k, hrow(1, 0))
+        return A.div(A.sub(b_k, A.scale(s, 1.0 / k)), hrow(1, 0))
+    if name == "sqrt":
+        # c_k = (b_k - sum_{j=1..k-1} c_j c_{k-j}) / (2 c_0)
+        b_k = rowv(g.in_cols[:, 0])
+        s = None
+        for j in range(1, k):
+            t = A.mul(hrow(0, j), hrow(0, k - j))
+            s = t if s is None else A.add(s, t)
+        num = b_k if s is None else A.sub(b_k, s)
+        return A.div(A.scale(num, 0.5), hrow(0, 0))
+    raise UnsupportedPallasOp(name)  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# f32 phase kernel (orders lo..K, plain f32)
+# ---------------------------------------------------------------------------
+
 def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
                       interpret: bool = False):
     """Build ``phase(tc32 (W, K+1, B) f32) -> tc32`` running Taylor orders
@@ -65,15 +347,8 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    for lv in plan.levels:
-        for g in lv:
-            if g.name not in _SUPPORTED:
-                raise UnsupportedPallasOp(g.name)
-            if g.name == "pow" and np.unique(np.asarray(g.alpha)).size > 1:
-                # mixed exponents would need the alpha vector as a kernel
-                # input (Mosaic forbids captured constant arrays); the XLA
-                # phase handles those tapes
-                raise UnsupportedPallasOp("pow (mixed exponents)")
+    _validate(plan)
+    F32, _DD = _mk_arith(jnp, barriers=interpret)
 
     W = plan.width
     n_eq = plan.n_eq
@@ -81,30 +356,12 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
     if B % bt != 0:
         raise ValueError(f"batch {B} not divisible by tile {bt}")
 
-    # operand column sets whose histories are staged in VMEM (scattered
-    # only; contiguous sets are free slices of the coefficient block)
-    def _opsets(g):
-        if g.name == "mul":
-            return [g.in_cols[:, 0], g.in_cols[:, 1]]
-        if g.name == "pow":
-            return [g.out_cols, g.in_cols[:, 0]]
-        if g.name == "div":
-            return [g.out_cols, g.in_cols[:, 1]]
-        if g.name in ("exp", "sqrt"):
-            return [g.out_cols, g.in_cols[:, 0]]
-        if g.name == "log":
-            return [g.out_cols, g.in_cols[:, 0]]
-        if g.name in ("sin", "sinh", "cos", "cosh"):
-            return [g.in_cols[:, 0], g.aux["pair"]]
-        return []
-
     gops = []
     for lv in plan.levels:
         for g in lv:
             gops.append((g, _opsets(g)))
 
     def kernel(tc_ref, o_ref):
-        f32 = np.float32
         o_ref[...] = tc_ref[...]
 
         def _vrows(x, cols):
@@ -119,102 +376,36 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
                 if _contig(cols):
                     continue
                 hist[(gi, ci)] = [
-                    _vrows(o_ref[:, j, :], cols) for j in range(lo)
+                    (_vrows(o_ref[:, j, :], cols),) for j in range(lo)
                 ]
 
-        def hrow(gi, ci, cols, j):
-            h = hist.get((gi, ci))
-            if h is not None:
-                return h[j]
-            r = _contig(cols)
-            return o_ref[r[0]:r[1], j, :]
-
         for k in range(lo, K + 1):
-            kf = f32(k)
             prev = o_ref[:, k - 1, :]
-            sv = _vrows(prev, plan.rhs_cols) / kf
+            sv = _vrows(prev, plan.rhs_cols) / np.float32(k)
             o_ref[0:n_eq, k, :] = sv
 
             for gi, (g, colsets) in enumerate(gops):
-                m = g.out_cols.size
                 row_k = o_ref[:, k, :]
-                name = g.name
-                if name == "sum":
-                    vals = _vrows(row_k, g.in_cols[:, 0])
-                    for a in range(1, g.in_cols.shape[1]):
-                        vals = vals + _vrows(row_k, g.in_cols[:, a])
-                elif name == "mul":
-                    cA, cC = g.in_cols[:, 0], g.in_cols[:, 1]
-                    a_k = _vrows(row_k, cA)
-                    c_k = _vrows(row_k, cC)
-                    vals = hrow(gi, 0, cA, 0) * c_k + a_k * hrow(gi, 1, cC, 0)
-                    for j in range(1, k):
-                        vals = vals + hrow(gi, 0, cA, j) * hrow(gi, 1, cC, k - j)
-                elif name == "pow":
-                    # c_k = sum_{j<k} c_j b_{k-j} (alpha(k-j) - j) / (k b_0)
-                    # (uniform exponent per group, enforced in the preamble)
-                    cA, cB = g.out_cols, g.in_cols[:, 0]
-                    b_k = _vrows(row_k, cB)
-                    av = float(np.unique(np.asarray(g.alpha))[0])
-                    vals = hrow(gi, 0, cA, 0) * b_k * f32(av * k)
-                    for j in range(1, k):
-                        w = f32(av * (k - j) - j)
-                        vals = vals + hrow(gi, 0, cA, j) \
-                            * hrow(gi, 1, cB, k - j) * w
-                    vals = vals / (kf * hrow(gi, 1, cB, 0))
-                elif name == "div":
-                    # c_k = (a_k - sum_{j<k} c_j d_{k-j}) / d_0
-                    cC, cD = g.out_cols, g.in_cols[:, 1]
-                    a_k = _vrows(row_k, g.in_cols[:, 0])
-                    s = hrow(gi, 0, cC, 0) * _vrows(row_k, cD)
-                    for j in range(1, k):
-                        s = s + hrow(gi, 0, cC, j) * hrow(gi, 1, cD, k - j)
-                    vals = (a_k - s) / hrow(gi, 1, cD, 0)
-                elif name == "exp":
-                    # e_k = (1/k) sum_{j=1..k} j b_j e_{k-j}
-                    cE, cB = g.out_cols, g.in_cols[:, 0]
-                    b_k = _vrows(row_k, cB)
-                    vals = f32(k) * b_k * hrow(gi, 0, cE, 0)
-                    for j in range(1, k):
-                        vals = vals + f32(j) * hrow(gi, 1, cB, j) \
-                            * hrow(gi, 0, cE, k - j)
-                    vals = vals / kf
-                elif name in ("sin", "sinh", "cos", "cosh"):
-                    # s_k = (sign/k) sum_{j=1..k} j b_j p_{k-j}
-                    sign = -1.0 if name == "cos" else 1.0
-                    cB, cP = g.in_cols[:, 0], g.aux["pair"]
-                    b_k = _vrows(row_k, cB)
-                    vals = f32(k) * b_k * hrow(gi, 1, cP, 0)
-                    for j in range(1, k):
-                        vals = vals + f32(j) * hrow(gi, 0, cB, j) \
-                            * hrow(gi, 1, cP, k - j)
-                    vals = vals * f32(sign / k)
-                elif name == "log":
-                    # c_k = (b_k - (1/k) sum_{j=1..k-1} j c_j b_{k-j}) / b_0
-                    cC, cB = g.out_cols, g.in_cols[:, 0]
-                    b_k = _vrows(row_k, cB)
-                    s = jnp.zeros_like(b_k)
-                    for j in range(1, k):
-                        s = s + f32(j) * hrow(gi, 0, cC, j) \
-                            * hrow(gi, 1, cB, k - j)
-                    vals = (b_k - s / kf) / hrow(gi, 1, cB, 0)
-                elif name == "sqrt":
-                    # c_k = (b_k - sum_{j=1..k-1} c_j c_{k-j}) / (2 c_0)
-                    cC = g.out_cols
-                    b_k = _vrows(row_k, g.in_cols[:, 0])
-                    s = jnp.zeros_like(b_k)
-                    for j in range(1, k):
-                        s = s + hrow(gi, 0, cC, j) * hrow(gi, 0, cC, k - j)
-                    vals = (b_k - s) / (2.0 * hrow(gi, 0, cC, 0))
-                else:  # pragma: no cover - filtered in the preamble
-                    raise UnsupportedPallasOp(name)
-                o_ref[g.out_start:g.out_start + m, k, :] = vals
+
+                def rowv(cols):
+                    return (_vrows(row_k, cols),)
+
+                def hrow(ci, j):
+                    h = hist.get((gi, ci))
+                    if h is not None:
+                        return h[j]
+                    r = _contig(colsets[ci])
+                    return (o_ref[r[0]:r[1], j, :],)
+
+                vals = _rule(F32, g, k, rowv, hrow)
+                o_ref[g.out_start:g.out_start + g.out_cols.size, k, :] = \
+                    vals[0]
 
             row_k = o_ref[:, k, :]
             for gi, (g, colsets) in enumerate(gops):
                 for ci, cols in enumerate(colsets):
                     if (gi, ci) in hist:
-                        hist[(gi, ci)].append(_vrows(row_k, cols))
+                        hist[(gi, ci)].append((_vrows(row_k, cols),))
 
     z32 = np.int32(0)
     call_kw = dict(
@@ -230,6 +421,139 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
         from jax.experimental.pallas import tpu as pltpu
 
         call_kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=96 * 1024 * 1024
+        )
+    return pl.pallas_call(kernel, **call_kw)
+
+
+# ---------------------------------------------------------------------------
+# full-jet kernel: orders 1..dd_until in double-float, dd_until+1..K in f32
+# ---------------------------------------------------------------------------
+
+def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
+                       bt: int = 128, interpret: bool = False):
+    """Build ``jet(hi (W, K+1, B) f32, lo (W, dd_until+1, B) f32) ->
+    (hi, lo)`` computing the whole Taylor jet in-kernel from the seeded
+    order-0 rows (callers seed row 0 of both, plus the time column's
+    row 1 in ``hi``).
+
+    Orders ``1..dd_until`` run in double-float (two-f32) arithmetic —
+    the hi part lands in ``hi`` and the compensation in ``lo`` — and
+    orders above in plain f32 on the hi buffer.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    _validate(plan)
+    F32, DD = _mk_arith(jnp, barriers=interpret)
+
+    W = plan.width
+    n_eq = plan.n_eq
+    bt = min(bt, B)
+    if B % bt != 0:
+        raise ValueError(f"batch {B} not divisible by tile {bt}")
+
+    gops = []
+    for lv in plan.levels:
+        for g in lv:
+            gops.append((g, _opsets(g)))
+
+    # dd-representable scalar pairs for 1/k land inside _rule via A.scale
+
+    def kernel(hi_ref, lo_ref, ohi_ref, olo_ref):
+        ohi_ref[...] = hi_ref[...]
+        olo_ref[...] = lo_ref[...]
+
+        def _vrows(x, cols):
+            r = _contig(cols)
+            if r:
+                return x[r[0]:r[1]]
+            return jnp.concatenate([x[c:c + 1] for c in cols], axis=0)
+
+        def _read(cols, j, dd):
+            """order-j value of the columns, as a dd or f32 tuple."""
+            r = _contig(cols)
+            if r:
+                hi = ohi_ref[r[0]:r[1], j, :]
+                if dd and j <= dd_until:
+                    return (hi, olo_ref[r[0]:r[1], j, :])
+                return (hi,) if not dd else (hi, jnp.zeros_like(hi))
+            hi = _vrows(ohi_ref[:, j, :], cols)
+            if dd and j <= dd_until:
+                return (hi, _vrows(olo_ref[:, j, :], cols))
+            return (hi,) if not dd else (hi, jnp.zeros_like(hi))
+
+        # VMEM histories for scattered operand sets: entries are (hi, lo)
+        # up to order dd_until, (hi,) beyond
+        hist: dict = {}
+        for gi, (g, colsets) in enumerate(gops):
+            for ci, cols in enumerate(colsets):
+                if _contig(cols):
+                    continue
+                hist[(gi, ci)] = [_read(cols, 0, True)]
+
+        def _coerce(v, A):
+            if A.width == 1:
+                return (v[0],)
+            if len(v) == 2:
+                return v
+            return (v[0], jnp.zeros_like(v[0]))
+
+        for k in range(1, K + 1):
+            dd = k <= dd_until
+            A = DD if dd else F32
+
+            # state variables: sv_k = rhs_{k-1} / k
+            prev = _read(np.asarray(plan.rhs_cols), k - 1, dd)
+            sv = A.scale(_coerce(prev, A), 1.0 / k)
+            ohi_ref[0:n_eq, k, :] = sv[0]
+            if dd:
+                olo_ref[0:n_eq, k, :] = sv[1]
+
+            for gi, (g, colsets) in enumerate(gops):
+                def rowv(cols):
+                    return _read(cols, k, dd)
+
+                def hrow(ci, j):
+                    h = hist.get((gi, ci))
+                    v = h[j] if h is not None else _read(colsets[ci], j, dd)
+                    return _coerce(v, A)
+
+                vals = _rule(A, g, k, rowv, hrow)
+                a, m = g.out_start, g.out_cols.size
+                ohi_ref[a:a + m, k, :] = vals[0]
+                if dd:
+                    olo_ref[a:a + m, k, :] = vals[1]
+
+            for gi, (g, colsets) in enumerate(gops):
+                for ci, cols in enumerate(colsets):
+                    if (gi, ci) in hist:
+                        hist[(gi, ci)].append(_read(cols, k, dd))
+
+    z32 = np.int32(0)
+    call_kw = dict(
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((W, K + 1, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((W, dd_until + 1, bt), lambda i: (z32, z32, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, K + 1, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((W, dd_until + 1, bt), lambda i: (z32, z32, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((W, K + 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((W, dd_until + 1, B), jnp.float32),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+    )
+    if interpret:
+        call_kw["interpret"] = True
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        call_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
         )
     return pl.pallas_call(kernel, **call_kw)

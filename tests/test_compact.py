@@ -303,6 +303,53 @@ def test_pallas_phase_matches_staged():
     with pytest.raises(UnsupportedPallasOp):
         make_batched_step_flat(tape3, 13, pallas_phase="interpret", **kw2)
 
+
+def test_pallas_dd_jet_matches_f64():
+    # the double-float (two-f32) full-jet kernel: dd orders must agree
+    # with the f64 staged engine to ~2^-48, far beyond plain f32
+    from heyoka_tpu.taylor.compact_flat import (
+        make_batched_step_flat, jit_flat_step,
+    )
+
+    rng = np.random.default_rng(0)
+    base = np.array(
+        [0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 1.5, 0, -0.8, 0, 0], float
+    )
+    B = 4
+    st = jnp.asarray(np.tile(base + 0.01 * rng.standard_normal(18), (B, 1)))
+    tape = taylor_decompose_sys(nbody(3, masses=[1.0, 1e-3, 2e-3]))
+    p = jnp.zeros((B, 0))
+    t = jnp.zeros((B,))
+    mdt = jnp.full((B,), 1e9)
+    kw = dict(layout="3d", unroll=True, staged=True, mp_order=8)
+
+    tcf = np.asarray(jit_flat_step(make_batched_step_flat(
+        tape, 15, layout="3d", unroll=True, staged=True, _debug_tc=True,
+    ))(st, p, t, mdt)[0])
+    hi, lo = jit_flat_step(make_batched_step_flat(
+        tape, 15, pallas_phase="dd-interpret", _debug_tc=True, **kw,
+    ))(st, p, t, mdt)
+    rec = np.asarray(hi, np.float64)
+    rec[:, :9, :] += np.asarray(lo, np.float64)
+    # dd orders: double-float precision (abs ~1e-15 at O(1) magnitudes);
+    # a plain-f32 phase would sit at ~1e-8
+    for k in range(0, 9):
+        np.testing.assert_allclose(rec[:, k, :], tcf[:, k, :], rtol=0,
+                                   atol=5e-14, err_msg=f"order {k}")
+    # f32 orders above
+    for k in range(9, 16):
+        np.testing.assert_allclose(rec[:, k, :], tcf[:, k, :], rtol=0,
+                                   atol=1e-6, err_msg=f"order {k}")
+
+    # full step output vs the all-f64 engine
+    s0, h0 = jit_flat_step(make_batched_step_flat(
+        tape, 15, layout="3d", unroll=True, staged=True))(st, p, t, mdt)
+    s1, h1 = jit_flat_step(make_batched_step_flat(
+        tape, 15, pallas_phase="dd-interpret", **kw))(st, p, t, mdt)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-4)
+
     # through the public batch-integrator API
     import heyoka_tpu as hy_
 

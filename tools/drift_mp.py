@@ -47,10 +47,15 @@ def main():
         return kin + pot
 
     e0 = energy_np(states)
-    for mp in [10, 8, 6]:
+    import sys as _sys
+    cfgs = [(10, False), (8, False), (6, False), (8, "dd")]
+    if len(_sys.argv) > 1:
+        sel = _sys.argv[1].split(",")
+        cfgs = [c for c in cfgs if f"{c[0]}{'dd' if c[1] else ''}" in sel]
+    for mp, pp in cfgs:
         step = jax.jit(make_batched_step_flat(
             tape, order, dtype=dtype, high_accuracy=True, mp_order=mp,
-            layout="3d", unroll=True, staged=True))
+            layout="3d", unroll=True, staged=True, pallas_phase=pp))
         s, t = states, jnp.zeros((BATCH,), dtype)
         n = 0
         while float(jnp.mean(t)) < 100.0 and n < 20000:
@@ -59,7 +64,7 @@ def main():
                 t = t + h
             n += 64
         drift = float(np.max(np.abs((energy_np(s) - e0) / e0)))
-        print(f"mp_order={mp}: drift={drift:.3e} over "
+        print(f"mp_order={mp}{' dd' if pp else ''}: drift={drift:.3e} over "
               f"{float(jnp.mean(t)):.1f} yr ({n} steps)", flush=True)
 
 

@@ -48,7 +48,11 @@ def main():
 
     mp = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     res = {}
-    for name, pp in [("xla", False), ("pallas", True)]:
+    modes = [("xla", False), ("pallas", True), ("dd", "dd")]
+    if len(sys.argv) > 2:
+        want = sys.argv[2].split(",")
+        modes = [m for m in modes if m[0] in want]
+    for name, pp in modes:
         step = jax.jit(make_batched_step_flat(
             tape, order, dtype=dtype, high_accuracy=True, mp_order=mp,
             layout="3d", unroll=True, staged=True, pallas_phase=pp))
@@ -58,9 +62,14 @@ def main():
               f"({BATCH/dt/1e3:8.1f}k lane-steps/s)  "
               f"[first-call {time.perf_counter()-t_c0:.1f}s]", flush=True)
         res[name] = (np.asarray(s), np.asarray(h))
-    ds = np.abs(res["pallas"][0] - res["xla"][0]).max()
-    dh = np.abs(res["pallas"][1] - res["xla"][1]).max()
-    print(f"after 25 steps: max|dstate|={ds:.3e} max|dh|={dh:.3e}")
+    base = "xla" if "xla" in res else sorted(res)[0]
+    for name in res:
+        if name == base:
+            continue
+        ds = np.abs(res[name][0] - res[base][0]).max()
+        dh = np.abs(res[name][1] - res[base][1]).max()
+        print(f"after 25 steps {name} vs {base}: "
+              f"max|dstate|={ds:.3e} max|dh|={dh:.3e}")
 
 
 if __name__ == "__main__":
