@@ -107,25 +107,38 @@ def main():
     t = jnp.zeros((BATCH,), dtype)
     mdt = jnp.full((BATCH,), math.inf, dtype)
 
-    # warmup / compile
-    s, h = step(states, pars, t, mdt)
-    float(h[0])
+    # the timed unit: 32 chained adaptive steps inside one jit (the
+    # production shape — propagate_until/grid run the step inside an
+    # on-device while_loop; timing single dispatches instead adds ~2 ms
+    # of host-dispatch gap per step at this step cost)
+    from jax import lax
 
-    # timed: chained steps; a host-side value read closes every timing
-    # window (block_until_ready alone does not synchronize on all remote
+    CHUNK = 32
+
+    @jax.jit
+    def run_chunk(s, t2):
+        def body(_, c):
+            s, t2 = c
+            s2, h = step(s, pars, t2, mdt)
+            return (s2, t2 + h)
+        return lax.fori_loop(0, CHUNK, body, (s, t2))
+
+    # warmup / compile
+    s, t2 = run_chunk(states, t)
+    float(t2[0])
+
+    # timed; a host-side value read closes every timing window
+    # (block_until_ready alone does not synchronize on all remote
     # platforms)
     s, t2 = states, t
     reps = 0
     t_start = time.perf_counter()
     while True:
-        s, h = step(s, pars, t2, mdt)
-        t2 = t2 + h
-        reps += 1
-        if reps % 32 == 0:
-            float(t2[0])
-            if time.perf_counter() - t_start > 3.0:
-                break
-    float(t2[0])
+        s, t2 = run_chunk(s, t2)
+        reps += CHUNK
+        float(t2[0])
+        if time.perf_counter() - t_start > 3.0:
+            break
     elapsed = time.perf_counter() - t_start
     steps_per_sec = BATCH * reps / elapsed
 
@@ -147,10 +160,8 @@ def main():
     e0 = energy_np(states)
     total = reps
     while float(jnp.mean(t2)) < 100.0 and total < 20000:
-        for _ in range(32):
-            s, h = step(s, pars, t2, mdt)
-            t2 = t2 + h
-        total += 32
+        s, t2 = run_chunk(s, t2)
+        total += CHUNK
     e1 = energy_np(s)
     drift = float(np.max(np.abs((e1 - e0) / e0)))
 

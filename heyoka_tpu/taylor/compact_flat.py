@@ -297,8 +297,9 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             raise ValueError(
                 "pallas_phase requires mp_order and layout='3d'"
             )
-        if _pp_dd:  # validation build
-            _mk_dd(plan, mp_order, K, 128, interpret=_pp_interp)
+        if _pp_dd:  # validation build (slim unless the debug path needs tc)
+            _mk_dd(plan, mp_order, K, 128, interpret=_pp_interp,
+                   slim=not _debug_tc)
         else:
             _mk_pp(plan, mp_order + 1, K, 128, interpret=_pp_interp)
 
@@ -310,7 +311,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         fn = _pp_cache.get(B)
         if fn is None:
             if _pp_dd:
-                fn = _mk_dd(plan, mp_order, K, B, interpret=_pp_interp)
+                fn = _mk_dd(plan, mp_order, K, B, interpret=_pp_interp,
+                            slim=not _debug_tc)
             else:
                 fn = _mk_pp(plan, mp_order + 1, K, B, interpret=_pp_interp)
             _pp_cache[B] = fn
@@ -390,6 +392,67 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                     )
             return tc
 
+        def order0_row(dt, states, pars, t):
+            """Order-0 values of all W tape columns as one (W, B) array,
+            built from per-group pieces and a single concatenate — no
+            (W, ..., B) f64 buffer churn (each big-buffer DUS of the
+            buffer-based order0 ran at ~34 GB/s effective; see PERF.md)."""
+            pieces = {0: states.T.astype(dt)}  # start col -> (m, B)
+            colmap = {}  # col -> (start, offset)
+            for i in range(n_eq):
+                colmap[i] = (0, i)
+
+            def add(start, arr):
+                pieces[start] = arr
+                for i in range(arr.shape[0]):
+                    colmap[start + i] = (start, i)
+
+            for ci, cv in plan.const_cols:
+                add(ci, jnp.full((1, B), cv, dt))
+            for pi, pj in plan.par_cols:
+                add(pi, pars[:, pj].astype(dt)[None, :])
+            if plan.time_col is not None:
+                add(plan.time_col, t.astype(dt)[None, :])
+
+            def vrows(cols):
+                # assemble requested rows from the pieces, merging runs
+                # that are contiguous inside one piece
+                out = []
+                i = 0
+                cols = np.asarray(cols)
+                while i < cols.size:
+                    s, off = colmap[int(cols[i])]
+                    j = i + 1
+                    while (j < cols.size and colmap.get(int(cols[j]),
+                           (None,))[0] == s
+                           and colmap[int(cols[j])][1] == off + (j - i)):
+                        j += 1
+                    out.append(pieces[s][off:off + (j - i)])
+                    i = j
+                return out[0] if len(out) == 1 else jnp.concatenate(out, 0)
+
+            for lv in plan.levels:
+                for g in lv:
+                    ar = _EVAL_ARITY.get(g.name, None)
+                    nin = g.in_cols.shape[1] if ar is None else ar
+                    ins = [vrows(g.in_cols[:, c]) for c in range(nin)]
+                    if g.name == "sum":
+                        vals = ins[0]
+                        for a in range(1, g.in_cols.shape[1]):
+                            vals = vals + vrows(g.in_cols[:, a])
+                    elif g.name == "pow":
+                        vals = _pow0_vec_b(jnp, ins[0], g.alpha)
+                    elif g.name == "mul":
+                        vals = ins[0] * ins[1]
+                    else:
+                        vals = _reg.opdef(g.name).evaluate(*ins)
+                    add(g.out_start, vals.astype(dt))
+
+            row = jnp.concatenate(
+                [pieces[s] for s in sorted(pieces)], axis=0
+            )
+            return row, vrows
+
         stage: dict = {}
 
         def _stage_init(dt, Kw, row0):
@@ -443,20 +506,28 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         dd_run = _pp_dd and use_mp and _pallas_fn is not None
         if dd_run:
             # full jet in one Pallas kernel: the XLA side evaluates only
-            # order 0 (f64, 2-row buffer so the time column's row-1 seed
-            # fits), splits it into (hi, lo) f32 pairs, and the kernel
-            # runs orders 1..mp_order in double-float + the rest in f32
-            tc = order0(init_tc(dtype, 1), ctx64)
-            hi0 = tc.astype(f32)
-            lo0 = (tc - hi0.astype(dtype)).astype(f32)
-            tc_hi = jnp.zeros((W, K + 1, B), f32)
-            tc_hi = lax.dynamic_update_slice(tc_hi, hi0, (0, 0, 0))
-            tc_lo = jnp.zeros((W, mp_order + 1, B), f32)
-            tc_lo = lax.dynamic_update_slice(tc_lo, lo0, (0, 0, 0))
-            tc_hi, tc_lo = _pallas_fn(tc_hi, tc_lo)
-            tc32 = tc_hi
+            # order 0 (f64, piece-wise — no big-buffer DUS churn), splits
+            # it into (hi, lo) f32 pairs, and the kernel runs orders
+            # 1..mp_order in double-float + the rest in f32
+            row0, _vrows0 = order0_row(dtype, states, pars, t)
+            hi_row = row0.astype(f32)
+            lo_row = (row0 - hi_row.astype(dtype)).astype(f32)
+            # row 1 seed: zeros except the time column's 1.0
+            r1 = jnp.zeros((W, B), f32)
+            if plan.time_col is not None:
+                r1 = lax.dynamic_update_slice(
+                    r1, jnp.ones((1, B), f32), (plan.time_col, 0)
+                )
+            hi0 = jnp.stack([hi_row, r1], axis=1)
+            lo0 = jnp.stack([lo_row, jnp.zeros((W, B), f32)], axis=1)
+            tc = row0[:, None, :]  # (W, 1, B): order-0 for m0/coeff(0)
             if _debug_tc:
-                return tc_hi, tc_lo
+                return _pallas_fn(hi0, lo0)
+            # slim kernel: (n_eq, K+1, B) hi block, (n_eq, mp+1, B) lo
+            # block and the order-(K-1)/K infinity norms — the full
+            # coefficient buffer never leaves VMEM
+            tc_hi, tc_lo, dd_norms = _pallas_fn(hi0, lo0)
+            tc32 = None
         else:
             tc = order0(init_tc(dtype, lo_end), ctx64)
             if staged:
@@ -506,11 +577,19 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         norm_cols = np.concatenate([np.arange(n_eq), plan.out_cols]) \
             if plan.out_cols.size else np.arange(n_eq)
         tcv = tc if three_d else tc.reshape(W, lo_end + 1, B)
-        hiv = ((tc32 if three_d else tc32.reshape(W, K + 1, B))
-               if use_mp else tcv)
-        m0 = jnp.max(jnp.abs(tcv[norm_cols, 0, :]), axis=0)
-        mo = jnp.max(jnp.abs(hiv[norm_cols, K, :]), axis=0).astype(dtype)
-        mo1 = jnp.max(jnp.abs(hiv[norm_cols, K - 1, :]), axis=0).astype(dtype)
+        if dd_run:
+            hiv = None
+            m0 = jnp.max(jnp.abs(tcv[norm_cols, 0, :]), axis=0)
+            mo1 = dd_norms[0].astype(dtype)
+            mo = dd_norms[1].astype(dtype)
+        else:
+            hiv = ((tc32 if three_d else tc32.reshape(W, K + 1, B))
+                   if use_mp else tcv)
+            m0 = jnp.max(jnp.abs(tcv[norm_cols, 0, :]), axis=0)
+            mo = jnp.max(jnp.abs(hiv[norm_cols, K, :]), axis=0).astype(dtype)
+            mo1 = jnp.max(
+                jnp.abs(hiv[norm_cols, K - 1, :]), axis=0
+            ).astype(dtype)
         num = jnp.where(m0 <= 1.0, 1.0, m0)
         rho = jnp.minimum(
             (num / mo) ** (1.0 / K), (num / mo1) ** (1.0 / (K - 1))

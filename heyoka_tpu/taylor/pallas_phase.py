@@ -144,10 +144,13 @@ def _mk_arith(jnp, barriers: bool = False):
         )
         return hi, a - hi
 
-    def _two_prod(a, b):
+    def _two_prod(a, b, asp=None, bsp=None):
+        # asp/bsp: optionally pre-computed (hi, lo) splits of a/b — history
+        # rows are reused across convolution orders, so caching their
+        # splits at append time saves ~8 of ~31 f32 ops per product term
         p = _bar(a * b)
-        ah, al = _split(a)
-        bh, bl = _split(b)
+        ah, al = asp if asp is not None else _split(a)
+        bh, bl = bsp if bsp is not None else _split(b)
         err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
         return p, err
 
@@ -213,9 +216,18 @@ def _mk_arith(jnp, barriers: bool = False):
 
         @staticmethod
         def mul(x, y):
-            p, e = _two_prod(x[0], y[0])
+            p, e = _two_prod(x[0], y[0],
+                             x[2:4] if len(x) > 3 else None,
+                             y[2:4] if len(y) > 3 else None)
             e = e + (x[0] * y[1] + x[1] * y[0])
             return _quick_two_sum(p, e)
+
+        @staticmethod
+        def with_split(x):
+            """Attach the cached Dekker split of the hi part: (hi, lo,
+            split_hi, split_lo).  All DD ops accept the extended tuple."""
+            sh, sl = _split(x[0])
+            return (x[0], x[1], sh, sl)
 
         @staticmethod
         def scale(x, c):
@@ -227,7 +239,7 @@ def _mk_arith(jnp, barriers: bool = False):
                 .tobytes(), np.float32)[0]
             bl = f32(float(ch) - float(bh))
             p = _bar(x[0] * ch)
-            ah, al = _split(x[0])
+            ah, al = x[2:4] if len(x) > 3 else _split(x[0])
             err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
             e = err + (x[0] * cl + x[1] * ch)
             return _quick_two_sum(p, e)
@@ -236,7 +248,8 @@ def _mk_arith(jnp, barriers: bool = False):
         def div(x, y):
             q1 = x[0] / y[0]
             # r = x - q1*y in dd
-            p, e = _two_prod(q1, y[0])
+            p, e = _two_prod(q1, y[0], None,
+                             y[2:4] if len(y) > 3 else None)
             e = e + q1 * y[1]
             r_hi, r_e = _two_sum(x[0], -p)
             r = r_hi + (r_e + (x[1] - e))
@@ -431,11 +444,27 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
 # ---------------------------------------------------------------------------
 
 def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
-                       bt: int = 128, interpret: bool = False):
-    """Build ``jet(hi (W, K+1, B) f32, lo (W, dd_until+1, B) f32) ->
-    (hi, lo)`` computing the whole Taylor jet in-kernel from the seeded
-    order-0 rows (callers seed row 0 of both, plus the time column's
-    row 1 in ``hi``).
+                       bt: int = 128, interpret: bool = False,
+                       slim: bool = False):
+    """Build the full-jet kernel from the seeded order-0/1 rows
+    ``hi0/lo0 (W, 2, B) f32`` (callers seed row 0 of both, plus the time
+    column's row 1 in ``hi0``; all other row-1 seeds are overwritten by
+    the order-1 recurrences in-kernel).
+
+    With ``slim=False``: returns ``(hi (W, K+1, B), lo (W, dd_until+1,
+    B))`` — the full coefficient buffers (used by debug/tc paths).
+
+    With ``slim=True``: the full buffers live only in VMEM scratch and
+    the kernel emits exactly what the stepper consumes —
+    ``(hi[:n_eq] (n_eq, K+1, B), lo[:n_eq] (n_eq, dd_until+1, B),
+    norms (2, B))`` where ``norms`` are ``max_|norm_cols|`` of orders
+    ``K-1`` and ``K``.  Full-size HBM outputs cost a write-back plus a
+    downstream XLA re-layout copy — measured ~1.9 ms/step of the
+    north-star workload.
+
+    The kernel takes only the 2-row seed as input: passing full-size
+    aliased buffers instead costs two whole-buffer HBM copies plus the
+    host-side zeros+DUS assembly (~3 ms/step measured).
 
     Orders ``1..dd_until`` run in double-float (two-f32) arithmetic —
     the hi part lands in ``hi`` and the compensation in ``lo`` — and
@@ -444,6 +473,7 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     _validate(plan)
     F32, DD = _mk_arith(jnp, barriers=interpret)
@@ -454,6 +484,9 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
     if B % bt != 0:
         raise ValueError(f"batch {B} not divisible by tile {bt}")
 
+    norm_cols = (np.concatenate([np.arange(n_eq), plan.out_cols])
+                 if plan.out_cols.size else np.arange(n_eq))
+
     gops = []
     for lv in plan.levels:
         for g in lv:
@@ -461,9 +494,17 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
 
     # dd-representable scalar pairs for 1/k land inside _rule via A.scale
 
-    def kernel(hi_ref, lo_ref, ohi_ref, olo_ref):
-        ohi_ref[...] = hi_ref[...]
-        olo_ref[...] = lo_ref[...]
+    def kernel(hi_ref, lo_ref, *out_refs):
+        if slim:
+            chi_ref, clo_ref, nrm_ref, ohi_ref, olo_ref = out_refs
+        else:
+            ohi_ref, olo_ref = out_refs
+        ohi_ref[...] = jnp.zeros((W, K + 1, hi_ref.shape[2]), jnp.float32)
+        olo_ref[...] = jnp.zeros(
+            (W, dd_until + 1, hi_ref.shape[2]), jnp.float32
+        )
+        ohi_ref[:, 0:2, :] = hi_ref[...]
+        olo_ref[:, 0:2, :] = lo_ref[...]
 
         def _vrows(x, cols):
             r = _contig(cols)
@@ -484,19 +525,20 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
                 return (hi, _vrows(olo_ref[:, j, :], cols))
             return (hi,) if not dd else (hi, jnp.zeros_like(hi))
 
-        # VMEM histories for scattered operand sets: entries are (hi, lo)
-        # up to order dd_until, (hi,) beyond
+        # VMEM histories for every product-operand set (scattered AND
+        # contiguous: caching lets dd entries carry their Dekker splits,
+        # computed once at append and reused across all later orders):
+        # entries are (hi, lo, split_hi, split_lo) up to order dd_until,
+        # (hi,) beyond
         hist: dict = {}
         for gi, (g, colsets) in enumerate(gops):
             for ci, cols in enumerate(colsets):
-                if _contig(cols):
-                    continue
-                hist[(gi, ci)] = [_read(cols, 0, True)]
+                hist[(gi, ci)] = [DD.with_split(_read(cols, 0, True))]
 
         def _coerce(v, A):
             if A.width == 1:
                 return (v[0],)
-            if len(v) == 2:
+            if len(v) >= 2:
                 return v
             return (v[0], jnp.zeros_like(v[0]))
 
@@ -528,31 +570,58 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
 
             for gi, (g, colsets) in enumerate(gops):
                 for ci, cols in enumerate(colsets):
-                    if (gi, ci) in hist:
-                        hist[(gi, ci)].append(_read(cols, k, dd))
+                    v = _read(cols, k, dd)
+                    hist[(gi, ci)].append(DD.with_split(v) if dd else v)
+
+        if slim:
+            chi_ref[...] = ohi_ref[0:n_eq, :, :]
+            clo_ref[...] = olo_ref[0:n_eq, :, :]
+            nrm_ref[0, :] = jnp.max(
+                jnp.abs(_vrows(ohi_ref[:, K - 1, :], norm_cols)), axis=0
+            )
+            nrm_ref[1, :] = jnp.max(
+                jnp.abs(_vrows(ohi_ref[:, K, :], norm_cols)), axis=0
+            )
 
     z32 = np.int32(0)
+    if slim:
+        out_specs = [
+            pl.BlockSpec((n_eq, K + 1, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((n_eq, dd_until + 1, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((2, bt), lambda i: (z32, i)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_eq, K + 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_eq, dd_until + 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, B), jnp.float32),
+        ]
+        scratch = [
+            pltpu.VMEM((W, K + 1, bt), jnp.float32),
+            pltpu.VMEM((W, dd_until + 1, bt), jnp.float32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((W, K + 1, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((W, dd_until + 1, bt), lambda i: (z32, z32, i)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((W, K + 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((W, dd_until + 1, B), jnp.float32),
+        ]
+        scratch = []
     call_kw = dict(
         grid=(B // bt,),
         in_specs=[
-            pl.BlockSpec((W, K + 1, bt), lambda i: (z32, z32, i)),
-            pl.BlockSpec((W, dd_until + 1, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((W, 2, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((W, 2, bt), lambda i: (z32, z32, i)),
         ],
-        out_specs=[
-            pl.BlockSpec((W, K + 1, bt), lambda i: (z32, z32, i)),
-            pl.BlockSpec((W, dd_until + 1, bt), lambda i: (z32, z32, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((W, K + 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((W, dd_until + 1, B), jnp.float32),
-        ],
-        input_output_aliases={0: 0, 1: 1},
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )
     if interpret:
         call_kw["interpret"] = True
     else:
-        from jax.experimental.pallas import tpu as pltpu
-
         call_kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024
         )
