@@ -288,18 +288,24 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
     _pp_cache: dict = {}
     _pp_dd = pallas_phase in ("dd", "dd-interpret")
     _pp_interp = pallas_phase in ("interpret", "dd-interpret")
+    _pp_o0 = False
     if pallas_phase:
         from .pallas_phase import (
             make_phase_kernel as _mk_pp, make_dd_jet_kernel as _mk_dd,
+            order0_supported as _o0_ok,
         )
 
         if mp_order is None or not three_d:
             raise ValueError(
                 "pallas_phase requires mp_order and layout='3d'"
             )
+        # order 0 moves in-kernel (double-float) when every tape op has a
+        # dd order-0 rule; otherwise the XLA side evaluates order 0 in f64
+        _pp_o0 = _pp_dd and _o0_ok(plan)
+        _pp_o0_mode = "dd" if _pp_o0 else "xla"
         if _pp_dd:  # validation build (slim unless the debug path needs tc)
             _mk_dd(plan, mp_order, K, 128, interpret=_pp_interp,
-                   slim=not _debug_tc)
+                   slim=not _debug_tc, order0=_pp_o0_mode)
         else:
             _mk_pp(plan, mp_order + 1, K, 128, interpret=_pp_interp)
 
@@ -312,7 +318,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         if fn is None:
             if _pp_dd:
                 fn = _mk_dd(plan, mp_order, K, B, interpret=_pp_interp,
-                            slim=not _debug_tc)
+                            slim=not _debug_tc, order0=_pp_o0_mode)
             else:
                 fn = _mk_pp(plan, mp_order + 1, K, B, interpret=_pp_interp)
             _pp_cache[B] = fn
@@ -392,7 +398,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                     )
             return tc
 
-        def order0_row(dt, states, pars, t):
+        def order0_row(dt, states, pars, t, eval_groups=True):
             """Order-0 values of all W tape columns as one (W, B) array,
             built from per-group pieces and a single concatenate — no
             (W, ..., B) f64 buffer churn (each big-buffer DUS of the
@@ -433,6 +439,11 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
             for lv in plan.levels:
                 for g in lv:
+                    if not eval_groups:
+                        # in-kernel order 0: group rows are zero seeds
+                        add(g.out_start,
+                            jnp.zeros((g.out_cols.size, B), dt))
+                        continue
                     ar = _EVAL_ARITY.get(g.name, None)
                     nin = g.in_cols.shape[1] if ar is None else ar
                     ins = [vrows(g.in_cols[:, c]) for c in range(nin)]
@@ -509,7 +520,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             # order 0 (f64, piece-wise — no big-buffer DUS churn), splits
             # it into (hi, lo) f32 pairs, and the kernel runs orders
             # 1..mp_order in double-float + the rest in f32
-            row0, _vrows0 = order0_row(dtype, states, pars, t)
+            row0, _vrows0 = order0_row(dtype, states, pars, t,
+                                       eval_groups=not _pp_o0)
             hi_row = row0.astype(f32)
             lo_row = (row0 - hi_row.astype(dtype)).astype(f32)
             # row 1 seed: zeros except the time column's 1.0
@@ -579,7 +591,11 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         tcv = tc if three_d else tc.reshape(W, lo_end + 1, B)
         if dd_run:
             hiv = None
-            m0 = jnp.max(jnp.abs(tcv[norm_cols, 0, :]), axis=0)
+            if _pp_o0:
+                # group-output order-0 values only exist in-kernel
+                m0 = dd_norms[2].astype(dtype)
+            else:
+                m0 = jnp.max(jnp.abs(tcv[norm_cols, 0, :]), axis=0)
             mo1 = dd_norms[0].astype(dtype)
             mo = dd_norms[1].astype(dtype)
         else:

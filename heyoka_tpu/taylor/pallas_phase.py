@@ -60,6 +60,23 @@ def supported(plan) -> bool:
     )
 
 
+#: groups whose ORDER-0 evaluation has an in-kernel double-float rule
+#: (pow restricted to integer/half-integer exponents: sqrt + squaring)
+_O0_SUPPORTED = {"sum", "mul", "div", "sqrt", "pow"}
+
+
+def order0_supported(plan) -> bool:
+    for lv in plan.levels:
+        for g in lv:
+            if g.name not in _O0_SUPPORTED:
+                return False
+            if g.name == "pow":
+                for a in np.unique(np.asarray(g.alpha)):
+                    if float(a) * 2.0 != int(float(a) * 2.0):
+                        return False
+    return True
+
+
 def _contig(cols):
     a = int(cols[0])
     return (a, a + int(cols.size)) if np.array_equal(
@@ -265,6 +282,44 @@ def _mk_arith(jnp, barriers: bool = False):
             z = jnp.zeros_like(x[0])
             return (z, z)
 
+        @staticmethod
+        def sqrt(x):
+            # dd sqrt: f32 estimate + two dd Newton (Heron) corrections
+            # (error 2^-23 -> 2^-46 -> dd floor)
+            y = (jnp.sqrt(x[0]), jnp.zeros_like(x[0]))
+            for _ in range(2):
+                d = DD.sub(x, DD.mul(y, y))
+                y = DD.add(y, DD.div(d, DD.scale(y, 2.0)))
+            return y
+
+        @staticmethod
+        def powi(x, n):
+            """Integer power by squaring (n != 0); negative via recip."""
+            m = abs(int(n))
+            acc = None
+            base = x
+            while m:
+                if m & 1:
+                    acc = base if acc is None else DD.mul(acc, base)
+                m >>= 1
+                if m:
+                    base = DD.mul(base, base)
+            if n < 0:
+                one = (jnp.ones_like(x[0]), jnp.zeros_like(x[0]))
+                acc = DD.div(one, acc)
+            return acc
+
+        @staticmethod
+        def pow_half(x, alpha):
+            """x**alpha for alpha = p/2 (p integer) or integer alpha."""
+            a2 = float(alpha) * 2.0
+            if a2 != int(a2):
+                raise UnsupportedPallasOp(f"pow order-0 alpha={alpha}")
+            p = int(a2)
+            if p % 2 == 0:
+                return DD.powi(x, p // 2)
+            return DD.powi(DD.sqrt(x), p)
+
     return F32, DD
 
 
@@ -445,7 +500,7 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
 
 def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
                        bt: int = 128, interpret: bool = False,
-                       slim: bool = False):
+                       slim: bool = False, order0: str = "xla"):
     """Build the full-jet kernel from the seeded order-0/1 rows
     ``hi0/lo0 (W, 2, B) f32`` (callers seed row 0 of both, plus the time
     column's row 1 in ``hi0``; all other row-1 seeds are overwritten by
@@ -476,6 +531,9 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
     from jax.experimental.pallas import tpu as pltpu
 
     _validate(plan)
+    if order0 == "dd" and not order0_supported(plan):
+        raise UnsupportedPallasOp("order-0 in-kernel (tape has ops "
+                                  "without a dd order-0 rule)")
     F32, DD = _mk_arith(jnp, barriers=interpret)
 
     W = plan.width
@@ -525,6 +583,42 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
                 return (hi, _vrows(olo_ref[:, j, :], cols))
             return (hi,) if not dd else (hi, jnp.zeros_like(hi))
 
+        def _coerce(v, A):
+            if A.width == 1:
+                return (v[0],)
+            if len(v) >= 2:
+                return v
+            return (v[0], jnp.zeros_like(v[0]))
+
+        if order0 == "dd":
+            # in-kernel double-float order-0 evaluation (callers seed
+            # only the state/const/par/time rows; group-output rows of
+            # the seed are zero)
+            for lv in plan.levels:
+                for g in lv:
+                    def in0(c):
+                        return _coerce(_read(g.in_cols[:, c], 0, True), DD)
+
+                    name = g.name
+                    if name == "sum":
+                        v = in0(0)
+                        for a in range(1, g.in_cols.shape[1]):
+                            v = DD.add(v, in0(a))
+                    elif name == "mul":
+                        v = DD.mul(in0(0), in0(1))
+                    elif name == "div":
+                        v = DD.div(in0(0), in0(1))
+                    elif name == "sqrt":
+                        v = DD.sqrt(in0(0))
+                    elif name == "pow":
+                        av = float(np.unique(np.asarray(g.alpha))[0])
+                        v = DD.pow_half(in0(0), av)
+                    else:  # pragma: no cover - gated by order0_supported
+                        raise UnsupportedPallasOp(name)
+                    a0, m = g.out_start, g.out_cols.size
+                    ohi_ref[a0:a0 + m, 0, :] = v[0]
+                    olo_ref[a0:a0 + m, 0, :] = v[1]
+
         # VMEM histories for every product-operand set (scattered AND
         # contiguous: caching lets dd entries carry their Dekker splits,
         # computed once at append and reused across all later orders):
@@ -534,13 +628,6 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
         for gi, (g, colsets) in enumerate(gops):
             for ci, cols in enumerate(colsets):
                 hist[(gi, ci)] = [DD.with_split(_read(cols, 0, True))]
-
-        def _coerce(v, A):
-            if A.width == 1:
-                return (v[0],)
-            if len(v) >= 2:
-                return v
-            return (v[0], jnp.zeros_like(v[0]))
 
         for k in range(1, K + 1):
             dd = k <= dd_until
@@ -582,18 +669,25 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
             nrm_ref[1, :] = jnp.max(
                 jnp.abs(_vrows(ohi_ref[:, K, :], norm_cols)), axis=0
             )
+            if order0 == "dd":
+                # m0 too: with in-kernel order 0 the XLA side never sees
+                # the group outputs' order-0 values
+                nrm_ref[2, :] = jnp.max(
+                    jnp.abs(_vrows(ohi_ref[:, 0, :], norm_cols)), axis=0
+                )
 
     z32 = np.int32(0)
+    n_nrm = 3 if order0 == "dd" else 2
     if slim:
         out_specs = [
             pl.BlockSpec((n_eq, K + 1, bt), lambda i: (z32, z32, i)),
             pl.BlockSpec((n_eq, dd_until + 1, bt), lambda i: (z32, z32, i)),
-            pl.BlockSpec((2, bt), lambda i: (z32, i)),
+            pl.BlockSpec((n_nrm, bt), lambda i: (z32, i)),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((n_eq, K + 1, B), jnp.float32),
             jax.ShapeDtypeStruct((n_eq, dd_until + 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_nrm, B), jnp.float32),
         ]
         scratch = [
             pltpu.VMEM((W, K + 1, bt), jnp.float32),
