@@ -67,9 +67,13 @@ class TaylorAdaptiveBatch:
         # run in f32 (TPU-native extension; drift analysis in PERF.md).
         # Only meaningful with compact_mode="flat".
         self._mp_order = None if mp_order is None else int(mp_order)
-        # pallas_phase: run the f32 jet phase of the staged flat engine in
-        # a VMEM-resident Pallas kernel (True on TPU, "interpret" for CPU
-        # tests); requires compact_mode="flat" and mp_order
+        # pallas_phase: run the jet of the staged flat engine in a
+        # VMEM-resident Pallas kernel.  "dd" = full jet in-kernel (orders
+        # 1..mp_order in double-float two-f32, the rest f32 — the TPU fast
+        # path, ~2M steps/s at the north-star workload), True = f32 phase
+        # only, "auto" = "dd" on TPU when the tape qualifies else off,
+        # "interpret"/"dd-interpret" for CPU tests.  Requires
+        # compact_mode="flat" and mp_order.
         self._pallas_phase = pallas_phase
         self._t_events = list(t_events)
         self._nt_events = list(nt_events)
@@ -116,6 +120,27 @@ class TaylorAdaptiveBatch:
             # UnsupportedLoopOp for tapes outside its rule set
             from .compact_flat import make_batched_step_flat
 
+            if self._pallas_phase == "auto":
+                # "auto": the dd Pallas jet on TPU when mp_order is set and
+                # the tape is inside the kernel's rule set; plain staged
+                # XLA otherwise (CPU, unsupported ops, no mp_order)
+                from .pallas_phase import UnsupportedPallasOp
+
+                resolved = False
+                if self._mp_order is not None and \
+                        jax.default_backend() != "cpu":
+                    try:
+                        make_batched_step_flat(
+                            self._tape, self._order, dtype=self._dtype,
+                            high_accuracy=self._high_accuracy,
+                            mp_order=self._mp_order,
+                            layout="3d", unroll=True, staged=True,
+                            return_tc=True, pallas_phase="dd",
+                        )
+                        resolved = "dd"
+                    except UnsupportedPallasOp:
+                        resolved = False
+                self._pallas_phase = resolved
             self._flat_step = make_batched_step_flat(
                 self._tape, self._order, dtype=self._dtype,
                 high_accuracy=self._high_accuracy,
