@@ -310,23 +310,31 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             _mk_pp(plan, mp_order + 1, K, 128, interpret=_pp_interp)
 
     def _get_pallas(B):
-        # batch tiles are 128 lanes (the TPU lane width); batches that do
-        # not tile fall back to the XLA phase rather than padding
-        if B % 128 != 0 and B != min(128, B):
-            return None
-        fn = _pp_cache.get(B)
+        # batch tiles are 128 lanes (the TPU lane width); for the dd
+        # kernel, batches that do not tile are padded up to the next
+        # multiple (callers pad inputs / slice outputs); the f32-phase
+        # kernel falls back to the XLA phase instead
+        if _pp_dd:
+            Bp = B if B <= 128 else ((B + 127) // 128) * 128
+        else:
+            if B % 128 != 0 and B != min(128, B):
+                return None, B
+            Bp = B
+        fn = _pp_cache.get(Bp)
         if fn is None:
             if _pp_dd:
-                fn = _mk_dd(plan, mp_order, K, B, interpret=_pp_interp,
+                fn = _mk_dd(plan, mp_order, K, Bp, interpret=_pp_interp,
                             slim=not _debug_tc, order0=_pp_o0_mode)
             else:
-                fn = _mk_pp(plan, mp_order + 1, K, B, interpret=_pp_interp)
-            _pp_cache[B] = fn
-        return fn
+                fn = _mk_pp(plan, mp_order + 1, K, Bp,
+                            interpret=_pp_interp)
+            _pp_cache[Bp] = fn
+        return fn, Bp
 
     def step(states, pars, t, max_dt):
         B = states.shape[0]
-        _pallas_fn = _get_pallas(B) if pallas_phase else None
+        _pallas_fn, _pallas_B = \
+            _get_pallas(B) if pallas_phase else (None, B)
         f32 = jnp.float32
         use_mp = mp_order is not None and jnp.dtype(dtype) == jnp.float64
 
@@ -533,12 +541,23 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             hi0 = jnp.stack([hi_row, r1], axis=1)
             lo0 = jnp.stack([lo_row, jnp.zeros((W, B), f32)], axis=1)
             tc = row0[:, None, :]  # (W, 1, B): order-0 for m0/coeff(0)
+            if _pallas_B != B:
+                # pad lanes to the kernel's 128-lane tiling (padded lanes
+                # compute garbage — div by the zero pad — and are sliced
+                # away below)
+                pad = ((0, 0), (0, 0), (0, _pallas_B - B))
+                hi0 = jnp.pad(hi0, pad, constant_values=1.0)
+                lo0 = jnp.pad(lo0, pad)
             if _debug_tc:
                 return _pallas_fn(hi0, lo0)
             # slim kernel: (n_eq, K+1, B) hi block, (n_eq, mp+1, B) lo
             # block and the order-(K-1)/K infinity norms — the full
             # coefficient buffer never leaves VMEM
             tc_hi, tc_lo, dd_norms = _pallas_fn(hi0, lo0)
+            if _pallas_B != B:
+                tc_hi = tc_hi[:, :, :B]
+                tc_lo = tc_lo[:, :, :B]
+                dd_norms = dd_norms[:, :B]
             tc32 = None
         else:
             tc = order0(init_tc(dtype, lo_end), ctx64)

@@ -183,6 +183,27 @@ def _mk_arith(jnp, barriers: bool = False):
         def val(hi, lo=None):
             return (hi,)
 
+        # non-normalized accumulation API (trivial for plain f32)
+        @staticmethod
+        def mul_nn(x, y):
+            return (x[0] * y[0],)
+
+        @staticmethod
+        def scale_nn(t, c):
+            return (t[0] * f32(c),)
+
+        @staticmethod
+        def neg_nn(t):
+            return (-t[0],)
+
+        @staticmethod
+        def acc(a, b):
+            return (a[0] + b[0],)
+
+        @staticmethod
+        def fin(t):
+            return t
+
         @staticmethod
         def add(x, y):
             return (x[0] + y[0],)
@@ -238,6 +259,40 @@ def _mk_arith(jnp, barriers: bool = False):
                              y[2:4] if len(y) > 3 else None)
             e = e + (x[0] * y[1] + x[1] * y[0])
             return _quick_two_sum(p, e)
+
+        # -- non-normalized accumulation: convolution terms carry an
+        # unnormalized (value, error) pair; renormalization happens once
+        # per convolution (A.fin), not once per term.  ~20% fewer VPU ops
+        # in the recurrences.
+        @staticmethod
+        def mul_nn(x, y):
+            p, e = _two_prod(x[0], y[0],
+                             x[2:4] if len(x) > 3 else None,
+                             y[2:4] if len(y) > 3 else None)
+            return (p, e + (x[0] * y[1] + x[1] * y[0]))
+
+        @staticmethod
+        def scale_nn(t, c):
+            ch, cl = _pair(c)
+            bh = np.frombuffer(
+                (np.frombuffer(ch.tobytes(), np.int32) & np.int32(-4096))
+                .tobytes(), np.float32)[0]
+            bl = f32(float(ch) - float(bh))
+            p, e = _two_prod(t[0], ch, None, (bh, bl))
+            return (p, e + (t[0] * cl + t[1] * ch))
+
+        @staticmethod
+        def neg_nn(t):
+            return (-t[0], -t[1])
+
+        @staticmethod
+        def acc(a, b):
+            s, r = _two_sum(a[0], b[0])
+            return (s, (a[1] + b[1]) + r)
+
+        @staticmethod
+        def fin(t):
+            return _quick_two_sum(t[0], t[1])
 
         @staticmethod
         def with_split(x):
@@ -330,6 +385,10 @@ def _mk_arith(jnp, barriers: bool = False):
 # ---------------------------------------------------------------------------
 
 def _rule(A, g, k, rowv, hrow):
+    # convolutions accumulate non-normalized (value, error) terms
+    # (A.mul_nn/scale_nn/acc) and renormalize once per output (A.fin);
+    # scalar weights are folded (e.g. j/k precomputed in f64 at trace
+    # time) so no separate 1/k pass is needed
     name = g.name
     if name == "sum":
         vals = rowv(g.in_cols[:, 0])
@@ -339,63 +398,65 @@ def _rule(A, g, k, rowv, hrow):
     if name == "mul":
         a_k = rowv(g.in_cols[:, 0])
         c_k = rowv(g.in_cols[:, 1])
-        vals = A.add(A.mul(hrow(0, 0), c_k), A.mul(a_k, hrow(1, 0)))
+        acc = A.acc(A.mul_nn(hrow(0, 0), c_k), A.mul_nn(a_k, hrow(1, 0)))
         for j in range(1, k):
-            vals = A.add(vals, A.mul(hrow(0, j), hrow(1, k - j)))
-        return vals
+            acc = A.acc(acc, A.mul_nn(hrow(0, j), hrow(1, k - j)))
+        return A.fin(acc)
     if name == "pow":
         # c_k = sum_{j<k} c_j b_{k-j} (alpha(k-j) - j) / (k b_0)
         # (uniform exponent per group, enforced in the preamble)
         av = float(np.unique(np.asarray(g.alpha))[0])
         b_k = rowv(g.in_cols[:, 0])
-        vals = A.scale(A.mul(hrow(0, 0), b_k), av * k)
+        acc = A.scale_nn(A.mul_nn(hrow(0, 0), b_k), av)
         for j in range(1, k):
-            w = av * (k - j) - j
-            vals = A.add(vals, A.scale(A.mul(hrow(0, j), hrow(1, k - j)), w))
-        return A.div(A.scale(vals, 1.0 / k), hrow(1, 0))
+            w = (av * (k - j) - j) / k
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(0, j), hrow(1, k - j)), w))
+        return A.div(A.fin(acc), hrow(1, 0))
     if name == "div":
         # c_k = (a_k - sum_{j<k} c_j d_{k-j}) / d_0
         a_k = rowv(g.in_cols[:, 0])
-        s = A.mul(hrow(0, 0), rowv(g.in_cols[:, 1]))
+        acc = A.acc((a_k[0], *a_k[1:2]) if A.width == 2 else (a_k[0],),
+                    A.neg_nn(A.mul_nn(hrow(0, 0), rowv(g.in_cols[:, 1]))))
         for j in range(1, k):
-            s = A.add(s, A.mul(hrow(0, j), hrow(1, k - j)))
-        return A.div(A.sub(a_k, s), hrow(1, 0))
+            acc = A.acc(acc, A.neg_nn(A.mul_nn(hrow(0, j),
+                                               hrow(1, k - j))))
+        return A.div(A.fin(acc), hrow(1, 0))
     if name == "exp":
         # e_k = (1/k) sum_{j=1..k} j b_j e_{k-j}
         b_k = rowv(g.in_cols[:, 0])
-        vals = A.scale(A.mul(b_k, hrow(0, 0)), float(k))
+        acc = A.mul_nn(b_k, hrow(0, 0))  # j=k term: weight k/k = 1
         for j in range(1, k):
-            vals = A.add(vals, A.scale(A.mul(hrow(1, j), hrow(0, k - j)),
-                                       float(j)))
-        return A.scale(vals, 1.0 / k)
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(1, j), hrow(0, k - j)), j / k))
+        return A.fin(acc)
     if name in ("sin", "sinh", "cos", "cosh"):
         # s_k = (sign/k) sum_{j=1..k} j b_j p_{k-j}
         sign = -1.0 if name == "cos" else 1.0
         b_k = rowv(g.in_cols[:, 0])
-        vals = A.scale(A.mul(b_k, hrow(1, 0)), float(k))
+        acc = A.mul_nn(b_k, hrow(1, 0))
+        if sign < 0:
+            acc = A.neg_nn(acc)
         for j in range(1, k):
-            vals = A.add(vals, A.scale(A.mul(hrow(0, j), hrow(1, k - j)),
-                                       float(j)))
-        return A.scale(vals, sign / k)
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(0, j), hrow(1, k - j)), sign * j / k))
+        return A.fin(acc)
     if name == "log":
         # c_k = (b_k - (1/k) sum_{j=1..k-1} j c_j b_{k-j}) / b_0
-        b_k = rowv(g.in_cols[:, 1 - 1])
-        s = None
+        b_k = rowv(g.in_cols[:, 0])
+        acc = (b_k[0], *b_k[1:2]) if A.width == 2 else (b_k[0],)
         for j in range(1, k):
-            t = A.scale(A.mul(hrow(0, j), hrow(1, k - j)), float(j))
-            s = t if s is None else A.add(s, t)
-        if s is None:
-            return A.div(b_k, hrow(1, 0))
-        return A.div(A.sub(b_k, A.scale(s, 1.0 / k)), hrow(1, 0))
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(0, j), hrow(1, k - j)), -j / k))
+        return A.div(A.fin(acc), hrow(1, 0))
     if name == "sqrt":
         # c_k = (b_k - sum_{j=1..k-1} c_j c_{k-j}) / (2 c_0)
         b_k = rowv(g.in_cols[:, 0])
-        s = None
+        acc = (b_k[0], *b_k[1:2]) if A.width == 2 else (b_k[0],)
         for j in range(1, k):
-            t = A.mul(hrow(0, j), hrow(0, k - j))
-            s = t if s is None else A.add(s, t)
-        num = b_k if s is None else A.sub(b_k, s)
-        return A.div(A.scale(num, 0.5), hrow(0, 0))
+            acc = A.acc(acc, A.neg_nn(A.mul_nn(hrow(0, j),
+                                               hrow(0, k - j))))
+        return A.div(A.scale(A.fin(acc), 0.5), hrow(0, 0))
     raise UnsupportedPallasOp(name)  # pragma: no cover
 
 

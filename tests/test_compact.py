@@ -350,6 +350,19 @@ def test_pallas_dd_jet_matches_f64():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-4)
 
+    # non-tiling batches (> 128, not a multiple) ride the dd kernel via
+    # lane padding
+    B2 = 130
+    st2 = jnp.asarray(np.tile(np.asarray(st)[0], (B2, 1)))
+    p2 = jnp.zeros((B2, 0))
+    t2 = jnp.zeros((B2,))
+    mdt2 = jnp.full((B2,), 1e9)
+    s4, h4 = jit_flat_step(make_batched_step_flat(
+        tape, 15, pallas_phase="dd-interpret", **kw))(st2, p2, t2, mdt2)
+    np.testing.assert_allclose(np.asarray(s4[:4]), np.asarray(s1),
+                               rtol=0, atol=1e-12)
+    assert np.isfinite(np.asarray(s4)).all()
+
     # through the public batch-integrator API
     import heyoka_tpu as hy_
 

@@ -48,7 +48,7 @@ def main():
 
     e0 = energy_np(states)
     import sys as _sys
-    cfgs = [(10, False), (8, False), (6, False), (8, "dd")]
+    cfgs = [(10, False), (8, False), (6, False), (8, "dd"), (7, "dd"), (6, "dd")]
     if len(_sys.argv) > 1:
         sel = _sys.argv[1].split(",")
         cfgs = [c for c in cfgs if f"{c[0]}{'dd' if c[1] else ''}" in sel]
