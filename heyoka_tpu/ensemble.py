@@ -85,6 +85,13 @@ def _events_config(ta):
     return tes, ntes
 
 
+def _ens_cache(ta):
+    try:
+        return ta.__dict__.setdefault("_ens_drivers", {})
+    except AttributeError:  # exotic ta without __dict__
+        return None
+
+
 def _mesh_shard(fun, mesh, n_args):
     """shard_map ``fun`` over the trajectory axis of an (optional) mesh."""
     if mesh is None:
@@ -129,7 +136,14 @@ def ensemble_propagate_until(
             float(max_delta_t), int(max_steps), mesh,
         )
 
-    if getattr(ta, "_flat", False):
+    # the built + jitted driver is cached on the integrator: rebuilding
+    # it per call makes every ensemble invocation re-lower and re-link the
+    # whole program (tens of seconds for the Pallas engines even with a
+    # warm persistent cache)
+    cache = _ens_cache(ta)
+    key = ("until", float(max_delta_t), int(max_steps), id(mesh))
+    fn = cache.get(key) if cache is not None else None
+    if fn is None and getattr(ta, "_flat", False):
         # the integrator runs the staged flat engine: each mesh shard steps
         # its whole lane block through the lockstep batched driver instead
         # of vmapping the scalar jet (~6x on TPU; see PERF.md)
@@ -138,6 +152,8 @@ def ensemble_propagate_until(
         puf = make_propagate_until_flat(
             ta._tape, ta._order, dtype=dtype,
             high_accuracy=ta._high_accuracy,
+            mp_order=getattr(ta, "_mp_order", None),
+            pallas_phase=getattr(ta, "_pallas_phase", False),
         )
 
         def vm(state, pars_, t_hi, t_lo, tgt):
@@ -147,14 +163,10 @@ def ensemble_propagate_until(
                 jnp.asarray(int(max_steps), jnp.int64),
             )
 
-        if jax.default_backend() == "cpu":
-            fn = jax.jit(
-                _mesh_shard(vm, mesh, 5),
-                compiler_options={"xla_disable_hlo_passes": "algsimp"},
-            )
-        else:
-            fn = jax.jit(_mesh_shard(vm, mesh, 5))
-    else:
+        from .taylor.compact_flat import jit_flat_step
+
+        fn = jit_flat_step(_mesh_shard(vm, mesh, 5))
+    elif fn is None:
         pu = _loops.make_propagate_until(ta._fns)
 
         def one(state, pars_, t_hi, t_lo, tgt):
@@ -166,6 +178,8 @@ def ensemble_propagate_until(
 
         vm = jax.vmap(one)
         fn = jax.jit(_mesh_shard(vm, mesh, 5))
+    if cache is not None:
+        cache[key] = fn
 
     targets = jnp.broadcast_to(jnp.asarray(t, dtype), (n_iter,))
     res = fn(
@@ -338,17 +352,26 @@ def ensemble_propagate_grid(
     dtype = ta._dtype
     grid = jnp.asarray(np.asarray(grid, dtype=dtype))
 
-    pg = _loops.make_propagate_grid(ta._fns)
+    cache = _ens_cache(ta)
+    # the grid VALUES are baked into the traced program, so they key the
+    # cache (bytes of the host copy; grids are small)
+    key = ("grid", np.asarray(grid).tobytes(), float(max_delta_t),
+           int(max_steps), id(mesh))
+    fn = cache.get(key) if cache is not None else None
+    if fn is None:
+        pg = _loops.make_propagate_grid(ta._fns)
 
-    def one(state, pars_, t_hi, t_lo):
-        return pg(
-            state, pars_, t_hi, t_lo, grid,
-            jnp.asarray(float(max_delta_t), dtype),
-            jnp.asarray(int(max_steps), jnp.int64),
-        )
+        def one(state, pars_, t_hi, t_lo):
+            return pg(
+                state, pars_, t_hi, t_lo, grid,
+                jnp.asarray(float(max_delta_t), dtype),
+                jnp.asarray(int(max_steps), jnp.int64),
+            )
 
-    vm = jax.vmap(one)
-    fn = jax.jit(_mesh_shard(vm, mesh, 4))
+        vm = jax.vmap(one)
+        fn = jax.jit(_mesh_shard(vm, mesh, 4))
+        if cache is not None:
+            cache[key] = fn
 
     res = fn(
         jnp.asarray(states),
@@ -402,6 +425,11 @@ class _BatchShim:
         self._dtype = tab._dtype
         self._fns = tab._fns
         self._flat = getattr(tab, "_flat", False)
+        self._mp_order = getattr(tab, "_mp_order", None)
+        self._pallas_phase = getattr(tab, "_pallas_phase", False)
+        # share the underlying integrator's jitted-driver cache so fresh
+        # shims (one per ensemble_*_batch call) reuse compiled programs
+        self._ens_drivers = tab.__dict__.setdefault("_ens_drivers", {})
         self._order = tab._order
         self._high_accuracy = tab._high_accuracy
         self._ev_step = getattr(tab, "_ev_step", None)
