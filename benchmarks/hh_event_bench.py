@@ -46,3 +46,38 @@ print(json.dumps({
     "steps_per_sec_events": round(ns_e / el_e, 1),
     "event_overhead_x": round((el_e / ns_e) / (el_p / ns_p), 2),
 }))
+
+# --- batched variant: the TPU-scale Poincare-section workload — B
+# perturbed orbits with the same nt event, the on-device vmapped
+# bounded-recorder path (events land per lane, chronologically)
+import numpy as np
+
+B = 1024
+rng = np.random.default_rng(0)
+states = np.asarray(ic)[None, :] + 1e-3 * rng.standard_normal((B, 4))
+n_hits = [0]
+ev_b = hy.nt_event(y, lambda ta, t, d, lane: n_hits.__setitem__(
+    0, n_hits[0] + 1), direction=hy.EventDirection.positive)
+tab_p = hy.taylor_adaptive_batch(sys_, states, tol=1e-15,
+                                 high_accuracy=True)
+tab_e = hy.taylor_adaptive_batch(sys_, states, tol=1e-15,
+                                 high_accuracy=True, nt_events=[ev_b])
+tab_p.propagate_until(10.0)
+tab_e.propagate_until(10.0)  # warm
+
+TB = 200.0
+t0 = time.perf_counter()
+_, _, _, ns_bp = tab_p.propagate_until(TB)
+el_bp = time.perf_counter() - t0
+t0 = time.perf_counter()
+_, _, _, ns_be = tab_e.propagate_until(TB)
+el_be = time.perf_counter() - t0
+tot_p = int(np.asarray(ns_bp).sum())
+tot_e = int(np.asarray(ns_be).sum())
+print(json.dumps({
+    "bench": "henon_heiles_events_batch",
+    "batch": B,
+    "lane_steps_per_sec_plain": round(tot_p / el_bp, 1),
+    "lane_steps_per_sec_events": round(tot_e / el_be, 1),
+    "event_overhead_x": round((el_be / tot_e) / (el_bp / tot_p), 2),
+}))

@@ -363,6 +363,22 @@ def test_pallas_dd_jet_matches_f64():
                                rtol=0, atol=1e-12)
     assert np.isfinite(np.asarray(s4)).all()
 
+    # time-dependent tape: the time column's row-1 seed must survive the
+    # kernel (forced oscillator, XLA order-0 fallback for cos)
+    xv, vv = hy.make_vars("x", "v")
+    sys_t = [(xv, vv), (vv, -xv + 0.1 * hy.cos(0.3 * hy.time))]
+    tape_t = taylor_decompose_sys(sys_t)
+    st_t = jnp.asarray(0.5 + 0.1 * rng.standard_normal((B, 2)))
+    t_t = jnp.full((B,), 1.7)
+    kw_t = dict(layout="3d", unroll=True, staged=True, mp_order=6)
+    s5, h5 = jit_flat_step(make_batched_step_flat(
+        tape_t, 13, layout="3d", unroll=True, staged=True))(
+        st_t, p, t_t, mdt)
+    s6, h6 = jit_flat_step(make_batched_step_flat(
+        tape_t, 13, pallas_phase="dd-interpret", **kw_t))(st_t, p, t_t, mdt)
+    np.testing.assert_allclose(np.asarray(s6), np.asarray(s5), rtol=1e-5,
+                               atol=1e-7)
+
     # through the public batch-integrator API
     import heyoka_tpu as hy_
 
