@@ -43,7 +43,12 @@ states = IC[None, :] + np.abs(IC)[None, :] * rng.uniform(-1, 1, (B, 36)) * 1e-8
 ta = hy.taylor_adaptive_batch(
     sys_, states, tol=1e-15, high_accuracy=True,
     compact_mode="flat",      # the staged flat engine
-    mp_order=10,              # f32 above order 10 (drift-neutral, ~2x faster)
+    mp_order=8,               # f32 above order 8 (drift-neutral here)
+    pallas_phase="auto",      # on TPU: the whole jet in one VMEM-resident
+                              # Pallas kernel, low orders in double-float
+                              # (two-f32 error-free transforms) — 2.1M
+                              # steps/s at B=10240 on v5e; off-TPU this
+                              # resolves to the staged XLA engine
 )
 
 # lockstep on-device propagation: one compiled while_loop for all lanes
