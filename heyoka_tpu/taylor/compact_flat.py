@@ -309,24 +309,31 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         else:
             _mk_pp(plan, mp_order + 1, K, 128, interpret=_pp_interp)
 
+    import os as _os
+
+    #: batch-tile width (lanes per kernel invocation); 128 is the VPU lane
+    #: width — overridable for tuning via HEYOKA_PALLAS_BT
+    _bt = int(_os.environ.get("HEYOKA_PALLAS_BT", "128"))
+
     def _get_pallas(B):
-        # batch tiles are 128 lanes (the TPU lane width); for the dd
-        # kernel, batches that do not tile are padded up to the next
-        # multiple (callers pad inputs / slice outputs); the f32-phase
-        # kernel falls back to the XLA phase instead
+        # batch tiles are _bt lanes; for the dd kernel, batches that do
+        # not tile are padded up to the next multiple (callers pad inputs
+        # / slice outputs); the f32-phase kernel falls back to the XLA
+        # phase instead
         if _pp_dd:
-            Bp = B if B <= 128 else ((B + 127) // 128) * 128
+            Bp = B if B <= _bt else ((B + _bt - 1) // _bt) * _bt
         else:
-            if B % 128 != 0 and B != min(128, B):
+            if B % _bt != 0 and B != min(_bt, B):
                 return None, B
             Bp = B
         fn = _pp_cache.get(Bp)
         if fn is None:
             if _pp_dd:
-                fn = _mk_dd(plan, mp_order, K, Bp, interpret=_pp_interp,
+                fn = _mk_dd(plan, mp_order, K, Bp, bt=_bt,
+                            interpret=_pp_interp,
                             slim=not _debug_tc, order0=_pp_o0_mode)
             else:
-                fn = _mk_pp(plan, mp_order + 1, K, Bp,
+                fn = _mk_pp(plan, mp_order + 1, K, Bp, bt=_bt,
                             interpret=_pp_interp)
             _pp_cache[Bp] = fn
         return fn, Bp
