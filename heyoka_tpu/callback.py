@@ -27,6 +27,46 @@ import jax.numpy as jnp
 __all__ = ["AngleReducer", "StepCallbackSet", "angle_reducer"]
 
 
+def adapt_host_callback(ta, callback):
+    """Wrap an in-graph step callback into the host-driver signature.
+
+    The stepwise (host-dispatch) drivers invoke ``cb(ta) -> bool``; in-graph
+    callbacks have signature ``cb(state, pars, t_hi, t_lo, h, tc) ->
+    (new_state, keep)``.  When events force a propagation onto a stepwise
+    driver, this adapter lets the same in-graph callback keep working: it is
+    applied to the integrator's current (possibly batched) buffers after
+    each accepted step, the state update is written back, and the lane-wise
+    ``keep`` flags are reduced with *all* (reference: a step callback
+    returning false stops the whole propagation, ``step_callback.hpp``).
+    """
+    if callback is None or not (
+        getattr(callback, "in_graph", False) or hasattr(callback, "pre_hook")
+    ):
+        return callback
+    if hasattr(callback, "pre_hook"):
+        callback.pre_hook(ta)
+
+    batched = getattr(ta, "_batch", None) is not None and ta._state.ndim == 2
+
+    def host_cb(t):
+        if batched:
+            import jax
+
+            new_state, keep = jax.vmap(callback)(
+                t._state, t._pars, t._t_hi, t._t_lo, t._last_h, t._tc
+            )
+            keep = bool(jnp.all(keep))
+        else:
+            new_state, keep = callback(
+                t._state, t._pars, t._t_hi, t._t_lo, t._last_h, t._tc
+            )
+            keep = bool(keep)
+        t._state = jnp.asarray(new_state)
+        return keep
+
+    return host_cb
+
+
 class StepCallbackSet:
     """Execute several in-graph step callbacks in sequence; propagation
     continues only if all of them return True (reference

@@ -92,6 +92,18 @@ def _ens_cache(ta):
         return None
 
 
+def _mesh_key(mesh):
+    """Stable cache identity for a mesh: axis names/shape + device ids
+    (id(mesh) can be recycled after garbage collection)."""
+    if mesh is None:
+        return None
+    return (
+        tuple(mesh.axis_names),
+        tuple(mesh.devices.shape),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
 def _mesh_shard(fun, mesh, n_args):
     """shard_map ``fun`` over the trajectory axis of an (optional) mesh."""
     if mesh is None:
@@ -141,7 +153,7 @@ def ensemble_propagate_until(
     # whole program (tens of seconds for the Pallas engines even with a
     # warm persistent cache)
     cache = _ens_cache(ta)
-    key = ("until", float(max_delta_t), int(max_steps), id(mesh))
+    key = ("until", float(max_delta_t), int(max_steps), _mesh_key(mesh))
     fn = cache.get(key) if cache is not None else None
     if fn is None and getattr(ta, "_flat", False):
         # the integrator runs the staged flat engine: each mesh shard steps
@@ -356,7 +368,7 @@ def ensemble_propagate_grid(
     # the grid VALUES are baked into the traced program, so they key the
     # cache (bytes of the host copy; grids are small)
     key = ("grid", np.asarray(grid).tobytes(), float(max_delta_t),
-           int(max_steps), id(mesh))
+           int(max_steps), _mesh_key(mesh))
     fn = cache.get(key) if cache is not None else None
     if fn is None:
         pg = _loops.make_propagate_grid(ta._fns)

@@ -193,6 +193,10 @@ class TaylorAdaptive:
 
     def get_tstate(self):
         self._check_variational("get_tstate")
+        if not hasattr(self, "_tstate"):
+            # reference semantics: m_tstate is a defined (zeroed) buffer
+            # before the first eval_taylor_map() call
+            self._tstate = np.zeros((self._vsys.n_orig,), dtype=self._dtype)
         return self._tstate
 
     @property
@@ -547,7 +551,10 @@ class TaylorAdaptive:
         when events or host callbacks require per-step dispatch): records
         each accepted step's start time and Taylor coefficients, mirroring
         the on-device recorder's conventions."""
+        from ..callback import adapt_host_callback
         from .continuous import ContinuousOutput
+
+        callback = adapt_host_callback(self, callback)
 
         fwd = t >= self.time
         th, tl, tcs = [], [], []
@@ -638,6 +645,9 @@ class TaylorAdaptive:
 
     def _propagate_until_stepwise(self, t, max_delta_t, max_steps, callback):
         # host-driven loop used when per-step host callbacks / events demand it
+        from ..callback import adapt_host_callback
+
+        callback = adapt_host_callback(self, callback)
         min_h, max_h = _pymath.inf, 0.0
         nsteps = 0
         fwd = t >= self.time
@@ -751,6 +761,9 @@ class TaylorAdaptive:
         step's span is evaluated with the dense-output kernel.  A stopping
         terminal event truncates the step at the event time, so dense output
         remains valid for the grid points it covers; later rows stay NaN."""
+        from ..callback import adapt_host_callback
+
+        callback = adapt_host_callback(self, callback)
         ngrid = grid.size
         out = np.full((ngrid, self.dim), np.nan, dtype=self._dtype)
         fwd = float(grid[-1]) >= self.time

@@ -75,6 +75,9 @@ class TaylorAdaptiveBatch:
         # "interpret"/"dd-interpret" for CPU tests.  Requires
         # compact_mode="flat" and mp_order.
         self._pallas_phase = pallas_phase
+        # the pre-resolution user setting ("auto" stays "auto"): pickled so
+        # that unpickling on a different backend re-resolves appropriately
+        self._pallas_phase_setting = pallas_phase
         self._t_events = list(t_events)
         self._nt_events = list(nt_events)
         ev_eqs = [ev.expression for ev in self._t_events] + [
@@ -709,7 +712,10 @@ class TaylorAdaptiveBatch:
         already required); records each active lane's step start time +
         Taylor coefficients, padded to the longest lane like the on-device
         batch recorder."""
+        from ..callback import adapt_host_callback
         from .continuous import ContinuousOutputBatch
+
+        callback = adapt_host_callback(self, callback)
 
         fwd = t >= self.time
         lane_tc = [[] for _ in range(self._batch)]
@@ -793,6 +799,9 @@ class TaylorAdaptiveBatch:
         and/or a host step callback: lanes step in lockstep with per-lane
         caps; a lane stops at its target, a stopping terminal event,
         callback stop, or non-finite state."""
+        from ..callback import adapt_host_callback
+
+        callback = adapt_host_callback(self, callback)
         min_h = np.full((self._batch,), _pymath.inf)
         max_h = np.zeros((self._batch,))
         nsteps = np.zeros((self._batch,), np.int64)
@@ -892,6 +901,9 @@ class TaylorAdaptiveBatch:
         after each step, each live lane fills the grid points inside its step
         span with a host-side Horner evaluation of its dense-output
         coefficients (dd-precise step-start subtraction)."""
+        from ..callback import adapt_host_callback
+
+        callback = adapt_host_callback(self, callback)
         ngrid = grid.shape[0]
         out = np.full((self._batch, ngrid, self.dim), np.nan, dtype=self._dtype)
         t_now = np.asarray(self.time)
@@ -986,7 +998,9 @@ def _batch_getstate(self):
         "high_accuracy": self._high_accuracy,
         "compact_mode": self._compact_mode,
         "mp_order": self._mp_order,
-        "pallas_phase": self._pallas_phase,
+        "pallas_phase": getattr(
+            self, "_pallas_phase_setting", self._pallas_phase
+        ),
         "dtype": self._dtype.name,
         "state": np.asarray(self._state),
         "pars": np.asarray(self._pars),

@@ -349,8 +349,10 @@ def _mk_arith(jnp, barriers: bool = False):
 
         @staticmethod
         def powi(x, n):
-            """Integer power by squaring (n != 0); negative via recip."""
+            """Integer power by squaring; negative via recip, x**0 == 1."""
             m = abs(int(n))
+            if m == 0:
+                return (jnp.ones_like(x[0]), jnp.zeros_like(x[0]))
             acc = None
             base = x
             while m:
