@@ -46,8 +46,10 @@ from . import stepper as _st
 
 #: max roots tracked per event equation per step
 MAX_ROOTS = 4
-#: bisection iterations (enough for f64 on [0,1])
-BISECT_ITERS = 63
+#: bisection iterations before Newton polishing (2^-26 interval width)
+BISECT_ITERS = 26
+#: guarded Newton polish iterations (quadratic: 2^-26 -> f64 floor)
+NEWTON_ITERS = 3
 
 
 def _poly_eval(coeffs, x):
@@ -108,16 +110,19 @@ def _make_isolator(p, dtype, max_roots):
 
     def descartes(q):
         # sign variations of (1+x)^p q(1/(1+x)): reverse + translate by 1;
-        # translation by 1 is the pure-binomial matvec (a = 1)
+        # translation by 1 is the pure-binomial matvec (a = 1).  The
+        # variation count is unrolled (p is small and static): a lax.scan
+        # here would nest a sequential sub-loop inside the isolator's
+        # while_loop body — p+1 extra kernel dispatches per iteration.
         v = COMB @ q[::-1]
         s = jnp.sign(v)
-
-        def ff(prev, sk):
-            cur = jnp.where(sk == 0, prev, sk)
-            return cur, (prev * sk) < 0
-
-        _, ch = lax.scan(ff, jnp.asarray(0.0, dtype), s)
-        return jnp.sum(ch.astype(jnp.int32))
+        prev = jnp.asarray(0.0, dtype)
+        cnt = jnp.int32(0)
+        for k in range(p + 1):
+            sk = s[k]
+            cnt = cnt + ((prev * sk) < 0).astype(jnp.int32)
+            prev = jnp.where(sk == 0, prev, sk)
+        return cnt
 
     def isolate(c):
         # a root exactly at s = 0 (e.g. an event that just fired): record it
@@ -231,26 +236,66 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
              jnp.cumprod(jnp.full((order,), h, h.dtype))]
         )
         cs = gcoeffs * hp[None, :]  # (ne, order+1)
-        rlo, rhi, valid = jax.vmap(isolate)(cs)  # (ne, MAX_ROOTS)
+
+        # fast exclusion check (the analog of ``llvm_add_fex_check``,
+        # ``event_detection.cpp:704``): |c_0| > sum_{k>=1} |c_k| implies
+        # |p(s)| >= |c_0| - sum |c_k| s^k > 0 on [0, 1] — no root possible.
+        # When every event polynomial is excluded, the whole isolator is
+        # skipped via lax.cond: in the (unvmapped) scalar driver the
+        # expensive branch then costs nothing on the vast majority of steps
+        # (under vmap cond lowers to select and both branches run — the
+        # batch driver's win comes from the isolator optimizations instead).
+        no_root = jnp.abs(cs[:, 0]) > jnp.sum(jnp.abs(cs[:, 1:]), axis=1)
+        n_ev_l = cs.shape[0]
+
+        def _isolate_all(cs_):
+            rlo_, rhi_, valid_ = jax.vmap(isolate)(cs_)
+            return _refine(cs_, rlo_, rhi_, valid_)
+
+        def _no_roots(cs_):
+            return (
+                jnp.full((n_ev_l, MAX_ROOTS), 2.0, dtype),
+                jnp.zeros((n_ev_l, MAX_ROOTS), bool),
+                jnp.zeros((n_ev_l, MAX_ROOTS), dtype),
+            )
+
+        s_root, valid, d_sgn_s = lax.cond(
+            jnp.all(no_root), _no_roots, _isolate_all, cs
+        )
+        # direction of the crossing *in time*: flip the in-s sign for
+        # backward steps
+        d_sgn = jnp.where(h >= 0, d_sgn_s, -d_sgn_s).astype(jnp.int32)
+        return s_root, valid, d_sgn
+
+    def _refine(cs, rlo, rhi, valid):
+        """Bisection + Newton refinement, duplicate-root merging and
+        crossing-direction extraction on the isolating intervals."""
 
         g_lo = _poly_eval(cs[:, None, :], rlo)
         g_hi = _poly_eval(cs[:, None, :], rhi)
         has_sc = g_lo * g_hi < 0.0
 
-        def bisect_body(_, carry):
-            lo_, hi_, glo_ = carry
-            mid = 0.5 * (lo_ + hi_)
+        # unrolled bisection (static trip count, fuses into one kernel —
+        # a fori_loop here costs one dispatch per iteration), then guarded
+        # Newton polishing: quadratic convergence takes the 2^-26 bracket
+        # to the f64 floor for simple roots; steps leaving the isolating
+        # interval (near-tangential roots) are rejected and keep the
+        # bisection value
+        lo_f, hi_f, glo_ = rlo, rhi, g_lo
+        for _ in range(BISECT_ITERS):
+            mid = 0.5 * (lo_f + hi_f)
             gm = _poly_eval(cs[:, None, :], mid)
             go_left = glo_ * gm > 0.0
-            lo_n = jnp.where(go_left, mid, lo_)
-            hi_n = jnp.where(go_left, hi_, mid)
-            glo_n = jnp.where(go_left, gm, glo_)
-            return lo_n, hi_n, glo_n
-
-        lo_f, hi_f, _ = lax.fori_loop(
-            0, BISECT_ITERS, bisect_body, (rlo, rhi, g_lo)
-        )
+            lo_f = jnp.where(go_left, mid, lo_f)
+            hi_f = jnp.where(go_left, hi_f, mid)
+            glo_ = jnp.where(go_left, gm, glo_)
         s_root = jnp.where(has_sc, 0.5 * (lo_f + hi_f), 0.5 * (rlo + rhi))
+        for _ in range(NEWTON_ITERS):
+            g = _poly_eval(cs[:, None, :], s_root)
+            gder = _poly_deriv_eval(cs[:, None, :], s_root)
+            cand = s_root - g / gder
+            okn = jnp.isfinite(cand) & (cand >= lo_f) & (cand <= hi_f)
+            s_root = jnp.where(has_sc & okn, cand, s_root)
         # half-open [0, h): exclude a root exactly at the step end
         valid = valid & (s_root < 1.0)
 
@@ -281,8 +326,7 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
             jnp.sign(g_hi),
             jnp.where(g_lo != 0.0, -jnp.sign(g_lo), jnp.sign(gd)),
         )
-        d_sgn = jnp.where(h >= 0, d_sgn_s, -d_sgn_s).astype(jnp.int32)
-        return s_root, valid, d_sgn
+        return s_root, valid, d_sgn_s
 
     def make(tol_val: float):
         eps = float(np.finfo(np.dtype(dtype)).eps)
