@@ -40,6 +40,8 @@ bit-masking splits (low 12 mantissa bits zeroed); if Mosaic fuses
 
 from __future__ import annotations
 
+import math as _pymath
+
 import numpy as np
 
 
@@ -51,7 +53,18 @@ class UnsupportedPallasOp(Exception):
 _SUPPORTED = {
     "sum", "mul", "pow", "div", "exp", "sin", "cos", "sinh", "cosh",
     "log", "sqrt",
+    # round-2 extensions (VERDICT item 3): full recurrence-set parity with
+    # the staged XLA phase (taylor/recurrences.py)
+    "tan", "tanh", "sigmoid", "asin", "acos", "atan", "atanh", "asinh",
+    "acosh", "erf", "atan2", "kepE", "kepF", "kepDE",
+    "relu", "relup", "select",
+    "lt", "le", "gt", "ge", "eq", "ne",
+    "logical_and", "logical_or", "logical_not",
 }
+
+#: groups that maintain a synthetic in-kernel convolution history
+#: (kepE: q = e*cos E; kepF: w = h*sin F + k*cos F; kepDE: w = s0*sin - c0*cos)
+_SYNTH = {"kepE", "kepF", "kepDE"}
 
 
 def supported(plan) -> bool:
@@ -108,7 +121,53 @@ def _opsets(g):
         return [g.out_cols, g.in_cols[:, 0]]
     if g.name in ("sin", "sinh", "cos", "cosh"):
         return [g.in_cols[:, 0], g.aux["pair"]]
+    if g.name in ("tan", "tanh"):
+        return [g.aux["sq"], g.in_cols[:, 0]]
+    if g.name == "sigmoid":
+        return [g.out_cols, g.aux["sq"], g.in_cols[:, 0]]
+    if g.name in ("asin", "acos", "atan", "atanh", "asinh", "acosh"):
+        return [g.out_cols, g.in_cols[:, 1]]
+    if g.name == "erf":
+        return [g.in_cols[:, 1], g.in_cols[:, 0]]
+    if g.name == "atan2":
+        return [g.in_cols[:, 0], g.in_cols[:, 1], g.in_cols[:, 2],
+                g.out_cols]
+    if g.name == "kepE":
+        return [g.in_cols[:, 0], g.aux["sin"], g.aux["cos"], g.out_cols]
+    if g.name in ("kepF", "kepDE"):
+        return [g.in_cols[:, 0], g.in_cols[:, 1], g.aux["sin"],
+                g.aux["cos"], g.out_cols]
+    if g.name in ("relu", "select"):
+        return [g.in_cols[:, 0]]
     return []
+
+
+def _synth_w(A, g, geth, j):
+    """Order-``j`` value of a Kepler group's synthetic convolution series
+    (kepE: q = e * cos E; kepF: w = h sin F + k cos F; kepDE:
+    w = s0 sin DE - c0 cos DE).  ``geth(ci, i)`` returns the order-``i``
+    history value of operand set ``ci`` as an ``A`` tuple."""
+    name = g.name
+    if name == "kepE":
+        acc = A.mul_nn(geth(0, 0), geth(2, j))
+        for i in range(1, j + 1):
+            acc = A.acc(acc, A.mul_nn(geth(0, i), geth(2, j - i)))
+        return A.fin(acc)
+    if name == "kepF":
+        acc = A.acc(A.mul_nn(geth(0, 0), geth(2, j)),
+                    A.mul_nn(geth(1, 0), geth(3, j)))
+        for i in range(1, j + 1):
+            acc = A.acc(acc, A.mul_nn(geth(0, i), geth(2, j - i)))
+            acc = A.acc(acc, A.mul_nn(geth(1, i), geth(3, j - i)))
+        return A.fin(acc)
+    if name == "kepDE":
+        acc = A.acc(A.mul_nn(geth(0, 0), geth(2, j)),
+                    A.neg_nn(A.mul_nn(geth(1, 0), geth(3, j))))
+        for i in range(1, j + 1):
+            acc = A.acc(acc, A.mul_nn(geth(0, i), geth(2, j - i)))
+            acc = A.acc(acc, A.neg_nn(A.mul_nn(geth(1, i), geth(3, j - i))))
+        return A.fin(acc)
+    raise UnsupportedPallasOp(name)  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +292,14 @@ def _mk_arith(jnp, barriers: bool = False):
         def zero_like(x):
             return (jnp.zeros_like(x[0]),)
 
+        @staticmethod
+        def one_like(x):
+            return (jnp.ones_like(x[0]),)
+
+        @staticmethod
+        def where(c, x, y):
+            return (jnp.where(c, x[0], y[0]),)
+
     class DD:
         width = 2
 
@@ -336,6 +403,16 @@ def _mk_arith(jnp, barriers: bool = False):
         def zero_like(x):
             z = jnp.zeros_like(x[0])
             return (z, z)
+
+        @staticmethod
+        def one_like(x):
+            return (jnp.ones_like(x[0]), jnp.zeros_like(x[0]))
+
+        @staticmethod
+        def where(c, x, y):
+            xl = x[1] if len(x) > 1 else jnp.zeros_like(x[0])
+            yl = y[1] if len(y) > 1 else jnp.zeros_like(y[0])
+            return (jnp.where(c, x[0], y[0]), jnp.where(c, xl, yl))
 
         @staticmethod
         def sqrt(x):
@@ -459,6 +536,138 @@ def _rule(A, g, k, rowv, hrow):
             acc = A.acc(acc, A.neg_nn(A.mul_nn(hrow(0, j),
                                                hrow(0, k - j))))
         return A.div(A.scale(A.fin(acc), 0.5), hrow(0, 0))
+
+    def _nn(x):
+        # normalized value -> non-normalized accumulator seed
+        return (x[0], *x[1:2]) if A.width == 2 else (x[0],)
+
+    if name in ("tan", "tanh"):
+        # t_k = b_k +/- (1/k) sum_{m=0..k-1} q_m (k-m) b_{k-m},  q = t^2 aux
+        # (recurrences.py _tan/_tanh; reference src/math/tan.cpp)
+        b_k = rowv(g.in_cols[:, 0])
+        acc = A.mul_nn(hrow(0, 0), b_k)  # m=0: weight k/k = 1
+        for m in range(1, k):
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(0, m), hrow(1, k - m)), (k - m) / k))
+        s = A.fin(acc)
+        return A.add(b_k, s) if name == "tan" else A.sub(b_k, s)
+    if name == "sigmoid":
+        # s_k = (1/k) sum_{m=0..k-1} (s_m - q_m) (k-m) b_{k-m},  q = s^2 aux
+        b_k = rowv(g.in_cols[:, 0])
+        acc = A.mul_nn(A.sub(hrow(0, 0), hrow(1, 0)), b_k)
+        for m in range(1, k):
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(A.sub(hrow(0, m), hrow(1, m)), hrow(2, k - m)),
+                (k - m) / k))
+        return A.fin(acc)
+    if name in ("asin", "acos", "atan", "atanh", "asinh", "acosh"):
+        # a' = sign b' / c  (c aux operand):
+        # a_k = (sign b_k - (1/k) sum_{m=1..k-1} c_m (k-m) a_{k-m}) / c_0
+        b_k = rowv(g.in_cols[:, 0])
+        num = A.neg(b_k) if name == "acos" else b_k
+        acc = None
+        for m in range(1, k):
+            t = A.scale_nn(A.mul_nn(hrow(1, m), hrow(0, k - m)),
+                           (k - m) / k)
+            acc = t if acc is None else A.acc(acc, t)
+        if acc is not None:
+            num = A.sub(num, A.fin(acc))
+        return A.div(num, hrow(1, 0))
+    if name == "erf":
+        # a_k = (2/sqrt(pi)) (1/k) sum_{m=0..k-1} e_m (k-m) b_{k-m},
+        # e = exp(-b^2) aux operand
+        b_k = rowv(g.in_cols[:, 0])
+        acc = A.mul_nn(hrow(0, 0), b_k)
+        for m in range(1, k):
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(0, m), hrow(1, k - m)), (k - m) / k))
+        return A.scale(A.fin(acc), 2.0 / _pymath.sqrt(_pymath.pi))
+    if name == "atan2":
+        # a = atan2(y, x), d = x^2 + y^2 aux:
+        # a_k = [sum_{m<k} ((k-m)/k)(x_m y_{k-m} - y_m x_{k-m})
+        #        - sum_{1<=m<k} ((k-m)/k) d_m a_{k-m}] / d_0
+        y_k = rowv(g.in_cols[:, 0])
+        x_k = rowv(g.in_cols[:, 1])
+        acc = A.acc(A.mul_nn(hrow(1, 0), y_k),
+                    A.neg_nn(A.mul_nn(hrow(0, 0), x_k)))
+        for m in range(1, k):
+            w = (k - m) / k
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(1, m), hrow(0, k - m)), w))
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(0, m), hrow(1, k - m)), -w))
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(2, m), hrow(3, k - m)), -w))
+        return A.div(A.fin(acc), hrow(2, 0))
+    if name == "kepE":
+        # E - e sin E = M; q = e cos E (synthetic history):
+        # E_k = [M_k + sum_{j=1..k} (j/k) e_j s_{k-j}
+        #        + sum_{m=1..k-1} ((k-m)/k) q_m E_{k-m}] / (1 - q_0)
+        M_k = rowv(g.in_cols[:, 1])
+        e_k = rowv(g.in_cols[:, 0])
+        acc = A.acc(_nn(M_k), A.mul_nn(e_k, hrow(1, 0)))  # j=k: e_k s_0
+        for j in range(1, k):
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(0, j), hrow(1, k - j)), j / k))
+        for m in range(1, k):
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow("synth", m), hrow(3, k - m)), (k - m) / k))
+        one = A.one_like(M_k)
+        return A.div(A.fin(acc), A.sub(one, hrow("synth", 0)))
+    if name == "kepF":
+        # F + h cos F - k sin F = lam; w = h sin F + k cos F (synthetic):
+        # F_k = [lam_k - sum_j (j/k) h_j c_{k-j} + sum_j (j/k) kk_j s_{k-j}
+        #        + sum_m ((k-m)/k) w_m F_{k-m}] / (1 - w_0)
+        lam_k = rowv(g.in_cols[:, 2])
+        h_k = rowv(g.in_cols[:, 0])
+        kk_k = rowv(g.in_cols[:, 1])
+        acc = A.acc(_nn(lam_k), A.neg_nn(A.mul_nn(h_k, hrow(3, 0))))
+        acc = A.acc(acc, A.mul_nn(kk_k, hrow(2, 0)))
+        for j in range(1, k):
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(0, j), hrow(3, k - j)), -j / k))
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(1, j), hrow(2, k - j)), j / k))
+        for m in range(1, k):
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow("synth", m), hrow(4, k - m)), (k - m) / k))
+        one = A.one_like(lam_k)
+        return A.div(A.fin(acc), A.sub(one, hrow("synth", 0)))
+    if name == "kepDE":
+        # DE + s0 (1 - cos DE) - c0 sin DE = DM; w = s0 sin - c0 cos
+        # (synthetic): DE_k = [DM_k - sum_j (j/k) s0_j omc_{k-j}
+        #   + sum_j (j/k) c0_j s_{k-j} - sum_m ((k-m)/k) w_m DE_{k-m}]
+        #   / (1 + w_0), omc_0 = 1 - c_0, omc_i = -c_i
+        DM_k = rowv(g.in_cols[:, 2])
+        s0_k = rowv(g.in_cols[:, 0])
+        c0_k = rowv(g.in_cols[:, 1])
+        one = A.one_like(DM_k)
+        omc0 = A.sub(one, hrow(3, 0))
+        acc = A.acc(_nn(DM_k), A.neg_nn(A.mul_nn(s0_k, omc0)))
+        acc = A.acc(acc, A.mul_nn(c0_k, hrow(2, 0)))
+        for j in range(1, k):
+            # omc_{k-j} = -c_{k-j}: the double negation makes the term +
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(0, j), hrow(3, k - j)), j / k))
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow(1, j), hrow(2, k - j)), j / k))
+        for m in range(1, k):
+            acc = A.acc(acc, A.scale_nn(
+                A.mul_nn(hrow("synth", m), hrow(4, k - m)), -(k - m) / k))
+        return A.div(A.fin(acc), A.add(one, hrow("synth", 0)))
+    if name == "relu":
+        b_k = rowv(g.in_cols[:, 0])
+        b0 = hrow(0, 0)
+        return A.where(b0[0] > 0.0, b_k, A.zero_like(b_k))
+    if name == "select":
+        c0 = hrow(0, 0)
+        a_k = rowv(g.in_cols[:, 1])
+        b_k = rowv(g.in_cols[:, 2])
+        return A.where(c0[0] != 0.0, a_k, b_k)
+    if name in ("relup", "lt", "le", "gt", "ge", "eq", "ne",
+                "logical_and", "logical_or", "logical_not"):
+        # comparisons / constant-derivative ops: zero at every order >= 1
+        return A.zero_like(rowv(g.in_cols[:, 0]))
     raise UnsupportedPallasOp(name)  # pragma: no cover
 
 
@@ -509,6 +718,16 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
                 hist[(gi, ci)] = [
                     (_vrows(o_ref[:, j, :], cols),) for j in range(lo)
                 ]
+            if g.name in _SYNTH:
+                def _geth0(ci, i, gi=gi, colsets=colsets):
+                    h = hist.get((gi, ci))
+                    if h is not None:
+                        return h[i]
+                    return (_vrows(o_ref[:, i, :], colsets[ci]),)
+
+                hist[(gi, "synth")] = [
+                    _synth_w(F32, g, _geth0, j) for j in range(lo)
+                ]
 
         for k in range(lo, K + 1):
             prev = o_ref[:, k - 1, :]
@@ -537,6 +756,16 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
                 for ci, cols in enumerate(colsets):
                     if (gi, ci) in hist:
                         hist[(gi, ci)].append((_vrows(row_k, cols),))
+                if g.name in _SYNTH:
+                    def _gethk(ci, i, gi=gi, colsets=colsets):
+                        h = hist.get((gi, ci))
+                        if h is not None:
+                            return h[i]
+                        return (_vrows(o_ref[:, i, :], colsets[ci]),)
+
+                    hist[(gi, "synth")].append(
+                        _synth_w(F32, g, _gethk, k)
+                    )
 
     z32 = np.int32(0)
     call_kw = dict(
@@ -691,6 +920,13 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
         for gi, (g, colsets) in enumerate(gops):
             for ci, cols in enumerate(colsets):
                 hist[(gi, ci)] = [DD.with_split(_read(cols, 0, True))]
+            if g.name in _SYNTH:
+                def _geth0(ci, i, gi=gi):
+                    return _coerce(hist[(gi, ci)][i], DD)
+
+                hist[(gi, "synth")] = [
+                    DD.with_split(_synth_w(DD, g, _geth0, 0))
+                ]
 
         for k in range(1, K + 1):
             dd = k <= dd_until
@@ -722,6 +958,14 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
                 for ci, cols in enumerate(colsets):
                     v = _read(cols, k, dd)
                     hist[(gi, ci)].append(DD.with_split(v) if dd else v)
+                if g.name in _SYNTH:
+                    def _gethk(ci, i, gi=gi, A_=A):
+                        return _coerce(hist[(gi, ci)][i], A_)
+
+                    w = _synth_w(A, g, _gethk, k)
+                    hist[(gi, "synth")].append(
+                        DD.with_split(w) if dd else w
+                    )
 
         if slim:
             chi_ref[...] = ohi_ref[0:n_eq, :, :]

@@ -297,8 +297,10 @@ def test_pallas_phase_matches_staged():
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(h3), np.asarray(h2), rtol=1e-4)
 
-    # unsupported tape ops raise at build time
-    sys_ = [(x, hy.kepE(0.3, y)), (y, x)]
+    # unsupported tape ops raise at build time (the round-2 kernel covers
+    # the full recurrence set, so the remaining unsupported case is a pow
+    # group with mixed exponents)
+    sys_ = [(x, y**2.5 + y**3.5), (y, x)]
     tape3 = taylor_decompose_sys(sys_)
     with pytest.raises(UnsupportedPallasOp):
         make_batched_step_flat(tape3, 13, pallas_phase="interpret", **kw2)
