@@ -152,18 +152,19 @@ class TaylorAdaptiveBatch:
                 pallas_phase=self._pallas_phase,
             )
         if self._t_events or self._nt_events:
-            # the scalar in-graph event step vmaps directly over the lanes
-            # (reference: ed_data_batch::detect_events,
-            # src/detail/event_detection.cpp:1733 — here it is the same
-            # kernel under a batch axis)
-            from .events_impl import build_event_step
+            # natively batched event step (reference:
+            # ed_data_batch::detect_events,
+            # src/detail/event_detection.cpp:1733): the jet is vmapped but
+            # root isolation runs dense over all batch*event rows through
+            # the static subdivision tree (events_impl.py,
+            # build_event_step_batch) — no per-lane isolator scatters
+            from .events_impl import build_event_step_batch
 
-            make = build_event_step(
-                self._fns, self._tape, self._t_events, self._nt_events,
-                self._dtype,
+            self._ev_step_raw = build_event_step_batch(
+                self._fns, self._t_events, self._nt_events,
+                self._dtype, self._tol,
             )
-            self._ev_step_raw = make(self._tol)
-            self._ev_step = jax.jit(jax.vmap(self._ev_step_raw))
+            self._ev_step = jax.jit(self._ev_step_raw)
         else:
             self._ev_step = None
             self._ev_step_raw = None
@@ -614,15 +615,13 @@ class TaylorAdaptiveBatch:
 
     @cached_property
     def _pu_ev_jit(self):
-        from .events import make_propagate_until_ev
+        from .events import make_propagate_until_ev_batch
 
-        pu = make_propagate_until_ev(
+        pu = make_propagate_until_ev_batch(
             self._ev_step_raw, self._order, self.dim,
             len(self._t_events), len(self._nt_events),
         )
-        return jax.jit(
-            jax.vmap(pu, in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0, 0))
-        )
+        return jax.jit(pu)
 
     def _propagate_until_ev_fast(self, t, mdt, max_steps):
         """On-device lockstep propagate-until with events (terminal ones
@@ -639,6 +638,7 @@ class TaylorAdaptiveBatch:
         lane_hits = [[] for _ in range(self._batch)]
         lane_done = np.zeros((self._batch,), bool)
         oc = np.full((self._batch,), int(TaylorOutcome.time_limit), np.int32)
+        from .events_impl import MAX_ROOTS as _MR
         while True:
             rem_steps = (
                 max(0, max_steps - int(nsteps.max())) if max_steps else 0
@@ -650,15 +650,18 @@ class TaylorAdaptiveBatch:
                 self._te_cooldowns,
                 jnp.asarray(~lane_done),
             )
-            rec_n = np.asarray(res["rec_n"])
-            rec_t = np.asarray(res["rec_t"])
-            rec_i = np.asarray(res["rec_idx"])
-            rec_s = np.asarray(res["rec_sgn"])
-            for i in range(self._batch):
-                n = int(rec_n[i])
-                if n:
-                    lane_hits[i].append((rec_t[i, :n], rec_i[i, :n],
-                                         rec_s[i, :n]))
+            # step-indexed record: rows [0, it) hold each lockstep step's
+            # nt hits for every lane (slot -> event index statically)
+            it = int(np.asarray(res["it"]))
+            if it and self._nt_events:
+                rmask = np.asarray(res["rec_mask"][:it])
+                rtime = np.asarray(res["rec_t"][:it])
+                rsgn = np.asarray(res["rec_sgn"][:it])
+                steps_i, lanes_i, slots_i = np.nonzero(rmask)
+                for si, li, sl in zip(steps_i, lanes_i, slots_i):
+                    lane_hits[li].append(
+                        (rtime[si, li, sl], sl // _MR, rsgn[si, li, sl])
+                    )
             self._state = res["state"]
             self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
             # inactive lanes come back with the driver's init last_h/tc
@@ -682,14 +685,14 @@ class TaylorAdaptiveBatch:
             newly = ~lane_done & np.asarray(res["done"])
             oc = np.where(newly, np.asarray(res["outcome"]), oc)
             lane_done |= newly
-            if not bool(np.any(np.asarray(res["overflow"]))):
+            if bool(lane_done.all()):
                 break
         for i in range(self._batch):
             if not lane_hits[i]:
                 continue
-            times = np.concatenate([h[0] for h in lane_hits[i]])
-            idxs = np.concatenate([h[1] for h in lane_hits[i]])
-            sgns = np.concatenate([h[2] for h in lane_hits[i]])
+            times = np.array([h[0] for h in lane_hits[i]])
+            idxs = np.array([h[1] for h in lane_hits[i]])
+            sgns = np.array([h[2] for h in lane_hits[i]])
             order_ = np.argsort(times) if fwd[i] else np.argsort(-times)
             for k in order_:
                 self._nt_events[int(idxs[k])].callback(

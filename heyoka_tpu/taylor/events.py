@@ -303,3 +303,158 @@ def make_propagate_until_ev(ev_step_raw, order, n_eq, n_te, n_nte,
         return lax.while_loop(cond, body, init)
 
     return pu
+
+
+def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
+                                  chunk=256):
+    """Natively batched on-device propagate-until with events.
+
+    The TPU redesign of the vmapped recording driver
+    (:func:`make_propagate_until_ev`): the whole batch steps in lockstep
+    through one ``lax.while_loop`` whose iteration counter is a *scalar*,
+    so each step's nt hits are written to step-indexed rows of the record
+    buffers with a scalar-index ``dynamic_update_slice`` — a contiguous
+    row write instead of the per-lane scatters that dominated the round-1
+    driver.  A chunk records at most ``chunk`` lockstep steps; the host
+    re-enters until every lane is done (no hit is ever dropped — there is
+    no overflow replay, every step's hits land in their own row).
+
+    Terminal events are pure-stop, like the vmapped driver; the trailing
+    ``active`` input keeps finished lanes frozen across re-entries.
+
+    Returns a dict of final per-lane arrays plus ``rec_t/rec_mask/rec_sgn``
+    shaped ``(chunk, B, n_nte * MAX_ROOTS)`` and ``it`` — the number of
+    recorded lockstep steps in this chunk.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..dfloat import dd_add_dd
+    from .outcome import TaylorOutcome
+    from .events_impl import MAX_ROOTS
+
+    n_slots = n_nte * MAX_ROOTS
+
+    def pu(state, pars, t_hi, t_lo, target_hi, target_lo, max_delta_t,
+           max_steps, cooldowns, active):
+        dtype = state.dtype
+        B = state.shape[0]
+        zero = jnp.zeros((B,), dtype)
+
+        def remaining(th, tl):
+            rh, _ = dd_add_dd(target_hi, target_lo, -th, -tl)
+            return rh
+
+        rem0 = remaining(t_hi, t_lo)
+        fwd = rem0 > 0
+
+        init = dict(
+            state=state,
+            t_hi=t_hi,
+            t_lo=t_lo,
+            last_h=zero,
+            tc=jnp.zeros((B, order + 1, n_eq + n_te + n_nte), dtype),
+            nsteps=jnp.zeros((B,), jnp.int64),
+            min_h=jnp.full((B,), jnp.inf, dtype),
+            max_h=zero,
+            outcome=jnp.full((B,), jnp.int32(TaylorOutcome.time_limit)),
+            done=(rem0 == 0) | ~active,
+            cooldowns=cooldowns,
+            te_idx=jnp.full((B,), jnp.int32(-1)),
+            te_sgn=jnp.zeros((B,), jnp.int32),
+            rec_t=jnp.zeros((chunk, B, n_slots), dtype),
+            rec_mask=jnp.zeros((chunk, B, n_slots), bool),
+            rec_sgn=jnp.zeros((chunk, B, n_slots), jnp.int32),
+            it=jnp.int32(0),
+        )
+
+        def cond(c):
+            return jnp.any(~c["done"]) & (c["it"] < chunk)
+
+        def body(c):
+            rem = remaining(c["t_hi"], c["t_lo"])
+            cap = jnp.minimum(jnp.abs(rem), max_delta_t)
+            dt = jnp.where(fwd, cap, -cap)
+
+            res = ev_step_b(
+                c["state"], pars, c["t_hi"], c["t_lo"], dt, c["cooldowns"]
+            )
+
+            live = ~c["done"]
+            finite = res["outcome"] != jnp.int32(TaylorOutcome.err_nf_state)
+            te_hit = (res["te_idx"] >= 0) if n_te else jnp.zeros((B,), bool)
+            nsteps = c["nsteps"] + live.astype(jnp.int64)
+            rem_after = remaining(res["t_hi"], res["t_lo"])
+            reached = jnp.where(fwd, rem_after <= 0, rem_after >= 0)
+            hit_step_limit = (max_steps > 0) & (nsteps >= max_steps) \
+                & ~reached
+
+            outcome = jnp.where(
+                ~finite,
+                jnp.int32(TaylorOutcome.err_nf_state),
+                jnp.where(
+                    te_hit,
+                    res["te_idx"],
+                    jnp.where(
+                        hit_step_limit,
+                        jnp.int32(TaylorOutcome.step_limit),
+                        jnp.int32(TaylorOutcome.time_limit),
+                    ),
+                ),
+            )
+            done_new = ~finite | te_hit | hit_step_limit | reached
+            abs_h = jnp.abs(res["last_h"])
+
+            def sel(new, old):
+                lv = live
+                if new.ndim > 1:
+                    lv = live.reshape((B,) + (1,) * (new.ndim - 1))
+                return jnp.where(lv, new, old)
+
+            it = c["it"]
+            if n_slots:
+                z = jnp.int32(0)
+                rec_mask = lax.dynamic_update_slice(
+                    c["rec_mask"], (res["nt_mask"] & live[:, None])[None],
+                    (it, z, z),
+                )
+                rec_t = lax.dynamic_update_slice(
+                    c["rec_t"], res["nt_times"][None], (it, z, z)
+                )
+                rec_sgn = lax.dynamic_update_slice(
+                    c["rec_sgn"], res["nt_sgn"][None], (it, z, z)
+                )
+            else:
+                rec_mask = c["rec_mask"]
+                rec_t = c["rec_t"]
+                rec_sgn = c["rec_sgn"]
+
+            return dict(
+                state=sel(res["state"], c["state"]),
+                t_hi=sel(res["t_hi"], c["t_hi"]),
+                t_lo=sel(res["t_lo"], c["t_lo"]),
+                last_h=sel(res["last_h"], c["last_h"]),
+                tc=sel(res["tc"], c["tc"]),
+                nsteps=nsteps,
+                min_h=sel(jnp.minimum(c["min_h"], abs_h), c["min_h"]),
+                max_h=sel(jnp.maximum(c["max_h"], abs_h), c["max_h"]),
+                outcome=sel(outcome, c["outcome"]),
+                done=c["done"] | (live & done_new),
+                cooldowns=sel(res["cooldowns"], c["cooldowns"]),
+                te_idx=sel(
+                    jnp.where(te_hit, res["te_idx"], c["te_idx"]),
+                    c["te_idx"],
+                ),
+                te_sgn=sel(
+                    jnp.where(te_hit, res["te_sgn"], c["te_sgn"]),
+                    c["te_sgn"],
+                ),
+                rec_t=rec_t,
+                rec_mask=rec_mask,
+                rec_sgn=rec_sgn,
+                it=it + 1,
+            )
+
+        return lax.while_loop(cond, body, init)
+
+    return pu

@@ -181,6 +181,214 @@ def _make_isolator(p, dtype, max_roots):
     return isolate
 
 
+#: subdivision depth of the static tree isolator (intervals of width 2^-D)
+TREE_DEPTH = 5
+
+
+def _make_tree_isolator(p, dtype, max_roots, depth=TREE_DEPTH):
+    """Dense, fixed-shape root isolation over a batch of rows.
+
+    TPU-native redesign of the Collins-Akritas working list: the while-loop
+    isolator processes one interval per iteration with per-lane queue
+    scatters — on TPU those serialize.  Here the *entire* binary
+    subdivision tree of depth ``depth`` over [0, 1] is evaluated at once:
+    for every node ``[a, b]`` the Descartes transform
+    ``(1+x)^p q(1/(1+x))`` with ``q(x) = poly(a + (b-a) x)`` is a *constant*
+    linear map of the input coefficients, so all node transforms collapse
+    into one precomputed ``(p+1, n_nodes*(p+1))`` matrix — a single MXU
+    matmul per batch — followed by unrolled sign-variation counts.
+
+    Emission is rigorous: a node with V==1 and a sign change over an
+    ancestor-free interval isolates exactly one (odd-multiplicity) root
+    (Vincent/Obreshkov: child counts never exceed the parent's); exact
+    zeros at subdivision grid points are detected directly.  Anything the
+    tree cannot certify (V>=2 at max depth — possible root cluster tighter
+    than 2^-depth — or a rounding-degenerate V==1 without sign change)
+    sets ``fallback``; callers re-run those batches through the rigorous
+    while-loop isolator under a *scalar* ``lax.cond`` (cheap: no vmap).
+
+    Returns ``isolate_tree(cs (R, p+1)) -> (rlo, rhi, valid, fallback)``
+    with ``rlo/rhi/valid`` shaped ``(R, max_roots)`` and ``fallback`` a
+    per-row bool.
+    """
+    import jax.numpy as jnp
+
+    # node table: (a, w) for every tree node, breadth-first
+    nodes = []
+    for d in range(depth + 1):
+        wd = 1.0 / (1 << d)
+        for i in range(1 << d):
+            nodes.append((i * wd, wd, d))
+    n_nodes = len(nodes)
+
+    # ancestor mask: anc[m, n] = node m is a strict ancestor of node n
+    def _node_id(d, i):
+        return (1 << d) - 1 + i
+
+    anc = np.zeros((n_nodes, n_nodes), bool)
+    for d in range(depth + 1):
+        for i in range(1 << d):
+            n = _node_id(d, i)
+            dd_, ii = d, i
+            while dd_ > 0:
+                dd_ -= 1
+                ii //= 2
+                anc[_node_id(dd_, ii), n] = True
+
+    comb = np.zeros((p + 1, p + 1))
+    for j in range(p + 1):
+        for i in range(j + 1):
+            comb[i, j] = _pymath.comb(j, i)
+
+    # T[n] = COMB @ reverse @ diag(w^i) @ Shift(a): v = T[n] @ c gives the
+    # Descartes-transform coefficients of node n
+    T = np.zeros((n_nodes, p + 1, p + 1))
+    for n, (a, w, _d) in enumerate(nodes):
+        M = np.zeros((p + 1, p + 1))
+        for j in range(p + 1):
+            for i in range(j + 1):
+                M[i, j] = comb[i, j] * a ** (j - i)
+        M = (w ** np.arange(p + 1))[:, None] * M
+        T[n] = comb @ M[::-1, :]
+    # fold into a single (p+1, n_nodes*(p+1)) matmul operand
+    TM = jnp.asarray(
+        T.transpose(2, 0, 1).reshape(p + 1, n_nodes * (p + 1)), dtype
+    )
+
+    # depth-``depth`` grid: node endpoints all lie on it
+    ngrid = (1 << depth) + 1
+    grid = np.arange(ngrid) / float(1 << depth)
+    # Vandermonde for direct evaluation at the grid points
+    VG = jnp.asarray(grid[None, :] ** np.arange(p + 1)[:, None], dtype)
+    node_a = np.array([a for a, w, _d in nodes])
+    node_b = np.array([a + w for a, w, _d in nodes])
+    node_leaf = np.array([d == depth for _a, _w, d in nodes])
+    # endpoint indices on the grid
+    gi_a = np.rint(node_a * (1 << depth)).astype(int)
+    gi_b = np.rint(node_b * (1 << depth)).astype(int)
+
+    ANC = jnp.asarray(anc)
+    NA = jnp.asarray(node_a, dtype)
+    NB = jnp.asarray(node_b, dtype)
+    LEAF = jnp.asarray(node_leaf)
+    GRID = jnp.asarray(grid, dtype)
+
+    def isolate_tree(cs):
+        R = cs.shape[0]
+        # all Descartes transforms in one matmul
+        q = (cs @ TM).reshape(R, n_nodes, p + 1)
+        s = jnp.sign(q)
+        prev = jnp.zeros((R, n_nodes), dtype)
+        V = jnp.zeros((R, n_nodes), jnp.int32)
+        for k in range(p + 1):
+            sk = s[:, :, k]
+            V = V + ((prev * sk) < 0).astype(jnp.int32)
+            prev = jnp.where(sk == 0, prev, sk)
+
+        # grid values (R, ngrid) and exact zeros
+        gv = cs @ VG
+        g_a = gv[:, gi_a]
+        g_b = gv[:, gi_b]
+        sign_change = g_a * g_b < 0.0
+        v1 = V == 1
+        anc_v1 = (v1.astype(jnp.int32) @ ANC.astype(jnp.int32)) > 0
+        emit = v1 & sign_change & ~anc_v1
+        # uncertified: V==1 without a sign change (zero endpoint or
+        # rounding-degenerate count) or a possible cluster at max depth —
+        # exact grid-point roots are still emitted directly below, but the
+        # caller re-runs fallback rows through the rigorous isolator
+        bad_v1 = v1 & ~anc_v1 & ~sign_change
+        bad_leaf = (V >= 2) & LEAF[None, :] & ~anc_v1
+        fallback = jnp.any(bad_v1 | bad_leaf, axis=1)
+
+        # exact roots at grid points (including s=0), as width-0 intervals
+        gz = gv == 0.0
+        cand_lo = jnp.concatenate(
+            [jnp.where(emit, NA[None, :], 2.0),
+             jnp.where(gz, GRID[None, :], 2.0)], axis=1
+        )
+        cand_hi = jnp.concatenate(
+            [jnp.where(emit, NB[None, :], 2.0),
+             jnp.where(gz, GRID[None, :], 2.0)], axis=1
+        )
+        # up to max_roots earliest candidates (top_k on negated keys)
+        neg, idx = jax.lax.top_k(-cand_lo, max_roots)
+        rlo = -neg
+        rhi = jnp.take_along_axis(cand_hi, idx, axis=1)
+        valid = rlo <= 1.0
+        rlo = jnp.where(valid, rlo, 2.0)
+        rhi = jnp.where(valid, rhi, 2.0)
+        return rlo, rhi, valid, fallback
+
+    return isolate_tree
+
+
+def _refine_roots(cs, rlo, rhi, valid):
+    """Bisection + Newton refinement, duplicate-root merging and
+    crossing-direction extraction on the isolating intervals.
+    Shape-generic: rows may be events (scalar step) or
+    batch*events (batched step)."""
+    dtype = cs.dtype
+    max_roots = rlo.shape[-1]
+
+    g_lo = _poly_eval(cs[:, None, :], rlo)
+    g_hi = _poly_eval(cs[:, None, :], rhi)
+    has_sc = g_lo * g_hi < 0.0
+
+    # unrolled bisection (static trip count, fuses into one kernel —
+    # a fori_loop here costs one dispatch per iteration), then guarded
+    # Newton polishing: quadratic convergence takes the 2^-26 bracket
+    # to the f64 floor for simple roots; steps leaving the isolating
+    # interval (near-tangential roots) are rejected and keep the
+    # bisection value
+    lo_f, hi_f, glo_ = rlo, rhi, g_lo
+    for _ in range(BISECT_ITERS):
+        mid = 0.5 * (lo_f + hi_f)
+        gm = _poly_eval(cs[:, None, :], mid)
+        go_left = glo_ * gm > 0.0
+        lo_f = jnp.where(go_left, mid, lo_f)
+        hi_f = jnp.where(go_left, hi_f, mid)
+        glo_ = jnp.where(go_left, gm, glo_)
+    s_root = jnp.where(has_sc, 0.5 * (lo_f + hi_f), 0.5 * (rlo + rhi))
+    for _ in range(NEWTON_ITERS):
+        g = _poly_eval(cs[:, None, :], s_root)
+        gder = _poly_deriv_eval(cs[:, None, :], s_root)
+        cand = s_root - g / gder
+        okn = jnp.isfinite(cand) & (cand >= lo_f) & (cand <= hi_f)
+        s_root = jnp.where(has_sc & okn, cand, s_root)
+    # half-open [0, h): exclude a root exactly at the step end
+    valid = valid & (s_root < 1.0)
+
+    # near an even-multiplicity root, coefficient rounding noise makes
+    # Descartes report V==1 for adjacent intervals of width ~sqrt(eps)
+    # (the polynomial values there are O(eps * ||p||)): merge roots
+    # closer than 16 sqrt(eps) in s — far below any step-size-relative
+    # separation of physically distinct events
+    merge_eps = 16.0 * _pymath.sqrt(float(np.finfo(np.dtype(dtype)).eps))
+    cols = [valid[:, 0]]
+    for i in range(1, max_roots):
+        dup = jnp.zeros_like(cols[0])
+        for j_ in range(i):
+            dup = dup | (
+                cols[j_]
+                & (jnp.abs(s_root[:, i] - s_root[:, j_]) < merge_eps)
+            )
+        cols.append(valid[:, i] & ~dup)
+    valid = jnp.stack(cols, axis=1)
+
+    # direction of the crossing *in time*: sign of g after the root in s
+    # (isolation guarantees no other root before the interval end);
+    # tangential clusters keep the common sign, exact-zero endpoints
+    # fall back to the derivative
+    gd = _poly_deriv_eval(cs[:, None, :], s_root)
+    d_sgn_s = jnp.where(
+        g_hi != 0.0,
+        jnp.sign(g_hi),
+        jnp.where(g_lo != 0.0, -jnp.sign(g_lo), jnp.sign(gd)),
+    )
+    return s_root, valid, d_sgn_s
+
+
 def build_event_step(fns, tape, t_events, nt_events, dtype):
     """Build ``ev_step(state, pars, t_hi, t_lo, max_dt, cooldowns) -> dict``.
 
@@ -250,7 +458,7 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
 
         def _isolate_all(cs_):
             rlo_, rhi_, valid_ = jax.vmap(isolate)(cs_)
-            return _refine(cs_, rlo_, rhi_, valid_)
+            return _refine_roots(cs_, rlo_, rhi_, valid_)
 
         def _no_roots(cs_):
             return (
@@ -267,66 +475,6 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
         d_sgn = jnp.where(h >= 0, d_sgn_s, -d_sgn_s).astype(jnp.int32)
         return s_root, valid, d_sgn
 
-    def _refine(cs, rlo, rhi, valid):
-        """Bisection + Newton refinement, duplicate-root merging and
-        crossing-direction extraction on the isolating intervals."""
-
-        g_lo = _poly_eval(cs[:, None, :], rlo)
-        g_hi = _poly_eval(cs[:, None, :], rhi)
-        has_sc = g_lo * g_hi < 0.0
-
-        # unrolled bisection (static trip count, fuses into one kernel —
-        # a fori_loop here costs one dispatch per iteration), then guarded
-        # Newton polishing: quadratic convergence takes the 2^-26 bracket
-        # to the f64 floor for simple roots; steps leaving the isolating
-        # interval (near-tangential roots) are rejected and keep the
-        # bisection value
-        lo_f, hi_f, glo_ = rlo, rhi, g_lo
-        for _ in range(BISECT_ITERS):
-            mid = 0.5 * (lo_f + hi_f)
-            gm = _poly_eval(cs[:, None, :], mid)
-            go_left = glo_ * gm > 0.0
-            lo_f = jnp.where(go_left, mid, lo_f)
-            hi_f = jnp.where(go_left, hi_f, mid)
-            glo_ = jnp.where(go_left, gm, glo_)
-        s_root = jnp.where(has_sc, 0.5 * (lo_f + hi_f), 0.5 * (rlo + rhi))
-        for _ in range(NEWTON_ITERS):
-            g = _poly_eval(cs[:, None, :], s_root)
-            gder = _poly_deriv_eval(cs[:, None, :], s_root)
-            cand = s_root - g / gder
-            okn = jnp.isfinite(cand) & (cand >= lo_f) & (cand <= hi_f)
-            s_root = jnp.where(has_sc & okn, cand, s_root)
-        # half-open [0, h): exclude a root exactly at the step end
-        valid = valid & (s_root < 1.0)
-
-        # near an even-multiplicity root, coefficient rounding noise makes
-        # Descartes report V==1 for adjacent intervals of width ~sqrt(eps)
-        # (the polynomial values there are O(eps * ||p||)): merge roots
-        # closer than 16 sqrt(eps) in s — far below any step-size-relative
-        # separation of physically distinct events
-        merge_eps = 16.0 * _pymath.sqrt(float(np.finfo(np.dtype(dtype)).eps))
-        cols = [valid[:, 0]]
-        for i in range(1, MAX_ROOTS):
-            dup = jnp.zeros_like(cols[0])
-            for j_ in range(i):
-                dup = dup | (
-                    cols[j_]
-                    & (jnp.abs(s_root[:, i] - s_root[:, j_]) < merge_eps)
-                )
-            cols.append(valid[:, i] & ~dup)
-        valid = jnp.stack(cols, axis=1)
-
-        # direction of the crossing *in time*: sign of g after the root in s
-        # (isolation guarantees no other root before the interval end);
-        # tangential clusters keep the common sign, exact-zero endpoints
-        # fall back to the derivative
-        gd = _poly_deriv_eval(cs[:, None, :], s_root)
-        d_sgn_s = jnp.where(
-            g_hi != 0.0,
-            jnp.sign(g_hi),
-            jnp.where(g_lo != 0.0, -jnp.sign(g_lo), jnp.sign(gd)),
-        )
-        return s_root, valid, d_sgn_s
 
     def make(tol_val: float):
         eps = float(np.finfo(np.dtype(dtype)).eps)
@@ -457,3 +605,240 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
         return ev_step
 
     return make
+
+# ---------------------------------------------------------------------------
+# natively batched event step (TPU fast path)
+# ---------------------------------------------------------------------------
+
+
+def build_event_step_batch(fns, t_events, nt_events, dtype, tol):
+    """Whole-batch step-with-events: the TPU-native counterpart of the
+    reference's SIMD ``ed_data_batch::detect_events``
+    (``src/detail/event_detection.cpp:1733``).
+
+    Differences from ``jax.vmap(build_event_step(...))`` (the round-1
+    path, 133x overhead on the batched Henon-Heiles Poincare workload):
+
+    - root isolation runs through the *static subdivision tree*
+      (:func:`_make_tree_isolator`): one constant-matrix matmul + dense
+      sign-variation counts over all ``batch * n_events`` rows — no
+      vmapped while_loop, no per-lane queue scatters;
+    - the rigorous Collins-Akritas isolator remains as a whole-batch
+      fallback behind a *scalar* ``lax.cond`` — it only runs on the rare
+      steps where the tree cannot certify a row (possible root cluster
+      tighter than 2^-5, zero endpoints);
+    - everything else (te selection, cooldowns, state update) is plain
+      batched arithmetic.
+
+    ``ev_step_b(state (B,n), pars (B,p), t_hi (B,), t_lo (B,), max_dt
+    (B,), cooldowns (B,n_te)) -> dict`` of batched results; nt hits are
+    reported per slot (``n_nte * MAX_ROOTS`` static slots per lane).
+    """
+    n_te = len(t_events)
+    n_nte = len(nt_events)
+    n_ev = n_te + n_nte
+    n_eq = fns.n_eq
+    order = fns.order
+    eps = float(np.finfo(np.dtype(dtype)).eps)
+    tol_val = float(tol)
+
+    te_dirs = jnp.asarray(
+        np.array([int(ev.direction) for ev in t_events], dtype=np.int32)
+        if n_te else np.zeros((0,), np.int32)
+    )
+    nt_dirs = jnp.asarray(
+        np.array([int(ev.direction) for ev in nt_events], dtype=np.int32)
+        if n_nte else np.zeros((0,), np.int32)
+    )
+    te_cd_user = jnp.asarray(
+        np.array(
+            [_pymath.nan if ev.cooldown is None else float(ev.cooldown)
+             for ev in t_events], dtype=np.float64,
+        ).astype(dtype)
+        if n_te else np.zeros((0,), np.float64).astype(dtype)
+    )
+
+    isolate_tree = _make_tree_isolator(order, dtype, MAX_ROOTS)
+    isolate_ca = _make_isolator(order, dtype, MAX_ROOTS)
+
+    jet_b = jax.vmap(fns.jet)
+
+    def find_roots_b(gcoeffs, h):
+        """gcoeffs (B, ne, order+1), h (B,) ->
+        (s_roots, valid, d_sgn) each (B, ne, MAX_ROOTS)."""
+        B = gcoeffs.shape[0]
+        hp = jnp.concatenate(
+            [jnp.ones((B, 1), h.dtype),
+             jnp.cumprod(jnp.broadcast_to(h[:, None], (B, order)), axis=1)],
+            axis=1,
+        )
+        cs = (gcoeffs * hp[:, None, :]).reshape(B * n_ev, order + 1)
+
+        # fast exclusion: rows that cannot have a root skip emission
+        no_root = jnp.abs(cs[:, 0]) > jnp.sum(jnp.abs(cs[:, 1:]), axis=1)
+
+        rlo_t, rhi_t, valid_t, fb = isolate_tree(cs)
+        need_fb = jnp.any(fb & ~no_root)
+
+        def _ca(args):
+            cs_, rlo0, rhi0, val0, fb_ = args
+            rlo_c, rhi_c, val_c = jax.vmap(isolate_ca)(cs_)
+            sel = fb_[:, None]
+            return (jnp.where(sel, rlo_c, rlo0),
+                    jnp.where(sel, rhi_c, rhi0),
+                    jnp.where(sel, val_c, val0))
+
+        def _keep(args):
+            _cs, rlo0, rhi0, val0, _fb = args
+            return rlo0, rhi0, val0
+
+        rlo, rhi, valid = lax.cond(
+            need_fb, _ca, _keep, (cs, rlo_t, rhi_t, valid_t, fb)
+        )
+        valid = valid & ~no_root[:, None]
+        s_root, valid, d_sgn_s = _refine_roots(cs, rlo, rhi, valid)
+        s_root = s_root.reshape(B, n_ev, MAX_ROOTS)
+        valid = valid.reshape(B, n_ev, MAX_ROOTS)
+        d_sgn_s = d_sgn_s.reshape(B, n_ev, MAX_ROOTS)
+        d_sgn = jnp.where(
+            h[:, None, None] >= 0, d_sgn_s, -d_sgn_s
+        ).astype(jnp.int32)
+        return s_root, valid, d_sgn
+
+    def ev_step_b(state, pars, t_hi, t_lo, max_dt, cooldowns):
+        B = state.shape[0]
+        tc = jet_b(state, pars, t_hi)  # (B, order+1, n_eq + n_ev)
+        h = jax.vmap(lambda c, m: _st.determine_h(c, order, n_eq, m))(
+            tc, max_dt
+        )
+
+        max_abs_state = jnp.max(jnp.abs(tc[:, 0, :]), axis=1)
+        max_r = jnp.where(
+            max_abs_state < 1.0, tol_val, tol_val * max_abs_state
+        )
+        g_eps = jnp.maximum(max_r, eps * max_abs_state)
+
+        ev_coeffs = tc[:, :, n_eq:].transpose(0, 2, 1)  # (B, ne, order+1)
+        s_roots, valid, d_sgn = find_roots_b(ev_coeffs, h)
+        tau = s_roots * h[:, None, None]
+        abs_tau = jnp.abs(tau)
+
+        # ---- terminal events ----
+        if n_te:
+            te_s = s_roots[:, :n_te]
+            te_valid = valid[:, :n_te]
+            te_sgn = d_sgn[:, :n_te]
+            te_tau_abs = abs_tau[:, :n_te]
+            dir_ok = (te_dirs[None, :, None] == 0) | (
+                te_sgn == te_dirs[None, :, None]
+            )
+            cd_ok = te_tau_abs >= cooldowns[:, :, None]
+            ok = te_valid & dir_ok & cd_ok
+            s_masked = jnp.where(ok, te_s, jnp.asarray(2.0, dtype))
+            per_ev_s = jnp.min(s_masked, axis=2)  # (B, n_te)
+            te_best = jnp.argmin(per_ev_s, axis=1)  # (B,)
+            te_s_star = jnp.min(per_ev_s, axis=1)
+            te_found = te_s_star <= 1.0
+            bi = jnp.arange(B)
+            root_slot = jnp.argmin(s_masked[bi, te_best], axis=1)
+            te_d = te_sgn[bi, te_best, root_slot]
+        else:
+            te_found = jnp.zeros((B,), bool)
+            te_s_star = jnp.full((B,), 2.0, dtype)
+            te_best = jnp.zeros((B,), jnp.int32)
+            te_d = jnp.zeros((B,), jnp.int32)
+
+        h_eff = jnp.where(te_found, te_s_star * h, h)
+
+        # ---- state update at h_eff (same kernel as the scalar step:
+        # compensated Horner when high_accuracy) ----
+        new_state = jax.vmap(fns.update)(tc, h_eff)
+        nt_hi, nt_lo = dd_add_d(t_hi, t_lo, h_eff)
+        finite = jnp.all(jnp.isfinite(new_state), axis=1) \
+            & jnp.isfinite(h_eff)
+
+        # ---- non-terminal events ----
+        if n_nte:
+            ntau = tau[:, n_te:]
+            nvalid = valid[:, n_te:]
+            nsgn = d_sgn[:, n_te:]
+            ns = s_roots[:, n_te:]
+            dir_ok = (nt_dirs[None, :, None] == 0) | (
+                nsgn == nt_dirs[None, :, None]
+            )
+            before_te = jnp.where(
+                te_found[:, None, None], ns < te_s_star[:, None, None], True
+            )
+            ok = nvalid & dir_ok & before_te
+            nt_mask = ok.reshape(B, -1)
+            nt_times = (t_hi[:, None, None] + ntau).reshape(B, -1)
+            nt_sgn = nsgn.reshape(B, -1)
+            nt_idx = jnp.broadcast_to(
+                jnp.repeat(jnp.arange(n_nte, dtype=jnp.int32), MAX_ROOTS)[
+                    None, :
+                ],
+                (B, n_nte * MAX_ROOTS),
+            )
+        else:
+            nt_mask = jnp.zeros((B, 0), bool)
+            nt_times = jnp.zeros((B, 0), dtype)
+            nt_sgn = jnp.zeros((B, 0), jnp.int32)
+            nt_idx = jnp.zeros((B, 0), jnp.int32)
+
+        # ---- cooldown bookkeeping ----
+        if n_te:
+            new_cd = jnp.maximum(cooldowns - jnp.abs(h_eff)[:, None], 0.0)
+            bi = jnp.arange(B)
+            gd = _poly_deriv_eval(
+                ev_coeffs[bi, te_best], te_s_star * h
+            )
+            auto_cd = g_eps / jnp.abs(gd) * 10.0
+            auto_cd = jnp.where(jnp.isfinite(auto_cd), auto_cd, 0.0)
+            trig_cd = jnp.where(
+                jnp.isnan(te_cd_user[te_best]), auto_cd,
+                te_cd_user[te_best],
+            )
+            new_cd = jnp.where(
+                te_found[:, None]
+                & (jnp.arange(n_te)[None, :] == te_best[:, None]),
+                trig_cd[:, None],
+                new_cd,
+            )
+        else:
+            new_cd = cooldowns
+
+        clamped = jnp.abs(h) >= jnp.abs(max_dt)
+        outcome = jnp.where(
+            ~finite,
+            jnp.int32(TaylorOutcome.err_nf_state),
+            jnp.where(
+                te_found,
+                te_best.astype(jnp.int32),
+                jnp.where(
+                    clamped,
+                    jnp.int32(TaylorOutcome.time_limit),
+                    jnp.int32(TaylorOutcome.success),
+                ),
+            ),
+        )
+
+        return dict(
+            state=new_state,
+            t_hi=nt_hi,
+            t_lo=nt_lo,
+            last_h=h_eff,
+            tc=tc,
+            outcome=outcome,
+            cooldowns=new_cd,
+            te_idx=jnp.where(
+                te_found, te_best.astype(jnp.int32), jnp.int32(-1)
+            ),
+            te_time=t_hi + te_s_star * h,
+            te_sgn=te_d,
+            nt_mask=nt_mask,
+            nt_times=nt_times,
+            nt_idx=nt_idx,
+            nt_sgn=nt_sgn,
+        )
+
+    return ev_step_b
