@@ -454,10 +454,15 @@ class _BatchShim:
 
 
 def _reshape_res(res, n_iter, b):
+    # keep device arrays on device: np.asarray here would force a
+    # synchronous device->host download of every result field (measured
+    # ~35% of the public-API ensemble wall time through the TPU tunnel,
+    # PERF.md round-2 ensemble audit); reshape is a device-side metadata op
     out = {}
     for k, v in res.items():
-        v = np.asarray(v)
-        out[k] = v.reshape((n_iter, b) + v.shape[1:])
+        if isinstance(v, np.ndarray) or not hasattr(v, "reshape"):
+            v = np.asarray(v)
+        out[k] = v.reshape((n_iter, b) + tuple(v.shape[1:]))
     return out
 
 

@@ -34,13 +34,18 @@ def main():
     ens = IC[None, None, :] + np.abs(IC)[None, None, :] * (
         rng.uniform(-1, 1, (N_ITER, B, IC.size)) * 1e-8)
 
+    import jax
+
     t0 = time.perf_counter()
     res = ensemble_propagate_until_batch(ta, 100.0, N_ITER, {"state": ens})
+    jax.block_until_ready(res)
+    _ = float(np.asarray(res["nsteps"]).ravel()[0])  # tunnel sync
     warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = ensemble_propagate_until_batch(ta, 100.0, N_ITER, {"state": ens})
-    dt = time.perf_counter() - t0
+    jax.block_until_ready(res)
     nsteps = int(np.asarray(res["nsteps"]).sum())
+    dt = time.perf_counter() - t0
     print(f"first call {warm:.1f}s; steady: {dt:.2f}s for {nsteps} steps "
           f"-> {nsteps/dt/1e6:.2f}M steps/s "
           f"({N_ITER * B} trajectories to 100 yr)", flush=True)
