@@ -67,22 +67,17 @@ def _build_inputs(ta, n_iter, gen):
 def _events_config(ta):
     """Classify the template integrator's event configuration for the
     ensemble drivers: ``None`` when event-free, else ``(t_events,
-    nt_events)``.  Raises for configurations needing mid-flight host
-    callbacks (terminal events with callbacks decide continue-vs-stop
-    per step in the reference, ``events.hpp:151-309`` — that round-trip
-    cannot ride the on-device driver)."""
+    nt_events, has_te_callbacks)``.  Terminal events with callbacks
+    decide continue-vs-stop per step in the reference
+    (``events.hpp:151-309``) — those route to the host-stepwise
+    per-instance fallback (documented O(n_iter) dispatch cost) instead of
+    the on-device driver."""
     if getattr(ta, "_ev_step", None) is None:
         return None
     tes = list(ta._t_events)
     ntes = list(ta._nt_events)
-    if any(ev.callback is not None for ev in tes):
-        raise NotImplementedError(
-            "ensemble propagation supports terminal events only in "
-            "pure-stop form (callback=None); a terminal-event callback "
-            "decides continue-vs-stop mid-flight and cannot run inside "
-            "the on-device ensemble driver"
-        )
-    return tes, ntes
+    has_te_cb = any(ev.callback is not None for ev in tes)
+    return tes, ntes, has_te_cb
 
 
 def _ens_cache(ta):
@@ -143,6 +138,13 @@ def ensemble_propagate_until(
 
     evcfg = _events_config(ta)
     if evcfg is not None:
+        if evcfg[2]:
+            # terminal-event callbacks need mid-flight host dispatch:
+            # per-instance scalar propagation on one pickled working copy
+            return _ensemble_propagate_until_host_ev(
+                ta, n_iter, states, pars, times, t,
+                float(max_delta_t), int(max_steps),
+            )
         return _ensemble_propagate_until_ev(
             ta, evcfg, n_iter, states, pars, times, t,
             float(max_delta_t), int(max_steps), mesh,
@@ -213,37 +215,38 @@ def ensemble_propagate_until(
 
 def _ensemble_propagate_until_ev(
     ta, evcfg, n_iter, states, pars, times, t, max_delta_t, max_steps, mesh,
-    rec_cap=1024,
 ):
-    """Ensemble propagate-until for event-carrying integrators.
+    """Ensemble propagate-until for event-carrying integrators (terminal
+    events pure-stop).
 
-    Runs the on-device recording driver (``events.make_propagate_until_ev``)
-    vmapped over the instance axis and shard_map-ed over the mesh: terminal
-    events stop their instance with outcome = event index; every nt hit is
-    recorded on device and returned (padded) as ``nt_times/nt_idx/nt_sgn``
-    with per-instance ``nt_count``.  nt callbacks, if any, are dispatched
-    host-side afterwards, chronologically within each instance, as
-    ``cb(results, t, d_sgn, instance)``.  Overflowed recording chunks are
-    replayed with finished instances masked inactive.
+    Round-2 design: the whole instance axis steps through the *natively
+    batched* recording driver (``events.make_propagate_until_ev_batch`` on
+    ``events_impl.build_event_step_batch`` — dense tree isolation over all
+    instance*event rows, step-indexed record rows, no per-instance
+    scatters), shard_map-ed over the mesh.  Every nt hit is recorded on
+    device and returned (padded) as ``nt_times/nt_idx/nt_sgn`` with
+    per-instance ``nt_count``; nt callbacks are dispatched host-side
+    afterwards, chronologically within each instance, as
+    ``cb(results, t, d_sgn, instance)``.
     """
-    from .taylor.events import make_propagate_until_ev
+    from .taylor.events import make_propagate_until_ev_batch
+    from .taylor.events_impl import MAX_ROOTS, build_event_step_batch
 
-    tes, ntes = evcfg
+    tes, ntes, _ = evcfg
     dtype = ta._dtype
-    pu = make_propagate_until_ev(
-        ta._ev_step_raw, ta._order, ta.dim, len(tes), len(ntes),
-        rec_cap=rec_cap,
+    ev_b = build_event_step_batch(ta._fns, tes, ntes, dtype, ta._tol)
+    pu = make_propagate_until_ev_batch(
+        ev_b, ta._order, ta.dim, len(tes), len(ntes),
     )
-    mdt = jnp.asarray(max_delta_t, dtype)
+    mdt = float(max_delta_t)
 
-    def one(state, pars_, t_hi, t_lo, tgt, msteps, cd, act):
+    def shard_fn(state, pars_, t_hi, t_lo, tgt, msteps, cd, act):
         return pu(
-            state, pars_, t_hi, t_lo, tgt, jnp.zeros_like(tgt), mdt,
-            msteps, cd, act,
+            state, pars_, t_hi, t_lo, tgt, jnp.zeros_like(tgt),
+            jnp.full_like(tgt, mdt), msteps, cd, act,
         )
 
-    vm = jax.vmap(one)
-    fn = jax.jit(_mesh_shard(vm, mesh, 8))
+    fn = jax.jit(_mesh_shard(shard_fn, mesh, 8))
 
     targets = jnp.broadcast_to(jnp.asarray(t, dtype), (n_iter,))
     cur = dict(
@@ -272,14 +275,10 @@ def _ensemble_propagate_until_ev(
             jnp.asarray(msteps, jnp.int64), cur["cooldowns"],
             jnp.asarray(~done),
         )
-        rec_n = np.asarray(res["rec_n"])
-        rec_t = np.asarray(res["rec_t"])
-        rec_i = np.asarray(res["rec_idx"])
-        rec_s = np.asarray(res["rec_sgn"])
-        for i in range(n_iter):
-            n = int(rec_n[i])
-            if n:
-                inst_hits[i].append((rec_t[i, :n], rec_i[i, :n], rec_s[i, :n]))
+        if ntes:
+            from .taylor.batch import _decode_hits
+
+            _decode_hits(res, len(ntes), inst_hits)
         cur = dict(
             state=res["state"], t_hi=res["t_hi"], t_lo=res["t_lo"],
             cooldowns=res["cooldowns"],
@@ -293,11 +292,10 @@ def _ensemble_propagate_until_ev(
         te_sgn = np.where(newly, np.asarray(res["te_sgn"]), te_sgn)
         last_h = np.where(newly, np.asarray(res["last_h"]), last_h)
         done |= newly
-        if not bool(np.any(np.asarray(res["overflow"]))):
+        if bool(done.all()):
             break
 
-    counts = np.array([sum(h[0].shape[0] for h in inst_hits[i])
-                       for i in range(n_iter)])
+    counts = np.array([len(inst_hits[i]) for i in range(n_iter)])
     cap = max(1, int(counts.max())) if counts.size else 1
     nt_times = np.full((n_iter, cap), np.nan)
     nt_idx = np.full((n_iter, cap), -1, np.int32)
@@ -306,9 +304,9 @@ def _ensemble_propagate_until_ev(
     for i in range(n_iter):
         if not inst_hits[i]:
             continue
-        ts = np.concatenate([h[0] for h in inst_hits[i]])
-        ix = np.concatenate([h[1] for h in inst_hits[i]])
-        sg = np.concatenate([h[2] for h in inst_hits[i]])
+        ts = np.array([h[0] for h in inst_hits[i]])
+        ix = np.array([h[1] for h in inst_hits[i]])
+        sg = np.array([h[2] for h in inst_hits[i]])
         order_ = np.argsort(ts) if fwd[i] else np.argsort(-ts)
         n = ts.shape[0]
         nt_times[i, :n] = ts[order_]
@@ -338,6 +336,64 @@ def _ensemble_propagate_until_ev(
     return results
 
 
+def _ensemble_propagate_until_host_ev(
+    ta, n_iter, states, pars, times, t, max_delta_t, max_steps,
+):
+    """Host-stepwise per-instance fallback for terminal events WITH
+    callbacks (reference semantics: the callback decides continue-vs-stop
+    mid-flight, ``events.hpp:151-309``, and receives the live integrator).
+
+    One working copy of the template is deep-copied once and reused
+    across instances, so compiled drivers are shared; the remaining cost
+    is the per-step host dispatch of the scalar event drivers — use the
+    on-device path (callback=None terminal events) for throughput.
+    """
+    import copy
+
+    if isinstance(ta, _BatchShim):
+        raise NotImplementedError(
+            "batch ensembles do not support terminal-event callbacks; "
+            "use a scalar ensemble or propagate the batch integrator "
+            "directly"
+        )
+    # deepcopy goes through the pickle protocol for the integrator state
+    # but keeps callback closures by reference (locals cannot pickle)
+    tai = copy.deepcopy(ta)
+    dim = ta.dim
+    out_state = np.empty((n_iter, dim))
+    out_time = np.empty((n_iter,))
+    oc = np.full((n_iter,), int(TaylorOutcome.time_limit), np.int32)
+    min_h = np.full((n_iter,), _pymath.inf)
+    max_h = np.zeros((n_iter,))
+    nsteps = np.zeros((n_iter,), np.int64)
+    te_idx = np.full((n_iter,), -1, np.int32)
+    for i in range(n_iter):
+        tai.state = states[i]
+        tai.pars = pars[i]
+        tai.time = float(times[i])
+        tai.reset_cooldowns()
+        o, mn, mx, ns = tai.propagate_until(
+            float(t), max_delta_t=max_delta_t, max_steps=max_steps,
+        )
+        out_state[i] = np.asarray(tai.state)[:dim]
+        out_time[i] = tai.time
+        oc[i] = int(o)
+        min_h[i] = mn
+        max_h[i] = mx
+        nsteps[i] = ns
+        if isinstance(o, int) and int(o) >= 0:
+            te_idx[i] = int(o)
+    return {
+        "state": out_state,
+        "time": out_time,
+        "outcome": oc,
+        "min_h": min_h,
+        "max_h": max_h,
+        "nsteps": nsteps,
+        "te_idx": te_idx,
+    }
+
+
 def ensemble_propagate_for(ta, delta_t, n_iter: int, gen, **kw):
     states, pars, times = _build_inputs(ta, n_iter, gen)
     # target per instance = its own start time + delta
@@ -347,16 +403,70 @@ def ensemble_propagate_for(ta, delta_t, n_iter: int, gen, **kw):
     )
 
 
+def _ensemble_propagate_grid_host_ev(
+    ta, n_iter, states, pars, times, grid, max_delta_t, max_steps,
+):
+    """Per-instance host fallback for ensemble grids over event-carrying
+    integrators (the scalar event-aware ``propagate_grid`` runs per
+    instance on one pickled working copy; per-step host dispatch cost —
+    reference runs the same event machinery per instance,
+    ``ensemble_propagate.hpp:230-269``)."""
+    import copy
+
+    if isinstance(ta, _BatchShim):
+        raise NotImplementedError(
+            "batch ensembles do not support grids with events; use a "
+            "scalar ensemble or the batch integrator's own "
+            "propagate_grid"
+        )
+    tai = copy.deepcopy(ta)
+    grid = np.asarray(grid, dtype=ta._dtype)
+    ngrid = grid.shape[0]
+    dim = ta.dim
+    out = np.full((n_iter, ngrid, dim), np.nan)
+    out_state = np.empty((n_iter, dim))
+    out_time = np.empty((n_iter,))
+    oc = np.full((n_iter,), int(TaylorOutcome.time_limit), np.int32)
+    min_h = np.full((n_iter,), _pymath.inf)
+    max_h = np.zeros((n_iter,))
+    nsteps = np.zeros((n_iter,), np.int64)
+    for i in range(n_iter):
+        tai.state = states[i]
+        tai.pars = pars[i]
+        tai.time = float(times[i])
+        tai.reset_cooldowns()
+        o, mn, mx, ns, res = tai.propagate_grid(
+            grid, max_delta_t=max_delta_t, max_steps=max_steps,
+        )
+        out[i] = np.asarray(res)
+        out_state[i] = np.asarray(tai.state)[:dim]
+        out_time[i] = tai.time
+        oc[i] = int(o)
+        min_h[i] = mn
+        max_h[i] = mx
+        nsteps[i] = ns
+    return {
+        "out": out,
+        "state": out_state,
+        "time": out_time,
+        "outcome": oc,
+        "min_h": min_h,
+        "max_h": max_h,
+        "nsteps": nsteps,
+    }
+
+
 def ensemble_propagate_grid(
     ta, grid, n_iter: int, gen, *, max_delta_t=None, max_steps=0, mesh=None
 ):
     """Ensemble dense-output sampling on a shared grid; returns the stacked
     output array (n_iter, len(grid), dim) plus per-instance diagnostics."""
     if _events_config(ta) is not None:
-        raise NotImplementedError(
-            "ensemble_propagate_grid does not support event-carrying "
-            "integrators; use ensemble_propagate_until/for (events "
-            "supported) or a taylor_adaptive_batch grid"
+        states, pars, times = _build_inputs(ta, n_iter, gen)
+        return _ensemble_propagate_grid_host_ev(
+            ta, n_iter, states, pars, times, grid,
+            _pymath.inf if max_delta_t is None else float(max_delta_t),
+            int(max_steps),
         )
     states, pars, times = _build_inputs(ta, n_iter, gen)
     if max_delta_t is None:
@@ -443,6 +553,7 @@ class _BatchShim:
         # shims (one per ensemble_*_batch call) reuse compiled programs
         self._ens_drivers = tab.__dict__.setdefault("_ens_drivers", {})
         self._order = tab._order
+        self._tol = tab._tol
         self._high_accuracy = tab._high_accuracy
         self._ev_step = getattr(tab, "_ev_step", None)
         self._ev_step_raw = getattr(tab, "_ev_step_raw", None)

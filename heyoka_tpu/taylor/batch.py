@@ -652,16 +652,9 @@ class TaylorAdaptiveBatch:
             )
             # step-indexed record: rows [0, it) hold each lockstep step's
             # nt hits for every lane (slot -> event index statically)
-            it = int(np.asarray(res["it"]))
+            it = int(np.asarray(res["it"])[0])
             if it and self._nt_events:
-                rmask = np.asarray(res["rec_mask"][:it])
-                rtime = np.asarray(res["rec_t"][:it])
-                rsgn = np.asarray(res["rec_sgn"][:it])
-                steps_i, lanes_i, slots_i = np.nonzero(rmask)
-                for si, li, sl in zip(steps_i, lanes_i, slots_i):
-                    lane_hits[li].append(
-                        (rtime[si, li, sl], sl // _MR, rsgn[si, li, sl])
-                    )
+                _decode_hits(res, len(self._nt_events), lane_hits)
             self._state = res["state"]
             self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
             # inactive lanes come back with the driver's init last_h/tc
@@ -986,6 +979,39 @@ class TaylorAdaptiveBatch:
             (outcomes[i], self._last_res[i][1]) for i in range(self._batch)
         ]
         return outcomes, min_h, max_h, nsteps, out
+
+
+def _decode_hits(res, n_nte, lane_hits):
+    """Decode the batched ev driver's compact hit record into per-lane
+    (time, event index, d_sgn) tuples; falls back to the dense on-device
+    buffers when a lane's per-chunk hit count saturated the compact
+    capacity (rare — HIT_LCAP hits within one chunk)."""
+    from .events import HIT_LCAP
+    from .events_impl import MAX_ROOTS as _MR
+
+    nh = np.asarray(res["nhits"])
+    if not nh.any():
+        return
+    n_slots = n_nte * _MR
+    if int(nh.max()) <= HIT_LCAP:
+        pos = np.asarray(res["hits_pos"])
+        ht = np.asarray(res["hits_t"])
+        hs = np.asarray(res["hits_sgn"])
+        lanes_i, slots_i = np.nonzero(pos >= 0)
+        for li, k in zip(lanes_i, slots_i):
+            sl = int(pos[li, k]) % n_slots
+            lane_hits[li].append(
+                (ht[li, k], sl // _MR, int(hs[li, k]) - 2)
+            )
+        return
+    it = int(np.asarray(res["it"])[0])
+    rsgn = np.asarray(res["rec_sgn"][:, :it])
+    rtime = np.asarray(res["rec_t"][:, :it])
+    lanes_i, steps_i, slots_i = np.nonzero(rsgn)
+    for li, si, sl in zip(lanes_i, steps_i, slots_i):
+        lane_hits[li].append(
+            (rtime[li, si, sl], sl // _MR, int(rsgn[li, si, sl]) - 2)
+        )
 
 
 def taylor_adaptive_batch(sys, state, **kw) -> TaylorAdaptiveBatch:

@@ -305,8 +305,12 @@ def make_propagate_until_ev(ev_step_raw, order, n_eq, n_te, n_nte,
     return pu
 
 
+#: per-lane compact-record capacity of the batched driver (hits per chunk)
+HIT_LCAP = 8
+
+
 def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
-                                  chunk=256):
+                                  chunk=64):
     """Natively batched on-device propagate-until with events.
 
     The TPU redesign of the vmapped recording driver
@@ -322,9 +326,15 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
     Terminal events are pure-stop, like the vmapped driver; the trailing
     ``active`` input keeps finished lanes frozen across re-entries.
 
-    Returns a dict of final per-lane arrays plus ``rec_t/rec_mask/rec_sgn``
-    shaped ``(chunk, B, n_nte * MAX_ROOTS)`` and ``it`` — the number of
-    recorded lockstep steps in this chunk.
+    Returns a dict of final per-lane arrays plus ``rec_t`` (f64 hit
+    times) and ``rec_sgn`` (int8: 0 = no hit, else crossing sign + 2),
+    shaped ``(B, chunk, n_nte * MAX_ROOTS)``, and ``it`` — the number of
+    recorded lockstep steps in this chunk, broadcast per lane so every
+    output of the driver has a leading batch axis (uniform shard_map
+    out_specs over the trajectory axis).  The record buffers are part of
+    the while carry, so their size is a per-iteration copy cost — hence
+    the int8 encoding (hit flag folded into the sign byte) and the small
+    default chunk.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -362,9 +372,8 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
             cooldowns=cooldowns,
             te_idx=jnp.full((B,), jnp.int32(-1)),
             te_sgn=jnp.zeros((B,), jnp.int32),
-            rec_t=jnp.zeros((chunk, B, n_slots), dtype),
-            rec_mask=jnp.zeros((chunk, B, n_slots), bool),
-            rec_sgn=jnp.zeros((chunk, B, n_slots), jnp.int32),
+            rec_t=jnp.zeros((B, chunk, n_slots), dtype),
+            rec_sgn=jnp.zeros((B, chunk, n_slots), jnp.int8),
             it=jnp.int32(0),
         )
 
@@ -414,18 +423,18 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
             it = c["it"]
             if n_slots:
                 z = jnp.int32(0)
-                rec_mask = lax.dynamic_update_slice(
-                    c["rec_mask"], (res["nt_mask"] & live[:, None])[None],
-                    (it, z, z),
+                hit = res["nt_mask"] & live[:, None]
+                sgn_row = jnp.where(
+                    hit, (res["nt_sgn"] + 2).astype(jnp.int8),
+                    jnp.int8(0),
                 )
                 rec_t = lax.dynamic_update_slice(
-                    c["rec_t"], res["nt_times"][None], (it, z, z)
+                    c["rec_t"], res["nt_times"][:, None, :], (z, it, z)
                 )
                 rec_sgn = lax.dynamic_update_slice(
-                    c["rec_sgn"], res["nt_sgn"][None], (it, z, z)
+                    c["rec_sgn"], sgn_row[:, None, :], (z, it, z)
                 )
             else:
-                rec_mask = c["rec_mask"]
                 rec_t = c["rec_t"]
                 rec_sgn = c["rec_sgn"]
 
@@ -450,11 +459,34 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
                     c["te_sgn"],
                 ),
                 rec_t=rec_t,
-                rec_mask=rec_mask,
                 rec_sgn=rec_sgn,
                 it=it + 1,
             )
 
-        return lax.while_loop(cond, body, init)
+        out = lax.while_loop(cond, body, init)
+        # per-lane it broadcast: every driver output then has a leading
+        # batch axis (shard_map-able with uniform out_specs)
+        out["it"] = jnp.full((B,), out["it"], jnp.int32)
+        if n_slots:
+            # device-side hit compaction: the dense (B, chunk, n_slots)
+            # record crosses the host tunnel at ~2.4 MB per re-entry;
+            # per-lane top_k compresses it to the (rare) actual hits.
+            # The dense buffers stay in the output for the saturation
+            # fallback — jax arrays only cross the tunnel when read.
+            flat_sgn = out["rec_sgn"].reshape(B, chunk * n_slots)
+            flat_t = out["rec_t"].reshape(B, chunk * n_slots)
+            hitm = flat_sgn != 0
+            keys = jnp.where(
+                hitm, jnp.arange(chunk * n_slots, dtype=jnp.int32)[None, :],
+                jnp.int32(-1),
+            )
+            lcap = min(HIT_LCAP, chunk * n_slots)
+            pos = lax.top_k(keys, lcap)[0]  # (B, lcap), -1 = empty
+            gi = jnp.maximum(pos, 0)
+            out["hits_pos"] = pos
+            out["hits_t"] = jnp.take_along_axis(flat_t, gi, axis=1)
+            out["hits_sgn"] = jnp.take_along_axis(flat_sgn, gi, axis=1)
+            out["nhits"] = jnp.sum(hitm, axis=1).astype(jnp.int32)
+        return out
 
     return pu

@@ -676,27 +676,62 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol):
 
         # fast exclusion: rows that cannot have a root skip emission
         no_root = jnp.abs(cs[:, 0]) > jnp.sum(jnp.abs(cs[:, 1:]), axis=1)
+        need = ~no_root
+        R = cs.shape[0]
 
-        rlo_t, rhi_t, valid_t, fb = isolate_tree(cs)
-        need_fb = jnp.any(fb & ~no_root)
+        def _isolate_refine(cs_, fexed):
+            """Tree isolation (+ rigorous CA fallback behind a scalar
+            cond) and refinement over a row block."""
+            rlo_t, rhi_t, valid_t, fb = isolate_tree(cs_)
+            need_fb = jnp.any(fb & fexed)
 
-        def _ca(args):
-            cs_, rlo0, rhi0, val0, fb_ = args
-            rlo_c, rhi_c, val_c = jax.vmap(isolate_ca)(cs_)
-            sel = fb_[:, None]
-            return (jnp.where(sel, rlo_c, rlo0),
-                    jnp.where(sel, rhi_c, rhi0),
-                    jnp.where(sel, val_c, val0))
+            def _ca(args):
+                csx, rlo0, rhi0, val0, fb_ = args
+                rlo_c, rhi_c, val_c = jax.vmap(isolate_ca)(csx)
+                sel = fb_[:, None]
+                return (jnp.where(sel, rlo_c, rlo0),
+                        jnp.where(sel, rhi_c, rhi0),
+                        jnp.where(sel, val_c, val0))
 
-        def _keep(args):
-            _cs, rlo0, rhi0, val0, _fb = args
-            return rlo0, rhi0, val0
+            def _keep(args):
+                _csx, rlo0, rhi0, val0, _fb = args
+                return rlo0, rhi0, val0
 
-        rlo, rhi, valid = lax.cond(
-            need_fb, _ca, _keep, (cs, rlo_t, rhi_t, valid_t, fb)
-        )
-        valid = valid & ~no_root[:, None]
-        s_root, valid, d_sgn_s = _refine_roots(cs, rlo, rhi, valid)
+            rlo, rhi, valid = lax.cond(
+                need_fb, _ca, _keep, (cs_, rlo_t, rhi_t, valid_t, fb)
+            )
+            valid = valid & fexed[:, None]
+            return _refine_roots(cs_, rlo, rhi, valid)
+
+        # sparse working set: f64 polynomial arithmetic is emulated on the
+        # TPU, and on a typical step only ~1% of the batch*event rows pass
+        # the exclusion check — gather those rows (static budget M), run
+        # the full isolate+refine pipeline on the small block, and scatter
+        # the results back.  If the budget ever overflows (an
+        # every-lane-crossing step), a scalar cond re-runs the dense path.
+        M = min(R, max(32, R // 8))
+        if M < R:
+            over = jnp.sum(need) > M
+
+            def _sparse(args):
+                cs_, need_ = args
+                keys, idx = lax.top_k(need_.astype(jnp.float32), M)
+                sub = cs_[idx]
+                s_sub, v_sub, d_sub = _isolate_refine(sub, keys > 0)
+                s_r = jnp.full((R, MAX_ROOTS), 2.0, dtype).at[idx].set(s_sub)
+                v_r = jnp.zeros((R, MAX_ROOTS), bool).at[idx].set(v_sub)
+                d_r = jnp.zeros((R, MAX_ROOTS), dtype).at[idx].set(d_sub)
+                return s_r, v_r, d_r
+
+            def _dense(args):
+                cs_, need_ = args
+                return _isolate_refine(cs_, need_)
+
+            s_root, valid, d_sgn_s = lax.cond(
+                over, _dense, _sparse, (cs, need)
+            )
+        else:
+            s_root, valid, d_sgn_s = _isolate_refine(cs, need)
         s_root = s_root.reshape(B, n_ev, MAX_ROOTS)
         valid = valid.reshape(B, n_ev, MAX_ROOTS)
         d_sgn_s = d_sgn_s.reshape(B, n_ev, MAX_ROOTS)

@@ -5,6 +5,7 @@ unsharded ones."""
 import numpy as np
 
 import jax
+import pytest
 
 import heyoka_tpu as hy
 from heyoka_tpu import (
@@ -110,16 +111,59 @@ def test_ensemble_terminal_event_stops_match_scalar(rng):
         np.testing.assert_array_equal(np.asarray(res["state"][i]), tai.state)
 
 
-def test_ensemble_terminal_event_callback_rejected():
+def test_ensemble_terminal_event_callback_host_fallback(rng):
+    # terminal events WITH callbacks route to the host-stepwise
+    # per-instance fallback (round 2): continue-on-first, stop-on-second —
+    # matching the scalar integrator exactly
     x, v = hy.make_vars("x", "v")
+    states = 0.05 + 0.01 * rng.standard_normal((3, 2))
+
+    # stateless continue-vs-stop decision (Python closures are shared by
+    # reference across ensemble instances, unlike the reference's C++
+    # functor copies): keep integrating until the first trigger past t=1
+    def cb(ta_, d_sgn):
+        return ta_.time < 1.0
+
     ta = hy.taylor_adaptive(
         pendulum(), [0.05, 0.025], tol=1e-12,
-        t_events=[t_event(v, callback=lambda *a: True)],
+        t_events=[t_event(v, callback=cb)],
     )
-    import pytest
+    res = ensemble_propagate_until(ta, 100.0, 3, {"state": states})
+    assert (np.asarray(res["outcome"]) == 0).all()  # stopped by event 0
+    assert (np.asarray(res["time"]) > 1.0).all()
+    for i in range(3):
+        tai = hy.taylor_adaptive(
+            pendulum(), states[i], tol=1e-12,
+            t_events=[t_event(v, callback=cb)],
+        )
+        tai.propagate_until(100.0)
+        assert float(res["time"][i]) == pytest.approx(tai.time, rel=1e-14)
+        np.testing.assert_allclose(
+            np.asarray(res["state"][i]), tai.state, rtol=0, atol=1e-13
+        )
 
-    with pytest.raises(NotImplementedError):
-        ensemble_propagate_until(ta, 1.0, 2, {"state": np.zeros((2, 2))})
+
+def test_ensemble_grid_with_events(rng):
+    # ensemble_propagate_grid supports event-carrying integrators via the
+    # per-instance host fallback (round 2)
+    x, v = hy.make_vars("x", "v")
+    states = 0.05 + 0.01 * rng.standard_normal((3, 2))
+    hits = []
+    ta = hy.taylor_adaptive(
+        pendulum(), [0.05, 0.025], tol=1e-12,
+        nt_events=[nt_event(x, lambda ta_, t_, d_: hits.append(t_))],
+    )
+    grid = np.linspace(0.0, 5.0, 11)
+    res = ensemble_propagate_grid(ta, grid, 3, {"state": states})
+    assert res["out"].shape == (3, 11, 2)
+    assert np.isfinite(res["out"]).all()
+    assert len(hits) > 0  # nt callbacks fired during the grid sweep
+    for i in range(3):
+        tai = hy.taylor_adaptive(pendulum(), states[i], tol=1e-12)
+        _, _, _, _, out_ref = tai.propagate_grid(grid)
+        np.testing.assert_allclose(
+            res["out"][i], np.asarray(out_ref), rtol=0, atol=1e-11
+        )
 
 
 def test_ensemble_nt_events_recorded_and_sharded(rng):
