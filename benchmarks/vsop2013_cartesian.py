@@ -1,21 +1,19 @@
 """Huge-tape demonstration (reference benchmark/vsop2013_cartesian.cpp;
-SURVEY hard part #4: compile-time scaling with 10^2-10^4+ u-vars).
+SURVEY hard part #4: compile-time scaling with 10^2-10^5-term series RHS).
 
-The reference benchmark embeds a VSOP2013 cartesian series as an ODE RHS
-and reports expression/integrator creation cost.  The reference snapshot
-(and therefore this repo's re-derived tables) ships only the planet-9 q/p
-series, so the full cartesian conversion cannot be built from shipped data
-in either codebase; this benchmark demonstrates the same huge-tape story
-with what ships:
+The reference embeds a VSOP2013 cartesian series as an ODE RHS and reports
+expression/integrator creation cost; its compact mode keeps the LLVM IR
+size flat.  The snapshot (and therefore this repo's re-derived tables)
+ships only the planet-9 q/p series, so the configurations here are the
+shipped VSOP subset plus the complete ELP2000 lunar theory.
 
-- config A: {x' = q9(t), y' = p9(t)} at thresh=1e-9 — ~11k u-vars
-  (the VSOP2013 embedding of the reference benchmark, shipped subset);
-- config B: {x',y',z'} = ELP2000 cartesian lunar series at thresh=1e-8 —
-  ~17k u-vars (complete data ships), integrated end-to-end.
-
-Both run through the index-table compact engine: the XLA graph (and
-compile time) is bounded by the op vocabulary, not the tape length — the
-TPU-native analog of heyoka's compact mode (taylor_02.cpp:1194).
+Two engines are measured per configuration:
+- the index-table compact engine over the EXPANDED expression tape
+  (graph size already independent of tape length — but on TPU the
+  per-u-var index loads become vmapped gathers);
+- the round-2 dense ``trig_series`` op (expr/series.py): the whole series
+  is one tape op evaluated with gather-free vector math, so both compile
+  time and runtime stay flat.
 
 Prints one JSON line per phase.
 """
@@ -34,74 +32,62 @@ hy.s11n.enable_compilation_cache()
 from heyoka_tpu.expr.decompose import taylor_decompose_sys
 from heyoka_tpu.models import elp2000_cartesian_e2000, vsop2013_elliptic
 
-YR = 365.25 * 86400.0 / 1e9  # VSOP time unit: millennia... (t in kyr)
-
-# --- config A: VSOP2013 planet-9 q/p embedding ---------------------------
-t0 = time.perf_counter()
-q9 = vsop2013_elliptic(9, 5, time_expr=hy.time, thresh=1e-9)
-p9 = vsop2013_elliptic(9, 6, time_expr=hy.time, thresh=1e-9)
-el_expr = time.perf_counter() - t0
 x, y, z = hy.make_vars("x", "y", "z")
-t0 = time.perf_counter()
-tape_a = taylor_decompose_sys([(x, q9), (y, p9)])
-el_tape = time.perf_counter() - t0
-print(json.dumps({
-    "bench": "vsop2013_p9_qp", "thresh": 1e-9,
-    "expr_build_s": round(el_expr, 2),
-    "tape_decompose_s": round(el_tape, 2),
-    "n_uvars": tape_a.n_uvars,
-}), flush=True)
 
+
+def bench_config(label, sys_, n_uvars, B=256, horizon=0.02, t0=0.0):
+    t_b = time.perf_counter()
+    tb = hy.taylor_adaptive_batch(
+        sys_, np.zeros((B, len(sys_))), tol=1e-15,
+        compact_mode=(n_uvars > 200),
+        time=np.full(B, t0),
+    )
+    el_build = time.perf_counter() - t_b
+    t_c = time.perf_counter()
+    tb.step()
+    el_compile = time.perf_counter() - t_c
+    tgt = np.asarray(tb.time) + horizon
+    t_r = time.perf_counter()
+    _, _, _, ns = tb.propagate_until(tgt)
+    el = time.perf_counter() - t_r
+    tot = int(np.asarray(ns).sum())
+    print(json.dumps({
+        "config": label,
+        "n_uvars": n_uvars,
+        "batch": B,
+        "build_s": round(el_build, 2),
+        "first_step_compile_s": round(el_compile, 2),
+        "lane_steps_per_sec": round(tot / el, 1),
+    }), flush=True)
+
+
+# --- VSOP2013 planet-9 q/p (shipped subset), thresh=1e-9 -----------------
 t0 = time.perf_counter()
-ta = hy.taylor_adaptive([(x, q9), (y, p9)], [0.0, 0.0], tol=1e-15,
-                        compact_mode=True)
-el_build = time.perf_counter() - t0
-t0 = time.perf_counter()
-ta.step()
-el_compile = time.perf_counter() - t0
-t0 = time.perf_counter()
-_, _, _, nsteps = ta.propagate_until(1.0)  # 1 kyr of series time
+q9 = vsop2013_elliptic(9, 5, thresh=1e-9)
+p9 = vsop2013_elliptic(9, 6, thresh=1e-9)
+tape = taylor_decompose_sys([(x, q9), (y, p9)])
 el = time.perf_counter() - t0
-print(json.dumps({
-    "integrator_build_s": round(el_build, 2),
-    "first_step_compile_s": round(el_compile, 2),
-    "steps": int(nsteps),
-    "steps_per_sec": round(nsteps / el, 1),
-}), flush=True)
+print(json.dumps({"config": "vsop_p9_expanded", "expr_build_s": round(el, 2),
+                  "n_uvars": tape.n_uvars}), flush=True)
 
-# --- config B: ELP2000 lunar cartesian, batched --------------------------
 t0 = time.perf_counter()
-ser = elp2000_cartesian_e2000(time_expr=hy.time, thresh=1e-8)
-el_expr = time.perf_counter() - t0
-sys_b = [(x, ser[0] * 1e-10), (y, ser[1] * 1e-10), (z, ser[2] * 1e-10)]
-t0 = time.perf_counter()
-tape_b = taylor_decompose_sys(sys_b)
-el_tape = time.perf_counter() - t0
-print(json.dumps({
-    "bench": "elp2000_cartesian", "thresh": 1e-8,
-    "expr_build_s": round(el_expr, 2),
-    "tape_decompose_s": round(el_tape, 2),
-    "n_uvars": tape_b.n_uvars,
-}), flush=True)
+q9s = vsop2013_elliptic(9, 5, thresh=1e-9, series_op=True)
+p9s = vsop2013_elliptic(9, 6, thresh=1e-9, series_op=True)
+tape_s = taylor_decompose_sys([(x, q9s), (y, p9s)])
+el = time.perf_counter() - t0
+print(json.dumps({"config": "vsop_p9_series_op", "expr_build_s": round(el, 2),
+                  "n_uvars": tape_s.n_uvars}), flush=True)
+bench_config("vsop_p9_series_op", [(x, q9s), (y, p9s)], tape_s.n_uvars,
+             horizon=0.1)
 
-B = 256
-pars = None
-t0 = time.perf_counter()
-tb = hy.taylor_adaptive_batch(sys_b, np.zeros((B, 3)), tol=1e-15,
-                              compact_mode=True,
-                              time=np.linspace(0.0, 0.5, B))
-el_build = time.perf_counter() - t0
-t0 = time.perf_counter()
-tb.step()
-el_compile = time.perf_counter() - t0
-tgt = np.asarray(tb.time) + 0.02
-t0 = time.perf_counter()
-_, _, _, ns_b = tb.propagate_until(tgt)
-el_b = time.perf_counter() - t0
-tot = int(np.asarray(ns_b).sum())
-print(json.dumps({
-    "batch": B,
-    "integrator_build_s": round(el_build, 2),
-    "first_step_compile_s": round(el_compile, 2),
-    "batch_lane_steps_per_sec": round(tot / el_b, 1),
-}), flush=True)
+# --- ELP2000 lunar cartesian, complete series (314k terms) ---------------
+for thr, lbl in ((1e-8, "elp_1e-8"), (0.0, "elp_full")):
+    t0 = time.perf_counter()
+    c = elp2000_cartesian_e2000(thresh=thr, series_op=True)
+    sys_c = [(x, c[0] * 1e-10), (y, c[1] * 1e-10), (z, c[2] * 1e-10)]
+    tape_c = taylor_decompose_sys(sys_c)
+    el = time.perf_counter() - t0
+    print(json.dumps({"config": f"{lbl}_series_op",
+                      "expr_build_s": round(el, 2),
+                      "n_uvars": tape_c.n_uvars}), flush=True)
+    bench_config(f"{lbl}_series_op", sys_c, tape_c.n_uvars)

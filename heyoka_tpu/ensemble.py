@@ -275,21 +275,22 @@ def _ensemble_propagate_until_ev(
             jnp.asarray(msteps, jnp.int64), cur["cooldowns"],
             jnp.asarray(~done),
         )
-        if ntes:
-            from .taylor.batch import _decode_hits
+        from .taylor.batch import _decode_hits, unpack_ev_summary
 
-            _decode_hits(res, len(ntes), inst_hits)
+        summary = unpack_ev_summary(res, len(ntes))
+        if ntes:
+            _decode_hits(summary, res, len(ntes), inst_hits)
         cur = dict(
             state=res["state"], t_hi=res["t_hi"], t_lo=res["t_lo"],
             cooldowns=res["cooldowns"],
         )
-        min_h = np.minimum(min_h, np.asarray(res["min_h"]))
-        max_h = np.maximum(max_h, np.asarray(res["max_h"]))
-        nsteps += np.asarray(res["nsteps"])
-        newly = ~done & np.asarray(res["done"])
-        oc = np.where(newly, np.asarray(res["outcome"]), oc)
-        te_idx = np.where(newly, np.asarray(res["te_idx"]), te_idx)
-        te_sgn = np.where(newly, np.asarray(res["te_sgn"]), te_sgn)
+        min_h = np.minimum(min_h, summary["min_h"])
+        max_h = np.maximum(max_h, summary["max_h"])
+        nsteps += summary["nsteps"]
+        newly = ~done & summary["done"]
+        oc = np.where(newly, summary["outcome"], oc)
+        te_idx = np.where(newly, summary["te_idx"], te_idx)
+        te_sgn = np.where(newly, summary["te_sgn"], te_sgn)
         last_h = np.where(newly, np.asarray(res["last_h"]), last_h)
         done |= newly
         if bool(done.all()):

@@ -143,12 +143,31 @@ def _cmul(a, b):
     return (ca * cb - sa * sb, sa * cb + ca * sb)
 
 
-def elp2000_spherical(*, time_expr=None, thresh: float = 1e-6):
+def elp2000_spherical(*, time_expr=None, thresh: float = 1e-6,
+                      series_op: bool = False):
     """``[r (km), U, V]`` geocentric spherical coordinates of the Moon in
-    the mean ecliptic/equinox of date."""
+    the mean ecliptic/equinox of date.
+
+    ``series_op=True`` packs each coordinate's trigonometric series into a
+    single dense :func:`heyoka_tpu.expr.series.trig_series` tape op
+    (requires ``time_expr`` affine in time): the tape stays O(10) u-vars
+    instead of 10^3-10^5, which keeps compile time flat and turns the
+    evaluation into gather-free dense vector math — the TPU-native
+    huge-series design (see expr/series.py).
+    """
     if not (math.isfinite(thresh) and thresh >= 0.0):
         raise ValueError(f"invalid elp2000 threshold {thresh}")
     tm = _time_expr if time_expr is None else expr(time_expr)
+    if series_op:
+        from ..expr.series import affine_in_time
+
+        if not affine_in_time(tm):
+            raise ValueError(
+                "series_op=True requires a time_expr affine in time "
+                "(the closed-form Taylor rule folds the argument "
+                "polynomials into per-term tables)"
+            )
+        return _elp2000_spherical_series(tm, thresh)
     d = _series_data()
 
     args_full = {
@@ -219,21 +238,103 @@ def elp2000_spherical(*, time_expr=None, thresh: float = 1e-6):
     return [assemble("r"), assemble("U"), assemble("V")]
 
 
-def elp2000_cartesian(*, time_expr=None, thresh: float = 1e-6):
+def _elp2000_spherical_series(tm, thresh: float):
+    """Numeric-table variant of the spherical series (one dense
+    ``trig_series`` op per coordinate; same kept-term selection as the
+    symbolic path)."""
+    from ..expr.series import trig_series
+
+    d = _series_data()
+    argpoly = {
+        "W1": _W1, "zeta": _ZETA,
+        "D": _D, "Dl": _D[:2],
+        "lp": _LP, "lpl": _LP[:2],
+        "l": _L, "ll": _L[:2],
+        "F": _F, "Fl": _F[:2],
+        "Me": _ME, "V": _V, "T": _T, "Ma": _MA,
+        "J": _J, "S": _S, "U": _U, "N": _N,
+    }
+    argsets = {
+        "main": ["D", "lp", "l", "F"],
+        "zdllf": ["zeta", "Dl", "lpl", "ll", "Fl"],
+        "plan1": ["Me", "V", "T", "Ma", "J", "S", "U", "N", "Dl", "ll",
+                  "Fl"],
+        "plan2": ["Me", "V", "T", "Ma", "J", "S", "U", "Dl", "lpl", "ll",
+                  "Fl"],
+    }
+    DEG = 4  # max argument-polynomial degree
+    amps = {"V": [], "U": [], "r": []}
+    phs = {"V": [], "U": [], "r": []}
+
+    for k in range(1, 37):
+        coord, tpow, aset = _SERIES[k]
+        names = argsets[aset]
+        idxs = np.asarray(d[f"idx_{k}"], float)  # (n, n_args)
+        main_fmt = aset == "main"
+        tab = d[f"AB_{k}"] if main_fmt else d[f"phiA_{k}"]
+        # argument polynomials stacked: (n_args, DEG+1)
+        AP = np.zeros((len(names), DEG + 1))
+        for j, nm in enumerate(names):
+            pj = np.asarray(argpoly[nm], float)
+            AP[j, : pj.size] = pj
+        if main_fmt:
+            A = tab[:, 0]
+            keep = np.abs(A / _A0 if coord == "r" else A) > thresh
+            B = tab[keep, 1:6]
+            corr = (
+                (B[:, 0] + B[:, 4] * _ALPHA2_M3) * _B15_FAC
+                + _B2_FAC * B[:, 1] + _B3_FAC * B[:, 2]
+                + _B4_FAC * B[:, 3]
+            ) * _ARCSEC
+            amp = A[keep] + corr
+            arg = idxs[keep] @ AP  # (kept, DEG+1)
+            if coord == "r":
+                arg[:, 0] += 0.5 * math.pi  # cosine series
+        else:
+            phi, A = tab[:, 0], tab[:, 1]
+            keep = np.abs(A / _A0 if coord == "r" else A) > thresh
+            amp = A[keep]
+            arg = idxs[keep] @ AP
+            arg[:, 0] += phi[keep]
+        if not amp.size:
+            continue
+        amp_rows = np.zeros((amp.size, 3))
+        amp_rows[:, tpow] = amp
+        amps[coord].append(amp_rows)
+        phs[coord].append(arg)
+
+    out = {}
+    for coord in ("r", "U", "V"):
+        if amps[coord]:
+            e = trig_series(tm, np.concatenate(amps[coord]),
+                            np.concatenate(phs[coord]))
+        else:
+            e = ZERO
+        out[coord] = e
+    # the longitude carries the mean-longitude polynomial W1
+    out["V"] = _horner(_W1, tm) + out["V"]
+    return [out["r"], out["U"], out["V"]]
+
+
+def elp2000_cartesian(*, time_expr=None, thresh: float = 1e-6,
+                      series_op: bool = False):
     """Geocentric Cartesian Moon position [km], mean ecliptic/equinox of
     date."""
-    r, U, V = elp2000_spherical(time_expr=time_expr, thresh=thresh)
+    r, U, V = elp2000_spherical(time_expr=time_expr, thresh=thresh,
+                                series_op=series_op)
     cU, sU = cos(U), sin(U)
     cV, sV = cos(V), sin(V)
     rcU = r * cU
     return [rcU * cV, rcU * sV, r * sU]
 
 
-def elp2000_cartesian_e2000(*, time_expr=None, thresh: float = 1e-6):
+def elp2000_cartesian_e2000(*, time_expr=None, thresh: float = 1e-6,
+                            series_op: bool = False):
     """Cartesian Moon position [km] in the inertial mean ecliptic of J2000
     (Laskar precession rotation)."""
     tm = _time_expr if time_expr is None else expr(time_expr)
-    x, y, z = elp2000_cartesian(time_expr=tm, thresh=thresh)
+    x, y, z = elp2000_cartesian(time_expr=tm, thresh=thresh,
+                                series_op=series_op)
     P = _horner(_LASKAR_P, tm)
     Q = _horner(_LASKAR_Q, tm)
     P2, Q2, PQ = P * P, Q * Q, P * Q
@@ -245,10 +346,12 @@ def elp2000_cartesian_e2000(*, time_expr=None, thresh: float = 1e-6):
     ]
 
 
-def elp2000_cartesian_fk5(*, time_expr=None, thresh: float = 1e-6):
+def elp2000_cartesian_fk5(*, time_expr=None, thresh: float = 1e-6,
+                          series_op: bool = False):
     """Cartesian Moon position [km] in the FK5 (mean equator/equinox of
     J2000) frame."""
-    x, y, z = elp2000_cartesian_e2000(time_expr=time_expr, thresh=thresh)
+    x, y, z = elp2000_cartesian_e2000(time_expr=time_expr, thresh=thresh,
+                                      series_op=series_op)
     return [
         _sum([x, 0.000000437913 * y, -0.000000189859 * z]),
         _sum([-0.000000477299 * x, 0.917482137607 * y, -0.397776981701 * z]),

@@ -97,9 +97,15 @@ def _planet_data(pl_idx: int):
 
 
 def vsop2013_elliptic(pl_idx: int, var_idx: int, *, time_expr=None,
-                      thresh: float = 1e-9):
+                      thresh: float = 1e-9, series_op: bool = False):
     """Elliptic variable ``var_idx`` (1=a .. 6=p) of planet ``pl_idx`` as an
-    expression of time (Julian TDB millenia since J2000)."""
+    expression of time (Julian TDB millenia since J2000).
+
+    ``series_op=True`` packs the whole Poisson series into one dense
+    :func:`heyoka_tpu.expr.series.trig_series` tape op (requires
+    ``time_expr`` affine in time) — flat compile time and gather-free
+    evaluation on TPU; see expr/series.py.
+    """
     if not 1 <= pl_idx <= 9:
         raise ValueError(f"invalid planet index {pl_idx}: must be in [1, 9]")
     if not 1 <= var_idx <= 6:
@@ -116,11 +122,49 @@ def vsop2013_elliptic(pl_idx: int, var_idx: int, *, time_expr=None,
         )
     tm = _time_expr if time_expr is None else expr(time_expr)
 
-    lams = [c0 + tm * c1 for (c0, c1) in _LAM]
-
     n_alpha = 0
     while f"v{var_idx}_a{n_alpha}_S" in d:
         n_alpha += 1
+
+    if series_op:
+        from ..expr.series import affine_in_time, trig_series
+
+        if not affine_in_time(tm):
+            raise ValueError(
+                "series_op=True requires a time_expr affine in time"
+            )
+        lam0 = np.array([c0 for (c0, _c1) in _LAM])
+        lam1 = np.array([c1 for (_c0, c1) in _LAM])
+        amp_rows = []
+        ph_rows = []
+        for alpha in range(n_alpha):
+            idx = np.asarray(d[f"v{var_idx}_a{alpha}_idx"], float)
+            S = d[f"v{var_idx}_a{alpha}_S"]
+            C = d[f"v{var_idx}_a{alpha}_C"]
+            keep = np.hypot(S, C) >= thresh
+            if not keep.any():
+                continue
+            idx = idx[keep]
+            Sk, Ck = S[keep], C[keep]
+            # S sin(phi) + C cos(phi) = A sin(phi + delta)
+            A = np.hypot(Sk, Ck)
+            delta = np.arctan2(Ck, Sk)
+            ph = np.stack([idx @ lam0 + delta, idx @ lam1], axis=1)
+            # pure-constant rows (no argument): sin(pi/2) = 1
+            const = ~idx.any(axis=1)
+            ph[const, 0] = 0.5 * math.pi
+            ph[const, 1] = 0.0
+            amp = np.zeros((A.size, n_alpha))
+            amp[:, alpha] = A
+            amp[const, alpha] = Ck[const]
+            amp_rows.append(amp)
+            ph_rows.append(ph)
+        if not amp_rows:
+            return expr(0.0)
+        return trig_series(tm, np.concatenate(amp_rows),
+                           np.concatenate(ph_rows))
+
+    lams = [c0 + tm * c1 for (c0, c1) in _LAM]
 
     parts = []
     for alpha in range(n_alpha):

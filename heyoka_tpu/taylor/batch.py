@@ -650,11 +650,11 @@ class TaylorAdaptiveBatch:
                 self._te_cooldowns,
                 jnp.asarray(~lane_done),
             )
-            # step-indexed record: rows [0, it) hold each lockstep step's
-            # nt hits for every lane (slot -> event index statically)
-            it = int(np.asarray(res["it"])[0])
-            if it and self._nt_events:
-                _decode_hits(res, len(self._nt_events), lane_hits)
+            # one packed host transfer per chunk carries every summary
+            # field (tunnel round trips dominated the host loop otherwise)
+            summary = unpack_ev_summary(res, len(self._nt_events))
+            if summary["it"] and self._nt_events:
+                _decode_hits(summary, res, len(self._nt_events), lane_hits)
             self._state = res["state"]
             self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
             # inactive lanes come back with the driver's init last_h/tc
@@ -672,11 +672,11 @@ class TaylorAdaptiveBatch:
                 self._last_h = res["last_h"]
                 self._tc = res["tc"]
             self._te_cooldowns = res["cooldowns"]
-            min_h = np.minimum(min_h, np.asarray(res["min_h"]))
-            max_h = np.maximum(max_h, np.asarray(res["max_h"]))
-            nsteps += np.asarray(res["nsteps"])
-            newly = ~lane_done & np.asarray(res["done"])
-            oc = np.where(newly, np.asarray(res["outcome"]), oc)
+            min_h = np.minimum(min_h, summary["min_h"])
+            max_h = np.maximum(max_h, summary["max_h"])
+            nsteps += summary["nsteps"]
+            newly = ~lane_done & summary["done"]
+            oc = np.where(newly, summary["outcome"], oc)
             lane_done |= newly
             if bool(lane_done.all()):
                 break
@@ -981,22 +981,50 @@ class TaylorAdaptiveBatch:
         return outcomes, min_h, max_h, nsteps, out
 
 
-def _decode_hits(res, n_nte, lane_hits):
-    """Decode the batched ev driver's compact hit record into per-lane
-    (time, event index, d_sgn) tuples; falls back to the dense on-device
-    buffers when a lane's per-chunk hit count saturated the compact
-    capacity (rare — HIT_LCAP hits within one chunk)."""
+def unpack_ev_summary(res, n_nte):
+    """Decode the batched ev driver's packed per-chunk summary — one host
+    transfer — into a dict of numpy arrays (see events.py ``packed``
+    layout: min_h, max_h, nsteps, done, outcome, te_idx, te_sgn, it,
+    nhits, then HIT_LCAP columns each of hit times/positions/signs)."""
+    from .events import HIT_LCAP
+
+    P = np.asarray(res["packed"])  # (B, 9 + 3*lcap)
+    lcap = (P.shape[1] - 9) // 3
+    out = {
+        "min_h": P[:, 0],
+        "max_h": P[:, 1],
+        "nsteps": P[:, 2].astype(np.int64),
+        "done": P[:, 3] > 0,
+        "outcome": P[:, 4].astype(np.int32),
+        "te_idx": P[:, 5].astype(np.int32),
+        "te_sgn": P[:, 6].astype(np.int32),
+        "it": int(P[0, 7]) if P.shape[0] else 0,
+        "nhits": P[:, 8].astype(np.int32),
+        "lcap": lcap,
+    }
+    if lcap:
+        out["hits_t"] = P[:, 9:9 + lcap]
+        out["hits_pos"] = P[:, 9 + lcap:9 + 2 * lcap].astype(np.int64)
+        out["hits_sgn"] = P[:, 9 + 2 * lcap:9 + 3 * lcap].astype(np.int64)
+    return out
+
+
+def _decode_hits(summary, res, n_nte, lane_hits):
+    """Append per-lane (time, event index, d_sgn) hit tuples from the
+    unpacked chunk summary; falls back to the dense on-device buffers when
+    a lane's per-chunk hit count saturated the compact capacity (rare —
+    HIT_LCAP hits within one chunk)."""
     from .events import HIT_LCAP
     from .events_impl import MAX_ROOTS as _MR
 
-    nh = np.asarray(res["nhits"])
+    nh = summary["nhits"]
     if not nh.any():
         return
     n_slots = n_nte * _MR
-    if int(nh.max()) <= HIT_LCAP:
-        pos = np.asarray(res["hits_pos"])
-        ht = np.asarray(res["hits_t"])
-        hs = np.asarray(res["hits_sgn"])
+    if int(nh.max()) <= summary["lcap"]:
+        pos = summary["hits_pos"]
+        ht = summary["hits_t"]
+        hs = summary["hits_sgn"]
         lanes_i, slots_i = np.nonzero(pos >= 0)
         for li, k in zip(lanes_i, slots_i):
             sl = int(pos[li, k]) % n_slots
@@ -1004,7 +1032,7 @@ def _decode_hits(res, n_nte, lane_hits):
                 (ht[li, k], sl // _MR, int(hs[li, k]) - 2)
             )
         return
-    it = int(np.asarray(res["it"])[0])
+    it = summary["it"]
     rsgn = np.asarray(res["rec_sgn"][:, :it])
     rtime = np.asarray(res["rec_t"][:, :it])
     lanes_i, steps_i, slots_i = np.nonzero(rsgn)

@@ -372,8 +372,8 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
             cooldowns=cooldowns,
             te_idx=jnp.full((B,), jnp.int32(-1)),
             te_sgn=jnp.zeros((B,), jnp.int32),
-            rec_t=jnp.zeros((B, chunk, n_slots), dtype),
-            rec_sgn=jnp.zeros((B, chunk, n_slots), jnp.int8),
+            rec_t=jnp.zeros((chunk, B, n_slots), dtype),
+            rec_sgn=jnp.zeros((chunk, B, n_slots), jnp.int8),
             it=jnp.int32(0),
         )
 
@@ -422,6 +422,9 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
 
             it = c["it"]
             if n_slots:
+                # step-major record write: a dynamic index on the LEADING
+                # dim lowers to a true in-place slice update; the lane-major
+                # form was measured as a full-buffer masked write per step
                 z = jnp.int32(0)
                 hit = res["nt_mask"] & live[:, None]
                 sgn_row = jnp.where(
@@ -429,10 +432,10 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
                     jnp.int8(0),
                 )
                 rec_t = lax.dynamic_update_slice(
-                    c["rec_t"], res["nt_times"][:, None, :], (z, it, z)
+                    c["rec_t"], res["nt_times"][None], (it, z, z)
                 )
                 rec_sgn = lax.dynamic_update_slice(
-                    c["rec_sgn"], sgn_row[:, None, :], (z, it, z)
+                    c["rec_sgn"], sgn_row[None], (it, z, z)
                 )
             else:
                 rec_t = c["rec_t"]
@@ -468,13 +471,19 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
         # batch axis (shard_map-able with uniform out_specs)
         out["it"] = jnp.full((B,), out["it"], jnp.int32)
         if n_slots:
-            # device-side hit compaction: the dense (B, chunk, n_slots)
+            # device-side hit compaction: the dense (chunk, B, n_slots)
             # record crosses the host tunnel at ~2.4 MB per re-entry;
             # per-lane top_k compresses it to the (rare) actual hits.
-            # The dense buffers stay in the output for the saturation
-            # fallback — jax arrays only cross the tunnel when read.
-            flat_sgn = out["rec_sgn"].reshape(B, chunk * n_slots)
-            flat_t = out["rec_t"].reshape(B, chunk * n_slots)
+            # The transpose to lane-major runs once per chunk (the dense
+            # buffer also ships lane-major for shard_map); the dense copy
+            # stays in the output for the saturation fallback — jax arrays
+            # only cross the tunnel when read.
+            rec_t_l = out.pop("rec_t").transpose(1, 0, 2)
+            rec_sgn_l = out.pop("rec_sgn").transpose(1, 0, 2)
+            out["rec_t"] = rec_t_l
+            out["rec_sgn"] = rec_sgn_l
+            flat_sgn = rec_sgn_l.reshape(B, chunk * n_slots)
+            flat_t = rec_t_l.reshape(B, chunk * n_slots)
             hitm = flat_sgn != 0
             keys = jnp.where(
                 hitm, jnp.arange(chunk * n_slots, dtype=jnp.int32)[None, :],
@@ -483,10 +492,40 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
             lcap = min(HIT_LCAP, chunk * n_slots)
             pos = lax.top_k(keys, lcap)[0]  # (B, lcap), -1 = empty
             gi = jnp.maximum(pos, 0)
-            out["hits_pos"] = pos
-            out["hits_t"] = jnp.take_along_axis(flat_t, gi, axis=1)
-            out["hits_sgn"] = jnp.take_along_axis(flat_sgn, gi, axis=1)
-            out["nhits"] = jnp.sum(hitm, axis=1).astype(jnp.int32)
+            hits_pos = pos
+            hits_t = jnp.take_along_axis(flat_t, gi, axis=1)
+            hits_sgn = jnp.take_along_axis(flat_sgn, gi, axis=1)
+            nhits = jnp.sum(hitm, axis=1).astype(jnp.int32)
+        else:
+            lcap = 0
+            hits_pos = jnp.zeros((B, 0), jnp.int32)
+            hits_t = jnp.zeros((B, 0), dtype)
+            hits_sgn = jnp.zeros((B, 0), jnp.int8)
+            nhits = jnp.zeros((B,), jnp.int32)
+        out["hits_pos"] = hits_pos
+        out["hits_t"] = hits_t
+        out["hits_sgn"] = hits_sgn
+        out["nhits"] = nhits
+        # single packed host summary: one tunnel round trip per chunk
+        # instead of ~10 (each np.asarray is a separate synchronous
+        # transfer at ~50 ms latency through the axon tunnel).  All values
+        # are exactly representable in f64.
+        cols = [
+            out["min_h"], out["max_h"],
+            out["nsteps"].astype(dtype), out["done"].astype(dtype),
+            out["outcome"].astype(dtype), out["te_idx"].astype(dtype),
+            out["te_sgn"].astype(dtype), out["it"].astype(dtype),
+            nhits.astype(dtype),
+        ]
+        cols.append(hits_t.T.astype(dtype) if lcap else
+                    jnp.zeros((0, B), dtype))
+        cols.append(hits_pos.T.astype(dtype) if lcap else
+                    jnp.zeros((0, B), dtype))
+        cols.append(hits_sgn.T.astype(dtype) if lcap else
+                    jnp.zeros((0, B), dtype))
+        out["packed"] = jnp.concatenate(
+            [jnp.stack(cols[:9], 0), cols[9], cols[10], cols[11]], 0
+        ).T  # lane-major (B, 9 + 3*lcap) for shard_map out_specs
         return out
 
     return pu
