@@ -46,6 +46,8 @@ def bench_config(label, sys_, n_uvars, B=256, horizon=0.02, t0=0.0):
     t_c = time.perf_counter()
     tb.step()
     el_compile = time.perf_counter() - t_c
+    # warm the propagate driver (its own compile unit) before timing
+    tb.propagate_until(np.asarray(tb.time) + horizon * 0.2)
     tgt = np.asarray(tb.time) + horizon
     t_r = time.perf_counter()
     _, _, _, ns = tb.propagate_until(tgt)

@@ -298,18 +298,31 @@ def _elp2000_spherical_series(tm, thresh: float):
             arg[:, 0] += phi[keep]
         if not amp.size:
             continue
-        amp_rows = np.zeros((amp.size, 3))
-        amp_rows[:, tpow] = amp
-        amps[coord].append(amp_rows)
+        amps[coord].append((tpow, amp))
         phs[coord].append(arg)
 
     out = {}
     for coord in ("r", "U", "V"):
-        if amps[coord]:
-            e = trig_series(tm, np.concatenate(amps[coord]),
-                            np.concatenate(phs[coord]))
-        else:
-            e = ZERO
+        # one CONSTANT-amplitude op per t-power bucket (see vsop2013.py:
+        # folding t^p into polynomial amplitudes widens the op's per-order
+        # window; composing the powers outside keeps it minimal)
+        buckets_a = {0: [], 1: [], 2: []}
+        buckets_p = {0: [], 1: [], 2: []}
+        for (tpow, amp), arg in zip(amps[coord], phs[coord]):
+            buckets_a[tpow].append(amp)
+            buckets_p[tpow].append(arg)
+        parts = []
+        for tpow in (2, 1, 0):
+            if buckets_a[tpow]:
+                parts.append(trig_series(
+                    tm, np.concatenate(buckets_a[tpow])[:, None],
+                    np.concatenate(buckets_p[tpow]),
+                ))
+            else:
+                parts.append(ZERO)
+        e = parts[0]
+        for g in parts[1:]:
+            e = e * tm + g
         out[coord] = e
     # the longitude carries the mean-longitude polynomial W1
     out["V"] = _horner(_W1, tm) + out["V"]

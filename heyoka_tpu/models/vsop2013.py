@@ -135,14 +135,19 @@ def vsop2013_elliptic(pl_idx: int, var_idx: int, *, time_expr=None,
             )
         lam0 = np.array([c0 for (c0, _c1) in _LAM])
         lam1 = np.array([c1 for (_c0, c1) in _LAM])
-        amp_rows = []
-        ph_rows = []
+        # one CONSTANT-amplitude series op per t-power: the op's internal
+        # window size is the max of amp/phase degrees, so folding t^alpha
+        # inside would widen every per-order convolution to n_alpha rows
+        # (mostly zeros); the Horner composition outside keeps the dense
+        # work at the 2-row linear-argument minimum
+        parts = []
         for alpha in range(n_alpha):
             idx = np.asarray(d[f"v{var_idx}_a{alpha}_idx"], float)
             S = d[f"v{var_idx}_a{alpha}_S"]
             C = d[f"v{var_idx}_a{alpha}_C"]
             keep = np.hypot(S, C) >= thresh
             if not keep.any():
+                parts.append(expr(0.0))
                 continue
             idx = idx[keep]
             Sk, Ck = S[keep], C[keep]
@@ -154,15 +159,13 @@ def vsop2013_elliptic(pl_idx: int, var_idx: int, *, time_expr=None,
             const = ~idx.any(axis=1)
             ph[const, 0] = 0.5 * math.pi
             ph[const, 1] = 0.0
-            amp = np.zeros((A.size, n_alpha))
-            amp[:, alpha] = A
-            amp[const, alpha] = Ck[const]
-            amp_rows.append(amp)
-            ph_rows.append(ph)
-        if not amp_rows:
-            return expr(0.0)
-        return trig_series(tm, np.concatenate(amp_rows),
-                           np.concatenate(ph_rows))
+            amp = A.copy()
+            amp[const] = Ck[const]
+            parts.append(trig_series(tm, amp[:, None], ph))
+        res = parts[-1]
+        for g in reversed(parts[:-1]):
+            res = res * tm + g
+        return res
 
     lams = [c0 + tm * c1 for (c0, c1) in _LAM]
 
