@@ -790,6 +790,131 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
 # full-jet kernel: orders 1..dd_until in double-float, dd_until+1..K in f32
 # ---------------------------------------------------------------------------
 
+def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
+              ohi_ref, olo_ref, jnp, order0: str):
+    """Run (optional in-kernel dd) order 0 plus Taylor orders ``1..K``
+    in-place on the ``(W, K+1, bt)`` / ``(W, dd_until+1, bt)`` refs.
+
+    Factored from :func:`make_dd_jet_kernel` so the multi-step kernel
+    (:func:`make_dd_prop_kernel`) can run the same jet once per step.
+    Returns the ``_vrows`` row gatherer for downstream norm computation.
+    """
+    n_eq = plan.n_eq
+
+    def _vrows(x, cols):
+        r = _contig(cols)
+        if r:
+            return x[r[0]:r[1]]
+        return jnp.concatenate([x[c:c + 1] for c in cols], axis=0)
+
+    def _read(cols, j, dd):
+        """order-j value of the columns, as a dd or f32 tuple."""
+        r = _contig(cols)
+        if r:
+            hi = ohi_ref[r[0]:r[1], j, :]
+            if dd and j <= dd_until:
+                return (hi, olo_ref[r[0]:r[1], j, :])
+            return (hi,) if not dd else (hi, jnp.zeros_like(hi))
+        hi = _vrows(ohi_ref[:, j, :], cols)
+        if dd and j <= dd_until:
+            return (hi, _vrows(olo_ref[:, j, :], cols))
+        return (hi,) if not dd else (hi, jnp.zeros_like(hi))
+
+    def _coerce(v, A):
+        if A.width == 1:
+            return (v[0],)
+        if len(v) >= 2:
+            return v
+        return (v[0], jnp.zeros_like(v[0]))
+
+    if order0 == "dd":
+        # in-kernel double-float order-0 evaluation (callers seed only
+        # the state/const/par/time rows; group-output rows of the seed
+        # are zero)
+        for lv in plan.levels:
+            for g in lv:
+                def in0(c):
+                    return _coerce(_read(g.in_cols[:, c], 0, True), DD)
+
+                name = g.name
+                if name == "sum":
+                    v = in0(0)
+                    for a in range(1, g.in_cols.shape[1]):
+                        v = DD.add(v, in0(a))
+                elif name == "mul":
+                    v = DD.mul(in0(0), in0(1))
+                elif name == "div":
+                    v = DD.div(in0(0), in0(1))
+                elif name == "sqrt":
+                    v = DD.sqrt(in0(0))
+                elif name == "pow":
+                    av = float(np.unique(np.asarray(g.alpha))[0])
+                    v = DD.pow_half(in0(0), av)
+                else:  # pragma: no cover - gated by order0_supported
+                    raise UnsupportedPallasOp(name)
+                a0, m = g.out_start, g.out_cols.size
+                ohi_ref[a0:a0 + m, 0, :] = v[0]
+                olo_ref[a0:a0 + m, 0, :] = v[1]
+
+    # VMEM histories for every product-operand set (scattered AND
+    # contiguous: caching lets dd entries carry their Dekker splits,
+    # computed once at append and reused across all later orders):
+    # entries are (hi, lo, split_hi, split_lo) up to order dd_until,
+    # (hi,) beyond
+    hist: dict = {}
+    for gi, (g, colsets) in enumerate(gops):
+        for ci, cols in enumerate(colsets):
+            hist[(gi, ci)] = [DD.with_split(_read(cols, 0, True))]
+        if g.name in _SYNTH:
+            def _geth0(ci, i, gi=gi):
+                return _coerce(hist[(gi, ci)][i], DD)
+
+            hist[(gi, "synth")] = [
+                DD.with_split(_synth_w(DD, g, _geth0, 0))
+            ]
+
+    for k in range(1, K + 1):
+        dd = k <= dd_until
+        A = DD if dd else F32
+
+        # state variables: sv_k = rhs_{k-1} / k
+        prev = _read(np.asarray(plan.rhs_cols), k - 1, dd)
+        sv = A.scale(_coerce(prev, A), 1.0 / k)
+        ohi_ref[0:n_eq, k, :] = sv[0]
+        if dd:
+            olo_ref[0:n_eq, k, :] = sv[1]
+
+        for gi, (g, colsets) in enumerate(gops):
+            def rowv(cols):
+                return _read(cols, k, dd)
+
+            def hrow(ci, j):
+                h = hist.get((gi, ci))
+                v = h[j] if h is not None else _read(colsets[ci], j, dd)
+                return _coerce(v, A)
+
+            vals = _rule(A, g, k, rowv, hrow)
+            a, m = g.out_start, g.out_cols.size
+            ohi_ref[a:a + m, k, :] = vals[0]
+            if dd:
+                olo_ref[a:a + m, k, :] = vals[1]
+
+        for gi, (g, colsets) in enumerate(gops):
+            for ci, cols in enumerate(colsets):
+                v = _read(cols, k, dd)
+                hist[(gi, ci)].append(DD.with_split(v) if dd else v)
+            if g.name in _SYNTH:
+                def _gethk(ci, i, gi=gi, A_=A):
+                    return _coerce(hist[(gi, ci)][i], A_)
+
+                w = _synth_w(A, g, _gethk, k)
+                hist[(gi, "synth")].append(
+                    DD.with_split(w) if dd else w
+                )
+
+    return _vrows
+
+
 def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
                        bt: int = 128, interpret: bool = False,
                        slim: bool = False, order0: str = "xla"):
@@ -856,116 +981,8 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
         ohi_ref[:, 0:2, :] = hi_ref[...]
         olo_ref[:, 0:2, :] = lo_ref[...]
 
-        def _vrows(x, cols):
-            r = _contig(cols)
-            if r:
-                return x[r[0]:r[1]]
-            return jnp.concatenate([x[c:c + 1] for c in cols], axis=0)
-
-        def _read(cols, j, dd):
-            """order-j value of the columns, as a dd or f32 tuple."""
-            r = _contig(cols)
-            if r:
-                hi = ohi_ref[r[0]:r[1], j, :]
-                if dd and j <= dd_until:
-                    return (hi, olo_ref[r[0]:r[1], j, :])
-                return (hi,) if not dd else (hi, jnp.zeros_like(hi))
-            hi = _vrows(ohi_ref[:, j, :], cols)
-            if dd and j <= dd_until:
-                return (hi, _vrows(olo_ref[:, j, :], cols))
-            return (hi,) if not dd else (hi, jnp.zeros_like(hi))
-
-        def _coerce(v, A):
-            if A.width == 1:
-                return (v[0],)
-            if len(v) >= 2:
-                return v
-            return (v[0], jnp.zeros_like(v[0]))
-
-        if order0 == "dd":
-            # in-kernel double-float order-0 evaluation (callers seed
-            # only the state/const/par/time rows; group-output rows of
-            # the seed are zero)
-            for lv in plan.levels:
-                for g in lv:
-                    def in0(c):
-                        return _coerce(_read(g.in_cols[:, c], 0, True), DD)
-
-                    name = g.name
-                    if name == "sum":
-                        v = in0(0)
-                        for a in range(1, g.in_cols.shape[1]):
-                            v = DD.add(v, in0(a))
-                    elif name == "mul":
-                        v = DD.mul(in0(0), in0(1))
-                    elif name == "div":
-                        v = DD.div(in0(0), in0(1))
-                    elif name == "sqrt":
-                        v = DD.sqrt(in0(0))
-                    elif name == "pow":
-                        av = float(np.unique(np.asarray(g.alpha))[0])
-                        v = DD.pow_half(in0(0), av)
-                    else:  # pragma: no cover - gated by order0_supported
-                        raise UnsupportedPallasOp(name)
-                    a0, m = g.out_start, g.out_cols.size
-                    ohi_ref[a0:a0 + m, 0, :] = v[0]
-                    olo_ref[a0:a0 + m, 0, :] = v[1]
-
-        # VMEM histories for every product-operand set (scattered AND
-        # contiguous: caching lets dd entries carry their Dekker splits,
-        # computed once at append and reused across all later orders):
-        # entries are (hi, lo, split_hi, split_lo) up to order dd_until,
-        # (hi,) beyond
-        hist: dict = {}
-        for gi, (g, colsets) in enumerate(gops):
-            for ci, cols in enumerate(colsets):
-                hist[(gi, ci)] = [DD.with_split(_read(cols, 0, True))]
-            if g.name in _SYNTH:
-                def _geth0(ci, i, gi=gi):
-                    return _coerce(hist[(gi, ci)][i], DD)
-
-                hist[(gi, "synth")] = [
-                    DD.with_split(_synth_w(DD, g, _geth0, 0))
-                ]
-
-        for k in range(1, K + 1):
-            dd = k <= dd_until
-            A = DD if dd else F32
-
-            # state variables: sv_k = rhs_{k-1} / k
-            prev = _read(np.asarray(plan.rhs_cols), k - 1, dd)
-            sv = A.scale(_coerce(prev, A), 1.0 / k)
-            ohi_ref[0:n_eq, k, :] = sv[0]
-            if dd:
-                olo_ref[0:n_eq, k, :] = sv[1]
-
-            for gi, (g, colsets) in enumerate(gops):
-                def rowv(cols):
-                    return _read(cols, k, dd)
-
-                def hrow(ci, j):
-                    h = hist.get((gi, ci))
-                    v = h[j] if h is not None else _read(colsets[ci], j, dd)
-                    return _coerce(v, A)
-
-                vals = _rule(A, g, k, rowv, hrow)
-                a, m = g.out_start, g.out_cols.size
-                ohi_ref[a:a + m, k, :] = vals[0]
-                if dd:
-                    olo_ref[a:a + m, k, :] = vals[1]
-
-            for gi, (g, colsets) in enumerate(gops):
-                for ci, cols in enumerate(colsets):
-                    v = _read(cols, k, dd)
-                    hist[(gi, ci)].append(DD.with_split(v) if dd else v)
-                if g.name in _SYNTH:
-                    def _gethk(ci, i, gi=gi, A_=A):
-                        return _coerce(hist[(gi, ci)][i], A_)
-
-                    w = _synth_w(A, g, _gethk, k)
-                    hist[(gi, "synth")].append(
-                        DD.with_split(w) if dd else w
-                    )
+        _vrows = _jet_refs(plan, gops, DD, F32, dd_until, K,
+                           ohi_ref, olo_ref, jnp, order0)
 
         if slim:
             chi_ref[...] = ohi_ref[0:n_eq, :, :]
