@@ -47,6 +47,7 @@ class TaylorAdaptiveBatch:
         nt_events=(),
         mp_order=None,
         pallas_phase=False,
+        fused_prop="auto",
     ):
         self._sys = _normalize_sys(sys)
         self._dtype = jnp.dtype(dtype)
@@ -78,6 +79,12 @@ class TaylorAdaptiveBatch:
         # the pre-resolution user setting ("auto" stays "auto"): pickled so
         # that unpickling on a different backend re-resolves appropriately
         self._pallas_phase_setting = pallas_phase
+        # fused_prop: run propagate_until/for through the multi-step Pallas
+        # kernel (fused.py — the whole stepping loop in-kernel; exact f64
+        # landing).  "auto" = on whenever the dd Pallas phase is active and
+        # the tape qualifies (autonomous, in-kernel order-0 rules);
+        # False = always the per-step XLA driver.
+        self._fused_prop = fused_prop
         self._t_events = list(t_events)
         self._nt_events = list(nt_events)
         ev_eqs = [ev.expression for ev in self._t_events] + [
@@ -307,6 +314,27 @@ class TaylorAdaptiveBatch:
             from .compact_flat import (
                 jit_flat_step, make_propagate_until_flat,
             )
+
+            if (self._fused_prop in ("auto", True)
+                    and self._pallas_phase in ("dd", "dd-interpret")):
+                # fused multi-step kernel (fused.py): the whole stepping
+                # loop in-kernel, exact f64 landing.  Falls back to the
+                # per-step driver for tapes outside the kernel's rule set
+                # (non-autonomous, ops without dd order-0 rules).
+                from .pallas_phase import UnsupportedPallasOp
+                from .fused import make_propagate_until_fused
+
+                try:
+                    pu = make_propagate_until_fused(
+                        self._tape, self._order, dtype=self._dtype,
+                        high_accuracy=self._high_accuracy,
+                        mp_order=self._mp_order,
+                        pallas_phase=self._pallas_phase,
+                    )
+                    return jit_flat_step(pu)
+                except UnsupportedPallasOp:
+                    if self._fused_prop is True:
+                        raise
 
             pu = make_propagate_until_flat(
                 self._tape, self._order, dtype=self._dtype,
@@ -1138,6 +1166,7 @@ def _batch_getstate(self):
         "pallas_phase": getattr(
             self, "_pallas_phase_setting", self._pallas_phase
         ),
+        "fused_prop": getattr(self, "_fused_prop", "auto"),
         "dtype": self._dtype.name,
         "state": np.asarray(self._state),
         "pars": np.asarray(self._pars),
@@ -1154,6 +1183,7 @@ def _batch_setstate(self, st):
         high_accuracy=st["high_accuracy"], compact_mode=st["compact_mode"],
         dtype=st["dtype"], mp_order=st.get("mp_order"),
         pallas_phase=st.get("pallas_phase", False),
+        fused_prop=st.get("fused_prop", "auto"),
     )
     self._t_hi = jnp.asarray(st["t_hi"], self._dtype)
     self._t_lo = jnp.asarray(st["t_lo"], self._dtype)

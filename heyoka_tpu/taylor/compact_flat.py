@@ -714,11 +714,7 @@ def make_propagate_until_flat(tape: Tape, order: int, *, dtype=None,
         zero = jnp.zeros((B,), dtype)
         inf = jnp.full((B,), jnp.inf, dtype)
 
-        def remaining(th, tl):
-            rh, _ = dd_add_dd(target_hi, target_lo, -th, -tl)
-            return rh
-
-        rem0 = remaining(t_hi, t_lo)
+        rem0, _ = dd_add_dd(target_hi, target_lo, -t_hi, -t_lo)
         fwd = rem0 > 0.0
 
         init = dict(
@@ -733,59 +729,80 @@ def make_propagate_until_flat(tape: Tape, order: int, *, dtype=None,
             outcome=jnp.full((B,), jnp.int32(TaylorOutcome.time_limit)),
             done=rem0 == 0.0,
         )
-
-        def cond(c):
-            return ~jnp.all(c["done"])
-
-        def body(c):
-            rem = remaining(c["t_hi"], c["t_lo"])
-            cap = jnp.minimum(jnp.abs(rem), max_delta_t)
-            # finished lanes step with dt = 0 (their results are masked out)
-            cap = jnp.where(c["done"], 0.0, cap)
-            dt = jnp.where(fwd, cap, -cap)
-
-            new_state, h, tc = step(c["state"], pars, c["t_hi"], dt)
-            nt_hi, nt_lo = dd_add_d(c["t_hi"], c["t_lo"], h)
-
-            finite = jnp.all(jnp.isfinite(new_state), axis=1) & jnp.isfinite(h)
-            nsteps = c["nsteps"] + 1
-            rem_after = remaining(nt_hi, nt_lo)
-            reached = jnp.where(fwd, rem_after <= 0.0, rem_after >= 0.0)
-            hit_step_limit = (max_steps > 0) & (nsteps >= max_steps) & ~reached
-
-            outcome = jnp.where(
-                ~finite,
-                jnp.int32(TaylorOutcome.err_nf_state),
-                jnp.where(
-                    hit_step_limit,
-                    jnp.int32(TaylorOutcome.step_limit),
-                    jnp.int32(TaylorOutcome.time_limit),
-                ),
-            )
-            done = ~finite | hit_step_limit | reached
-
-            alive = ~c["done"]
-
-            def sel(new, old):
-                return jnp.where(alive, new, old)
-
-            abs_h = jnp.abs(h)
-            return dict(
-                state=jnp.where(alive[:, None], new_state, c["state"]),
-                t_hi=sel(nt_hi, c["t_hi"]),
-                t_lo=sel(nt_lo, c["t_lo"]),
-                last_h=sel(h, c["last_h"]),
-                tc=jnp.where(alive[:, None, None], tc, c["tc"]),
-                nsteps=sel(nsteps, c["nsteps"]),
-                min_h=sel(jnp.minimum(c["min_h"], abs_h), c["min_h"]),
-                max_h=sel(jnp.maximum(c["max_h"], abs_h), c["max_h"]),
-                outcome=sel(outcome, c["outcome"]),
-                done=sel(done, c["done"]),
-            )
-
-        return lax.while_loop(cond, body, init)
+        return _pu_while(step, pars, target_hi, target_lo,
+                         max_delta_t, max_steps, fwd, init)
 
     return pu
+
+
+def _pu_while(step, pars, target_hi, target_lo, max_delta_t,
+              max_steps, fwd, init):
+    """The lockstep propagate-until while loop over a batched ``step``.
+
+    Shared by :func:`make_propagate_until_flat` (fresh ``init``) and the
+    fused-kernel driver (:mod:`.fused`), whose exact f64 landing phase
+    enters mid-flight with the kernel's state/time/statistics as
+    ``init``."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..dfloat import dd_add_d, dd_add_dd
+    from .outcome import TaylorOutcome
+
+    def remaining(th, tl):
+        rh, _ = dd_add_dd(target_hi, target_lo, -th, -tl)
+        return rh
+
+    def cond(c):
+        return ~jnp.all(c["done"])
+
+    def body(c):
+        rem = remaining(c["t_hi"], c["t_lo"])
+        cap = jnp.minimum(jnp.abs(rem), max_delta_t)
+        # finished lanes step with dt = 0 (their results are masked out)
+        cap = jnp.where(c["done"], 0.0, cap)
+        dt = jnp.where(fwd, cap, -cap)
+
+        new_state, h, tc = step(c["state"], pars, c["t_hi"], dt)
+        nt_hi, nt_lo = dd_add_d(c["t_hi"], c["t_lo"], h)
+
+        finite = jnp.all(jnp.isfinite(new_state), axis=1) & jnp.isfinite(h)
+        nsteps = c["nsteps"] + 1
+        rem_after = remaining(nt_hi, nt_lo)
+        reached = jnp.where(fwd, rem_after <= 0.0, rem_after >= 0.0)
+        hit_step_limit = (max_steps > 0) & (nsteps >= max_steps) & ~reached
+
+        outcome = jnp.where(
+            ~finite,
+            jnp.int32(TaylorOutcome.err_nf_state),
+            jnp.where(
+                hit_step_limit,
+                jnp.int32(TaylorOutcome.step_limit),
+                jnp.int32(TaylorOutcome.time_limit),
+            ),
+        )
+        done = ~finite | hit_step_limit | reached
+
+        alive = ~c["done"]
+
+        def sel(new, old):
+            return jnp.where(alive, new, old)
+
+        abs_h = jnp.abs(h)
+        return dict(
+            state=jnp.where(alive[:, None], new_state, c["state"]),
+            t_hi=sel(nt_hi, c["t_hi"]),
+            t_lo=sel(nt_lo, c["t_lo"]),
+            last_h=sel(h, c["last_h"]),
+            tc=jnp.where(alive[:, None, None], tc, c["tc"]),
+            nsteps=sel(nsteps, c["nsteps"]),
+            min_h=sel(jnp.minimum(c["min_h"], abs_h), c["min_h"]),
+            max_h=sel(jnp.maximum(c["max_h"], abs_h), c["max_h"]),
+            outcome=sel(outcome, c["outcome"]),
+            done=sel(done, c["done"]),
+        )
+
+    return lax.while_loop(cond, body, init)
 
 
 # ---------------------------------------------------------------------------

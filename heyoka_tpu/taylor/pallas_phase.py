@@ -1044,3 +1044,245 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
             vmem_limit_bytes=96 * 1024 * 1024
         )
     return pl.pallas_call(kernel, **call_kw)
+
+
+# ---------------------------------------------------------------------------
+# fused multi-step kernel: N whole adaptive steps per lane in-kernel
+# ---------------------------------------------------------------------------
+
+def prop_supported(plan) -> bool:
+    """Whether the fused multi-step kernel can run this tape: every op
+    needs an in-kernel recurrence *and* an in-kernel dd order-0 rule,
+    and the system must be autonomous (the time column would otherwise
+    need a dd time carry in-kernel)."""
+    return (plan.time_col is None and supported(plan)
+            and order0_supported(plan))
+
+
+def make_dd_prop_kernel(plan, dd_until: int, K: int, B: int, n_steps: int,
+                        *, bt: int = 128, interpret: bool = False):
+    """Fused adaptive propagation: up to ``n_steps`` whole Taylor steps
+    per lane inside one Pallas kernel — per step the in-kernel dd
+    order 0, the full jet (orders ``1..dd_until`` double-float, the rest
+    f32), the infinity-norm step-size control (Jorba's rho with safety
+    factor, f32), and the double-float Horner state update.  The XLA
+    stepper dissolves: between kernel calls the driver only merges
+    statistics and refreshes the remaining-time rows.
+
+    Reference parity: this fuses ``taylor_adaptive_batch::step`` +
+    ``propagate_until``'s stepping loop (``taylor_01.cpp:1119``,
+    ``step_impl``/``propagate_until_impl``) into a single device kernel;
+    the semantics of lane freezing mirror the reference's per-lane
+    outcome handling.
+
+    Lane protocol (everything per lane, lockstep over the batch tile):
+
+    - an *active* lane steps; a lane freezes (and stays frozen for the
+      rest of the call) when
+      (a) its natural step would reach/overshoot the target
+          (``h >= |rem|`` — the **near-target** flag: the exact f64
+          landing steps run outside, in the XLA stepper), or
+      (b) its step produced a non-finite state or step size (the
+          **error** flag; the state update is *reverted* so the XLA
+          side can replay the step in f64 semantics and reproduce the
+          reference's ``err_nf_state`` behavior — or keep going if only
+          the f32 range was the problem), or
+      (c) its in-call step budget ran out.
+    - time is never carried in-kernel: the signed per-step ``h`` values
+      accumulate in a double-float (two-f32) register pair, exact to
+      2^-48, and the driver folds the pair into the f64 dd time.
+
+    Inputs (``B`` lanes, tiled by ``bt``):
+      ``seed_hi/seed_lo (W, B) f32`` — order-0 rows: current dd state in
+      rows ``0:n_eq``, const/par rows at their values, group rows
+      ignored (recomputed in-kernel);
+      ``aux (5, B) f32`` — ``[max_dt, dir(+-1), rem_hi, rem_lo,
+      active(0/1)]`` where ``rem`` is the double-float remaining time
+      *in the direction of travel* (positive);
+      ``auxi (1, B) i32`` — ``[step budget]``.
+
+    Outputs:
+      ``state_hi/state_lo (n_eq, B) f32`` — final dd state;
+      ``of (5, B) f32`` — ``[acc_hi, acc_lo, min_h, max_h, last_h]``
+      (``acc`` = double-float sum of signed steps taken; ``min_h`` is
+      ``+inf`` and ``max_h``/``last_h`` ``0`` where no step was taken);
+      ``oi (3, B) i32`` — ``[n_steps_taken, near_flag, err_flag]``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _validate(plan)
+    if not prop_supported(plan):
+        raise UnsupportedPallasOp(
+            "fused propagation (tape has ops without dd order-0 rules, "
+            "or is non-autonomous)"
+        )
+    F32, DD = _mk_arith(jnp, barriers=interpret)
+
+    W = plan.width
+    n_eq = plan.n_eq
+    bt = min(bt, B)
+    if B % bt != 0:
+        raise ValueError(f"batch {B} not divisible by tile {bt}")
+
+    norm_cols = (np.concatenate([np.arange(n_eq), plan.out_cols])
+                 if plan.out_cols.size else np.arange(n_eq))
+    rhofac = np.float32(_pymath.exp(-0.7 / (K - 1)) / (_pymath.e * _pymath.e))
+
+    gops = []
+    for lv in plan.levels:
+        for g in lv:
+            gops.append((g, _opsets(g)))
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    def kernel(seed_hi_ref, seed_lo_ref, aux_ref, auxi_ref,
+               ost_hi_ref, ost_lo_ref, of_ref, oi_ref,
+               ohi_ref, olo_ref, wk_ref):
+        btc = seed_hi_ref.shape[1]
+        # coefficient buffers: zero once (const/par rows at orders >= 1
+        # stay zero across all steps), seed order 0
+        ohi_ref[...] = jnp.zeros((W, K + 1, btc), f32)
+        olo_ref[...] = jnp.zeros((W, dd_until + 1, btc), f32)
+        ohi_ref[:, 0, :] = seed_hi_ref[...]
+        olo_ref[:, 0, :] = seed_lo_ref[...]
+
+        mdt = aux_ref[0, :]
+        dirv = aux_ref[1, :]
+        budget = auxi_ref[0, :]
+
+        # ALL loop-mutable per-lane rows live in refs, not in the
+        # fori_loop carry: Mosaic cannot legalize an scf.for whose
+        # carried values mix 1-D implicit-dim layouts and i1 vectors
+        # (observed "failed to legalize operation 'scf.for'").  The
+        # output refs double as the running state/stat accumulators and
+        # wk_ref holds [rem_hi, rem_lo, active] as f32 rows.
+        ost_hi_ref[...] = seed_hi_ref[0:n_eq, :]
+        ost_lo_ref[...] = seed_lo_ref[0:n_eq, :]
+        of_ref[0:2, :] = jnp.zeros((2, btc), f32)       # acc hi/lo
+        of_ref[2, :] = jnp.full((btc,), jnp.inf, f32)   # min_h
+        of_ref[3:5, :] = jnp.zeros((2, btc), f32)       # max_h, last_h
+        oi_ref[...] = jnp.zeros((3, btc), i32)          # ns, near, err
+        wk_ref[0, :] = aux_ref[2, :]                    # rem hi (>= 0)
+        wk_ref[1, :] = aux_ref[3, :]                    # rem lo
+        wk_ref[2, :] = aux_ref[4, :]                    # active (0/1)
+
+        def body(_, tok):
+            sh = ost_hi_ref[...]
+            sl = ost_lo_ref[...]
+            rem_h = wk_ref[0, :]
+            rem_l = wk_ref[1, :]
+            act = wk_ref[2, :] > 0.5
+            ns = oi_ref[0, :]
+            near = oi_ref[1, :] > 0
+            errf = oi_ref[2, :] > 0
+
+            # current state into the order-0 rows; jet in-place
+            ohi_ref[0:n_eq, 0, :] = sh
+            olo_ref[0:n_eq, 0, :] = sl
+            vrows = _jet_refs(plan, gops, DD, F32, dd_until, K,
+                              ohi_ref, olo_ref, jnp, "dd")
+
+            # Jorba's rho with safety factor (stepper.determine_h), f32
+            m0 = jnp.max(jnp.abs(vrows(ohi_ref[:, 0, :], norm_cols)),
+                         axis=0)
+            mo1 = jnp.max(jnp.abs(vrows(ohi_ref[:, K - 1, :], norm_cols)),
+                          axis=0)
+            mo = jnp.max(jnp.abs(vrows(ohi_ref[:, K, :], norm_cols)),
+                         axis=0)
+            num = jnp.maximum(m0, f32(1.0))
+            big = jnp.full_like(m0, 3e38)
+            r_o = jnp.where(mo > 0.0,
+                            jnp.exp(jnp.log(num / mo) * f32(1.0 / K)), big)
+            r_o1 = jnp.where(mo1 > 0.0,
+                             jnp.exp(jnp.log(num / mo1) * f32(1.0 / (K - 1))),
+                             big)
+            h = jnp.minimum(jnp.minimum(r_o, r_o1) * rhofac, mdt)
+
+            near_now = act & (h >= rem_h)
+            take = act & ~near_now & (ns < budget)
+            hs = h * dirv
+
+            # dd Horner over the state rows (compensation carried in the
+            # lo limb; matches the XLA side's f64 ceval to ~2^-48)
+            hdd = (hs, jnp.zeros_like(hs))
+            res = (ohi_ref[0:n_eq, K, :], jnp.zeros((n_eq, btc), f32))
+            for i in range(1, K + 1):
+                j = K - i
+                cj = ((sh, sl) if j == 0 else
+                      (ohi_ref[0:n_eq, j, :],
+                       olo_ref[0:n_eq, j, :] if j <= dd_until
+                       else jnp.zeros((n_eq, btc), f32)))
+                res = DD.add(cj, DD.mul(res, hdd))
+
+            okrow = jnp.min(
+                jnp.where(jnp.isfinite(res[0]), f32(1.0), f32(0.0)), axis=0
+            )
+            ok = (h > 0.0) & jnp.isfinite(h) & (okrow > 0.5)
+            step_t = take & ok
+            err_now = take & ~ok
+
+            stm = step_t[None, :]
+            ost_hi_ref[...] = jnp.where(stm, res[0], sh)
+            ost_lo_ref[...] = jnp.where(stm, res[1], sl)
+            nrem = DD.sub((rem_h, rem_l), (h, jnp.zeros_like(h)))
+            wk_ref[0, :] = jnp.where(step_t, nrem[0], rem_h)
+            wk_ref[1, :] = jnp.where(step_t, nrem[1], rem_l)
+            nacc = DD.add((of_ref[0, :], of_ref[1, :]), hdd)
+            of_ref[0, :] = jnp.where(step_t, nacc[0], of_ref[0, :])
+            of_ref[1, :] = jnp.where(step_t, nacc[1], of_ref[1, :])
+            of_ref[2, :] = jnp.where(step_t,
+                                     jnp.minimum(of_ref[2, :], h),
+                                     of_ref[2, :])
+            of_ref[3, :] = jnp.where(step_t,
+                                     jnp.maximum(of_ref[3, :], h),
+                                     of_ref[3, :])
+            of_ref[4, :] = jnp.where(step_t, hs, of_ref[4, :])
+            ns = ns + step_t.astype(i32)
+            oi_ref[0, :] = ns
+            oi_ref[1, :] = (near | near_now).astype(i32)
+            oi_ref[2, :] = (errf | err_now).astype(i32)
+            wk_ref[2, :] = jnp.where(step_t & (ns < budget),
+                                     f32(1.0), f32(0.0))
+            return tok
+
+        lax.fori_loop(0, n_steps, body, jnp.int32(0))
+
+    z32 = np.int32(0)
+    call_kw = dict(
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((W, bt), lambda i: (z32, i)),
+            pl.BlockSpec((W, bt), lambda i: (z32, i)),
+            pl.BlockSpec((5, bt), lambda i: (z32, i)),
+            pl.BlockSpec((1, bt), lambda i: (z32, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_eq, bt), lambda i: (z32, i)),
+            pl.BlockSpec((n_eq, bt), lambda i: (z32, i)),
+            pl.BlockSpec((5, bt), lambda i: (z32, i)),
+            pl.BlockSpec((3, bt), lambda i: (z32, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_eq, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_eq, B), jnp.float32),
+            jax.ShapeDtypeStruct((5, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, K + 1, bt), jnp.float32),
+            pltpu.VMEM((W, dd_until + 1, bt), jnp.float32),
+            pltpu.VMEM((3, bt), jnp.float32),
+        ],
+    )
+    if interpret:
+        call_kw["interpret"] = True
+    else:
+        call_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        )
+    return pl.pallas_call(kernel, **call_kw)
