@@ -81,21 +81,7 @@ def main():
     tape = taylor_decompose_sys(sys_)
     order = taylor_order_from_tol(TOL)
 
-    # the hot kernel: whole-batch adaptive step.  On TPU the full jet runs
-    # in one VMEM-resident Pallas kernel per batch tile: Taylor orders
-    # 1..8 in double-float (two-f32, error-free transforms — matches
-    # XLA's emulated-f64 2^-48 arithmetic; drift parity 1.8e-13 vs
-    # 1.5e-13 over 142 yr, tools/drift_mp.py) and orders 9..19 in f32
-    # (error-analysis-safe for tol=1e-15 parity); the XLA side evaluates
-    # only order 0 in f64 plus stepsize control and the Horner update.
-    # Off-TPU (CPU dev hosts) the staged XLA engine is used instead.
     on_tpu = jax.default_backend() not in ("cpu",)
-    step = jax.jit(make_batched_step_flat(
-        tape, order, dtype=dtype, high_accuracy=True,
-        mp_order=8 if on_tpu else 10,
-        layout="3d", unroll=True, staged=True,
-        pallas_phase="dd" if on_tpu else False,
-    ))
 
     rng = np.random.default_rng(0)
     states = jnp.asarray(
@@ -107,43 +93,6 @@ def main():
     t = jnp.zeros((BATCH,), dtype)
     mdt = jnp.full((BATCH,), math.inf, dtype)
 
-    # the timed unit: 32 chained adaptive steps inside one jit (the
-    # production shape — propagate_until/grid run the step inside an
-    # on-device while_loop; timing single dispatches instead adds ~2 ms
-    # of host-dispatch gap per step at this step cost)
-    from jax import lax
-
-    CHUNK = 32
-
-    @jax.jit
-    def run_chunk(s, t2):
-        def body(_, c):
-            s, t2 = c
-            s2, h = step(s, pars, t2, mdt)
-            return (s2, t2 + h)
-        return lax.fori_loop(0, CHUNK, body, (s, t2))
-
-    # warmup / compile
-    s, t2 = run_chunk(states, t)
-    float(t2[0])
-
-    # timed; a host-side value read closes every timing window
-    # (block_until_ready alone does not synchronize on all remote
-    # platforms)
-    s, t2 = states, t
-    reps = 0
-    t_start = time.perf_counter()
-    while True:
-        s, t2 = run_chunk(s, t2)
-        reps += CHUNK
-        float(t2[0])
-        if time.perf_counter() - t_start > 3.0:
-            break
-    elapsed = time.perf_counter() - t_start
-    steps_per_sec = BATCH * reps / elapsed
-
-    # energy-drift parity: continue the same chain to ~100 years and compare
-    # host-evaluated energies
     def energy_np(st):
         st = np.asarray(st).reshape(-1, 6, 6)
         r = st[:, :, :3]
@@ -158,12 +107,89 @@ def main():
         return kin + pot
 
     e0 = energy_np(states)
-    total = reps
-    while float(jnp.mean(t2)) < 100.0 and total < 20000:
-        s, t2 = run_chunk(s, t2)
-        total += CHUNK
-    e1 = energy_np(s)
-    drift = float(np.max(np.abs((e1 - e0) / e0)))
+
+    if on_tpu:
+        # the production path: the fused multi-step Pallas kernel
+        # (taylor/fused.py) runs whole adaptive steps — dd order 0, the
+        # full Taylor jet (orders 1..8 in two-f32 double-float, matching
+        # XLA's emulated-f64 2^-48 arithmetic; 9..19 f32 —
+        # error-analysis-safe at tol=1e-15), f32 Jorba step control and
+        # the dd Horner update — without leaving VMEM, up to 32 steps
+        # per lane per launch; the f64 XLA stepper lands every lane
+        # exactly on the target.  This is what
+        # taylor_adaptive_batch.propagate_until dispatches to when the
+        # dd phase is active.
+        from heyoka_tpu.taylor.compact_flat import jit_flat_step
+        from heyoka_tpu.taylor.fused import make_propagate_until_fused
+
+        pu = jit_flat_step(make_propagate_until_fused(
+            tape, order, dtype=dtype, high_accuracy=True, mp_order=8,
+            pallas_phase="dd", chunk_steps=32))
+
+        zero = jnp.zeros((BATCH,), dtype)
+        ms = jnp.asarray(0, jnp.int64)
+
+        # warmup / compile
+        r = pu(states, pars, zero, zero,
+               jnp.full((BATCH,), 0.5, dtype), zero, mdt, ms)
+        int(np.asarray(r["nsteps"])[0])
+
+        # timed: full propagate_until to the horizon; a host-side value
+        # read closes the timing window (block_until_ready alone does
+        # not synchronize on all remote platforms)
+        horizon = 200.0
+        tgt = jnp.full((BATCH,), horizon, dtype)
+        t_start = time.perf_counter()
+        r = pu(states, pars, zero, zero, tgt, zero, mdt, ms)
+        timed_steps = int(np.asarray(r["nsteps"]).sum())
+        elapsed = time.perf_counter() - t_start
+        steps_per_sec = timed_steps / elapsed
+        e1 = energy_np(r["state"])
+        drift = float(np.max(np.abs((e1 - e0) / e0)))
+        drift_horizon = horizon
+    else:
+        # CPU dev hosts: the staged XLA flat engine, 32 chained adaptive
+        # steps per jit dispatch (the production propagate shape)
+        from jax import lax
+
+        step = jax.jit(make_batched_step_flat(
+            tape, order, dtype=dtype, high_accuracy=True, mp_order=10,
+            layout="3d", unroll=True, staged=True, pallas_phase=False,
+        ))
+
+        CHUNK = 32
+
+        @jax.jit
+        def run_chunk(s, t2):
+            def body(_, c):
+                s, t2 = c
+                s2, h = step(s, pars, t2, mdt)
+                return (s2, t2 + h)
+            return lax.fori_loop(0, CHUNK, body, (s, t2))
+
+        s, t2 = run_chunk(states, t)
+        float(t2[0])
+
+        s, t2 = states, t
+        reps = 0
+        t_start = time.perf_counter()
+        while True:
+            s, t2 = run_chunk(s, t2)
+            reps += CHUNK
+            float(t2[0])
+            if time.perf_counter() - t_start > 3.0:
+                break
+        elapsed = time.perf_counter() - t_start
+        timed_steps = BATCH * reps
+        steps_per_sec = timed_steps / elapsed
+
+        total = reps
+        while float(jnp.mean(t2)) < 100.0 and total < 20000:
+            s, t2 = run_chunk(s, t2)
+            total += CHUNK
+        e1 = energy_np(s)
+        drift = float(np.max(np.abs((e1 - e0) / e0)))
+        drift_horizon = float(jnp.mean(t2))
 
     result = {
         "metric": "outer_ss_6body_steps_per_sec_per_chip",
@@ -171,9 +197,9 @@ def main():
         "unit": "adaptive Taylor steps/s (batch=10240, tol=1e-15, f64, high_accuracy)",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
         "energy_drift": drift,
-        "drift_horizon_yr": round(float(jnp.mean(t2)), 1),
+        "drift_horizon_yr": round(drift_horizon, 1),
         "elapsed_s": round(elapsed, 3),
-        "timed_steps": BATCH * reps,
+        "timed_steps": timed_steps,
         "order": order,
         "n_uvars": tape.n_uvars,
         "device": str(jax.devices()[0]),

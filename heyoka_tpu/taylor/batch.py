@@ -533,6 +533,23 @@ class TaylorAdaptiveBatch:
     def get_step_res(self):
         return list(self._last_res)
 
+    def get_propagate_res(self):
+        """Per-lane ``(outcome, min_h, max_h, nsteps)`` of the last
+        ``propagate_*`` call (heyoka
+        ``taylor_adaptive_batch::get_propagate_res``, ``taylor.hpp:1120``)."""
+        if getattr(self, "_last_prop_res", None) is None:
+            raise ValueError("no propagate_* call has completed yet")
+        return list(self._last_prop_res)
+
+    def _record_prop_res(self, res):
+        oc, mn, mx, ns = res[0], res[1], res[2], res[3]
+        mn, mx, ns = (np.asarray(a) for a in (mn, mx, ns))
+        self._last_prop_res = [
+            (oc[i], float(mn[i]), float(mx[i]), int(ns[i]))
+            for i in range(len(oc))
+        ]
+        return res
+
     # -- dense output -----------------------------------------------------------
 
     def update_d_output(self, t, rel_time: bool = False) -> np.ndarray:
@@ -567,6 +584,14 @@ class TaylorAdaptiveBatch:
 
     def propagate_until(self, t, *, max_delta_t=None, max_steps=0,
                         c_output=False, callback=None):
+        """See :meth:`_propagate_until_impl`; the per-lane results are
+        also stashed for :meth:`get_propagate_res`."""
+        return self._record_prop_res(self._propagate_until_impl(
+            t, max_delta_t=max_delta_t, max_steps=max_steps,
+            c_output=c_output, callback=callback))
+
+    def _propagate_until_impl(self, t, *, max_delta_t=None, max_steps=0,
+                              c_output=False, callback=None):
         """Per-lane propagate-until; ``t`` may be scalar or per-lane.
 
         With ``c_output=True``, a :class:`ContinuousOutputBatch` is appended
@@ -960,6 +985,12 @@ class TaylorAdaptiveBatch:
 
     def propagate_grid(self, grid, *, max_delta_t=None, max_steps=0,
                        callback=None):
+        return self._record_prop_res(self._propagate_grid_impl(
+            grid, max_delta_t=max_delta_t, max_steps=max_steps,
+            callback=callback))
+
+    def _propagate_grid_impl(self, grid, *, max_delta_t=None, max_steps=0,
+                             callback=None):
         """Shared time grid, per-lane dense output:
         returns (outcomes, min_h, max_h, nsteps, out[batch, len(grid), dim]).
 

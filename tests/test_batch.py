@@ -46,6 +46,27 @@ def test_batch_propagate_until_matches_scalar(rng):
         np.testing.assert_allclose(tab.time[i], ta.time, rtol=0, atol=1e-12)
 
 
+def test_batch_get_propagate_res(rng):
+    """heyoka taylor_adaptive_batch::get_propagate_res (taylor.hpp:1120):
+    per-lane (outcome, min_h, max_h, nsteps) of the last propagate_*."""
+    states = make_states(rng)
+    tab = hy.taylor_adaptive_batch(pendulum(), states, tol=1e-15)
+    with pytest.raises(ValueError):
+        tab.get_propagate_res()
+    ocs, min_h, max_h, nsteps = tab.propagate_until(5.0)
+    res = tab.get_propagate_res()
+    assert len(res) == BATCH
+    for i, (oc, mn, mx, ns) in enumerate(res):
+        assert oc == ocs[i]
+        assert mn == min_h[i] and mx == max_h[i] and ns == nsteps[i]
+    # propagate_for / propagate_grid refresh the stash
+    tab.propagate_for(1.0)
+    assert all(r[0] == TaylorOutcome.time_limit
+               for r in tab.get_propagate_res())
+    *_, out = tab.propagate_grid(np.linspace(6.0, 7.0, 3))
+    assert all(r[3] > 0 for r in tab.get_propagate_res())
+
+
 def test_batch_per_lane_targets(rng):
     states = make_states(rng)
     tab = hy.taylor_adaptive_batch(pendulum(), states, tol=1e-15)

@@ -3,7 +3,7 @@
 at the north-star workload: 10,240 outer-Solar-System trajectories,
 tol=1e-15, propagate_until a fixed horizon.
 
-Usage: python tools/fused_tpu_bench.py [horizon_yr=200] [chunk=32]
+Usage: python tools/fused_tpu_bench.py [horizon_yr=200] [chunk=32] [mp_order=8]
 """
 import math
 import sys
@@ -15,6 +15,7 @@ import numpy as np
 def main():
     horizon = float(sys.argv[1]) if len(sys.argv) > 1 else 200.0
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    mp_order = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
     import jax
     import jax.numpy as jnp
@@ -44,10 +45,10 @@ def main():
     ms = jnp.asarray(0, jnp.int64)
 
     pu = jit_flat_step(make_propagate_until_fused(
-        tape, order, dtype=dtype, high_accuracy=True, mp_order=8,
+        tape, order, dtype=dtype, high_accuracy=True, mp_order=mp_order,
         pallas_phase="dd", chunk_steps=chunk))
 
-    print(f"compiling (chunk={chunk}) ...", flush=True)
+    print(f"compiling (chunk={chunk}, mp_order={mp_order}) ...", flush=True)
     t0 = time.perf_counter()
     r = pu(states, pars, zero, zero, jnp.full((BATCH,), 0.5, dtype), zero,
            mdt, ms)
