@@ -124,7 +124,7 @@ def main():
 
         pu = jit_flat_step(make_propagate_until_fused(
             tape, order, dtype=dtype, high_accuracy=True, mp_order=8,
-            pallas_phase="dd", chunk_steps=32))
+            pallas_phase="dd", chunk_steps=64))
 
         zero = jnp.zeros((BATCH,), dtype)
         ms = jnp.asarray(0, jnp.int64)

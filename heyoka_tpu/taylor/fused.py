@@ -46,7 +46,7 @@ def make_propagate_until_fused(tape: Tape, order: int, *, dtype=None,
                                high_accuracy: bool = True,
                                mp_order: int = 8,
                                pallas_phase="dd",
-                               chunk_steps: int = 32):
+                               chunk_steps: int = 64):
     """Build the fused ``pu(state, pars, t_hi, t_lo, target_hi,
     target_lo, max_delta_t, max_steps) -> dict`` driver (same signature
     and result fields as :func:`compact_flat.make_propagate_until_flat`).
