@@ -240,20 +240,28 @@ def _ensemble_propagate_until_ev(
     )
     mdt = float(max_delta_t)
 
-    def shard_fn(state, pars_, t_hi, t_lo, tgt, msteps, cd, act):
+    def shard_fn(state, pars_, t_hi, t_lo, tgt, msteps, cd, act, lh, tc):
         return pu(
             state, pars_, t_hi, t_lo, tgt, jnp.zeros_like(tgt),
-            jnp.full_like(tgt, mdt), msteps, cd, act,
+            jnp.full_like(tgt, mdt), msteps, cd, act, lh, tc,
         )
 
-    fn = jax.jit(_mesh_shard(shard_fn, mesh, 8))
+    fn = jax.jit(_mesh_shard(shard_fn, mesh, 10))
+
+    from collections import deque
+
+    from .taylor.batch import _decode_hits, unpack_ev_summary
 
     targets = jnp.broadcast_to(jnp.asarray(t, dtype), (n_iter,))
+    n_sv = ta.dim + len(tes) + len(ntes)
     cur = dict(
         state=jnp.asarray(states),
         t_hi=jnp.asarray(times),
         t_lo=jnp.zeros((n_iter,), dtype),
         cooldowns=jnp.zeros((n_iter, len(tes)), dtype),
+        last_h=jnp.zeros((n_iter,), dtype),
+        tc=jnp.zeros((n_iter, ta._order + 1, n_sv), dtype),
+        active=jnp.ones((n_iter,), bool),
     )
     pars_j = jnp.asarray(pars)
     done = np.zeros((n_iter,), bool)
@@ -265,7 +273,18 @@ def _ensemble_propagate_until_ev(
     nsteps = np.zeros((n_iter,), np.int64)
     last_h = np.zeros((n_iter,))
     inst_hits = [[] for _ in range(n_iter)]
-    while True:
+
+    # pipelined chunk dispatch (see TaylorAdaptiveBatch.
+    # _propagate_until_ev_fast): next-chunk inputs are device arrays
+    # (active = ~done), so the packed-summary download of chunk k overlaps
+    # chunk k+1 on device; a step limit needs host nsteps and stays
+    # sequential
+    max_depth = 1 if max_steps else 3
+    inflight = deque()
+    all_done = False
+
+    def dispatch():
+        nonlocal cur
         if max_steps:
             msteps = np.maximum(0, max_steps - nsteps)
         else:
@@ -273,17 +292,23 @@ def _ensemble_propagate_until_ev(
         res = fn(
             cur["state"], pars_j, cur["t_hi"], cur["t_lo"], targets,
             jnp.asarray(msteps, jnp.int64), cur["cooldowns"],
-            jnp.asarray(~done),
+            cur["active"], cur["last_h"], cur["tc"],
         )
-        from .taylor.batch import _decode_hits, unpack_ev_summary
-
-        summary = unpack_ev_summary(res, len(ntes))
-        if ntes:
-            _decode_hits(summary, res, len(ntes), inst_hits)
         cur = dict(
             state=res["state"], t_hi=res["t_hi"], t_lo=res["t_lo"],
-            cooldowns=res["cooldowns"],
+            cooldowns=res["cooldowns"], last_h=res["last_h"],
+            tc=res["tc"], active=~res["done"],
         )
+        inflight.append(res)
+
+    depth = 1
+    while True:
+        while len(inflight) < depth and not all_done:
+            dispatch()
+        res = inflight.popleft()
+        summary = unpack_ev_summary(res, len(ntes))
+        if summary["it"] and ntes:
+            _decode_hits(summary, res, len(ntes), inst_hits)
         min_h = np.minimum(min_h, summary["min_h"])
         max_h = np.maximum(max_h, summary["max_h"])
         nsteps += summary["nsteps"]
@@ -291,10 +316,12 @@ def _ensemble_propagate_until_ev(
         oc = np.where(newly, summary["outcome"], oc)
         te_idx = np.where(newly, summary["te_idx"], te_idx)
         te_sgn = np.where(newly, summary["te_sgn"], te_sgn)
-        last_h = np.where(newly, np.asarray(res["last_h"]), last_h)
         done |= newly
-        if bool(done.all()):
+        all_done = all_done or bool(done.all())
+        if all_done and not inflight:
             break
+        depth = min(max_depth, depth + 1)
+    last_h = np.asarray(cur["last_h"])
 
     counts = np.array([len(inst_hits[i]) for i in range(n_iter)])
     cap = max(1, int(counts.max())) if counts.size else 1

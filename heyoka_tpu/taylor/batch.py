@@ -758,12 +758,20 @@ class TaylorAdaptiveBatch:
 
     def _propagate_until_ev_fast(self, t, mdt, max_steps):
         """On-device lockstep propagate-until with events (terminal ones
-        pure-stop): the vmapped recording driver of
-        ``events.make_propagate_until_ev``; per-lane nt callbacks
+        pure-stop): the natively batched recording driver of
+        ``events.make_propagate_until_ev_batch``; per-lane nt callbacks
         ``cb(tb, t, d_sgn, lane)`` are dispatched chronologically (within
-        each lane) after the loop.  A lane ending on a terminal event keeps
-        that outcome across overflow replays via the driver's ``active``
-        mask."""
+        each lane) after the loop.
+
+        Chunk dispatches are *pipelined*: each chunk's inputs are device
+        arrays from the previous chunk (``active = ~done``), so up to three
+        chunks are in flight while the host decodes an earlier chunk's
+        packed summary — the ~50 ms tunnel round trip per 64-step chunk
+        dominated the sequential loop (the reference's batch driver has no
+        such latency, src/detail/event_detection.cpp:1733).  A step limit
+        needs host-side nsteps feedback per chunk and stays sequential."""
+        from collections import deque
+
         min_h = np.full((self._batch,), _pymath.inf)
         max_h = np.zeros((self._batch,))
         nsteps = np.zeros((self._batch,), np.int64)
@@ -771,48 +779,72 @@ class TaylorAdaptiveBatch:
         lane_hits = [[] for _ in range(self._batch)]
         lane_done = np.zeros((self._batch,), bool)
         oc = np.full((self._batch,), int(TaylorOutcome.time_limit), np.int32)
-        from .events_impl import MAX_ROOTS as _MR
-        while True:
+
+        n_sv = self.dim + len(self._t_events) + len(self._nt_events)
+        tc0 = self._tc
+        if tc0.shape[2] != n_sv:
+            tc0 = jnp.concatenate(
+                [tc0, jnp.zeros(
+                    (self._batch, self._order + 1, n_sv - tc0.shape[2]),
+                    self._dtype)],
+                axis=2,
+            )
+        dev = dict(
+            state=self._state, t_hi=self._t_hi, t_lo=self._t_lo,
+            cooldowns=self._te_cooldowns, last_h=self._last_h, tc=tc0,
+            active=jnp.ones((self._batch,), bool),
+        )
+        t_j = jnp.asarray(t)
+        mdt_j = jnp.asarray(mdt)
+        zero_lo = jnp.zeros((self._batch,), self._dtype)
+        max_depth = 1 if max_steps else 3
+        inflight = deque()
+        all_done = False
+
+        def dispatch():
+            nonlocal dev
             rem_steps = (
                 max(0, max_steps - int(nsteps.max())) if max_steps else 0
             )
             res = self._pu_ev_jit(
-                self._state, self._pars, self._t_hi, self._t_lo,
-                jnp.asarray(t), jnp.zeros((self._batch,), self._dtype),
-                jnp.asarray(mdt), jnp.asarray(rem_steps, jnp.int64),
-                self._te_cooldowns,
-                jnp.asarray(~lane_done),
+                dev["state"], self._pars, dev["t_hi"], dev["t_lo"],
+                t_j, zero_lo, mdt_j, jnp.asarray(rem_steps, jnp.int64),
+                dev["cooldowns"], dev["active"], dev["last_h"], dev["tc"],
             )
+            dev = dict(
+                state=res["state"], t_hi=res["t_hi"], t_lo=res["t_lo"],
+                cooldowns=res["cooldowns"], last_h=res["last_h"],
+                tc=res["tc"], active=~res["done"],
+            )
+            inflight.append(res)
+
+        depth = 1  # ramp up: short propagations don't pay no-op chunks
+        while True:
+            while len(inflight) < depth and not all_done:
+                dispatch()
+            res = inflight.popleft()
             # one packed host transfer per chunk carries every summary
-            # field (tunnel round trips dominated the host loop otherwise)
+            # field (each np.asarray is a separate ~50 ms tunnel round trip)
             summary = unpack_ev_summary(res, len(self._nt_events))
             if summary["it"] and self._nt_events:
                 _decode_hits(summary, res, len(self._nt_events), lane_hits)
-            self._state = res["state"]
-            self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
-            # inactive lanes come back with the driver's init last_h/tc
-            # (zeros), not their stored values: keep the stored ones (the
-            # stored tc only matches the driver's sv-column shape once a
-            # chunk has run, hence the gate)
-            if lane_done.any():
-                self._last_h = jnp.where(
-                    jnp.asarray(lane_done), self._last_h, res["last_h"]
-                )
-                self._tc = jnp.where(
-                    jnp.asarray(lane_done)[:, None, None], self._tc, res["tc"]
-                )
-            else:
-                self._last_h = res["last_h"]
-                self._tc = res["tc"]
-            self._te_cooldowns = res["cooldowns"]
             min_h = np.minimum(min_h, summary["min_h"])
             max_h = np.maximum(max_h, summary["max_h"])
             nsteps += summary["nsteps"]
             newly = ~lane_done & summary["done"]
             oc = np.where(newly, summary["outcome"], oc)
             lane_done |= newly
-            if bool(lane_done.all()):
+            all_done = all_done or bool(lane_done.all())
+            if all_done and not inflight:
                 break
+            depth = min(max_depth, depth + 1)
+        # the last dispatched chunk's outputs are the final integrator
+        # data (trailing no-op chunks pass frozen lanes through unchanged)
+        self._state = dev["state"]
+        self._t_hi, self._t_lo = dev["t_hi"], dev["t_lo"]
+        self._last_h = dev["last_h"]
+        self._tc = dev["tc"]
+        self._te_cooldowns = dev["cooldowns"]
         for i in range(self._batch):
             if not lane_hits[i]:
                 continue

@@ -324,7 +324,13 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
     no overflow replay, every step's hits land in their own row).
 
     Terminal events are pure-stop, like the vmapped driver; the trailing
-    ``active`` input keeps finished lanes frozen across re-entries.
+    ``active`` input keeps finished lanes frozen across re-entries, and
+    ``last_h``/``tc`` seed the carry so frozen lanes return their stored
+    step data (which lets the host chain chunk dispatches purely on device
+    arrays — ``active = ~done`` of the previous chunk — and overlap each
+    chunk's packed-summary download with the next chunk's execution; the
+    sequential read-then-dispatch loop paid a full tunnel round trip per
+    chunk).
 
     Returns a dict of final per-lane arrays plus ``rec_t`` (f64 hit
     times) and ``rec_sgn`` (int8: 0 = no hit, else crossing sign + 2),
@@ -346,10 +352,14 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
     n_slots = n_nte * MAX_ROOTS
 
     def pu(state, pars, t_hi, t_lo, target_hi, target_lo, max_delta_t,
-           max_steps, cooldowns, active):
+           max_steps, cooldowns, active, last_h=None, tc=None):
         dtype = state.dtype
         B = state.shape[0]
         zero = jnp.zeros((B,), dtype)
+        if last_h is None:
+            last_h = zero
+        if tc is None:
+            tc = jnp.zeros((B, order + 1, n_eq + n_te + n_nte), dtype)
 
         def remaining(th, tl):
             rh, _ = dd_add_dd(target_hi, target_lo, -th, -tl)
@@ -362,8 +372,8 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
             state=state,
             t_hi=t_hi,
             t_lo=t_lo,
-            last_h=zero,
-            tc=jnp.zeros((B, order + 1, n_eq + n_te + n_nte), dtype),
+            last_h=last_h,
+            tc=tc,
             nsteps=jnp.zeros((B,), jnp.int64),
             min_h=jnp.full((B,), jnp.inf, dtype),
             max_h=zero,
