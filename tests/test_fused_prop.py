@@ -170,3 +170,29 @@ def test_public_api_auto_fused():
     ta_f.propagate_until(3.0)
     assert np.max(np.abs(np.asarray(ta_r.state)
                          - np.asarray(ta_f.state))) < 1e-12
+
+
+def test_ensemble_rides_fused_driver():
+    # ensemble_propagate_until_batch on a flat+dd integrator must select
+    # the fused multi-step driver (same selection as _pu_jit) and agree
+    # with the unfused ensemble path; fused_prop=False must opt out.
+    sys_ = nbody(2, masses=[1.0, 1e-4])
+    rng = np.random.default_rng(3)
+    ic = np.array([0., 0., 0., 0., 0., 0., 1., 0., 0., 0., 6.3, 0.])
+    states = (ic[None, None, :]
+              + rng.uniform(-1, 1, (2, 4, 12)) * 1e-9)
+    gen = {"state": states}
+    ta_f = hy.taylor_adaptive_batch(
+        sys_, states[0].copy(), tol=1e-12, compact_mode="flat", mp_order=8,
+        pallas_phase="dd-interpret")
+    ta_p = hy.taylor_adaptive_batch(
+        sys_, states[0].copy(), tol=1e-12, compact_mode="flat", mp_order=8,
+        pallas_phase="dd-interpret", fused_prop=False)
+    res_f = hy.ensemble_propagate_until_batch(ta_f, 2.5, 2, gen)
+    res_p = hy.ensemble_propagate_until_batch(ta_p, 2.5, 2, gen)
+    assert np.max(np.abs(np.asarray(res_f["state"])
+                         - np.asarray(res_p["state"]))) < 1e-9
+    np.testing.assert_allclose(np.asarray(res_f["time"]), 2.5)
+    np.testing.assert_allclose(np.asarray(res_p["time"]), 2.5)
+    assert np.all(np.asarray(res_f["outcome"])
+                  == int(TaylorOutcome.time_limit))
