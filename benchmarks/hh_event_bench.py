@@ -58,10 +58,15 @@ states = np.asarray(ic)[None, :] + 1e-3 * rng.standard_normal((B, 4))
 n_hits = [0]
 ev_b = hy.nt_event(y, lambda ta, t, d, lane: n_hits.__setitem__(
     0, n_hits[0] + 1), direction=hy.EventDirection.positive)
+# production TPU config: the staged flat engine with the dd Pallas jet —
+# the plain path rides the fused multi-step kernel and the event path the
+# jet_mode dd kernel (events_impl.build_event_step_batch flat_jet)
+bkw = dict(compact_mode="flat", mp_order=8, pallas_phase="auto")
 tab_p = hy.taylor_adaptive_batch(sys_, states, tol=1e-15,
-                                 high_accuracy=True)
+                                 high_accuracy=True, **bkw)
 tab_e = hy.taylor_adaptive_batch(sys_, states, tol=1e-15,
-                                 high_accuracy=True, nt_events=[ev_b])
+                                 high_accuracy=True, nt_events=[ev_b],
+                                 **bkw)
 tab_p.propagate_until(10.0)
 tab_e.propagate_until(10.0)  # warm
 

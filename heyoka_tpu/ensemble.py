@@ -160,15 +160,34 @@ def ensemble_propagate_until(
     if fn is None and getattr(ta, "_flat", False):
         # the integrator runs the staged flat engine: each mesh shard steps
         # its whole lane block through the lockstep batched driver instead
-        # of vmapping the scalar jet (~6x on TPU; see PERF.md)
+        # of vmapping the scalar jet (~6x on TPU; see PERF.md).  Mirror
+        # _pu_jit's selection: ride the fused multi-step Pallas kernel
+        # (the production propagate path) whenever the tape supports it.
         from .taylor.compact_flat import make_propagate_until_flat
 
-        puf = make_propagate_until_flat(
-            ta._tape, ta._order, dtype=dtype,
-            high_accuracy=ta._high_accuracy,
-            mp_order=getattr(ta, "_mp_order", None),
-            pallas_phase=getattr(ta, "_pallas_phase", False),
-        )
+        puf = None
+        if (getattr(ta, "_fused_prop", "auto") in ("auto", True)
+                and getattr(ta, "_pallas_phase", False)
+                in ("dd", "dd-interpret")):
+            from .taylor.pallas_phase import UnsupportedPallasOp
+            from .taylor.fused import make_propagate_until_fused
+
+            try:
+                puf = make_propagate_until_fused(
+                    ta._tape, ta._order, dtype=dtype,
+                    high_accuracy=ta._high_accuracy,
+                    mp_order=getattr(ta, "_mp_order", None) or 8,
+                    pallas_phase=ta._pallas_phase,
+                )
+            except UnsupportedPallasOp:
+                puf = None
+        if puf is None:
+            puf = make_propagate_until_flat(
+                ta._tape, ta._order, dtype=dtype,
+                high_accuracy=ta._high_accuracy,
+                mp_order=getattr(ta, "_mp_order", None),
+                pallas_phase=getattr(ta, "_pallas_phase", False),
+            )
 
         def vm(state, pars_, t_hi, t_lo, tgt):
             return puf(
@@ -234,19 +253,48 @@ def _ensemble_propagate_until_ev(
 
     tes, ntes, _ = evcfg
     dtype = ta._dtype
-    ev_b = build_event_step_batch(ta._fns, tes, ntes, dtype, ta._tol)
-    pu = make_propagate_until_ev_batch(
-        ev_b, ta._order, ta.dim, len(tes), len(ntes),
-    )
     mdt = float(max_delta_t)
+    cache = _ens_cache(ta)
+    key = ("until_ev", mdt, _mesh_key(mesh))
+    fn = cache.get(key) if cache is not None else None
+    if fn is None:
+        flat_jet = None
+        if getattr(ta, "_flat", False):
+            # the event jet rides the staged flat / dd-Pallas engine
+            # (jet_mode), like TaylorAdaptiveBatch's own event step
+            from .taylor.compact_flat import (
+                jit_flat_step, make_batched_step_flat,
+            )
 
-    def shard_fn(state, pars_, t_hi, t_lo, tgt, msteps, cd, act, lh, tc):
-        return pu(
-            state, pars_, t_hi, t_lo, tgt, jnp.zeros_like(tgt),
-            jnp.full_like(tgt, mdt), msteps, cd, act, lh, tc,
+            flat_jet = make_batched_step_flat(
+                ta._tape, ta._order, dtype=dtype,
+                high_accuracy=ta._high_accuracy,
+                mp_order=getattr(ta, "_mp_order", None),
+                layout="3d", unroll=True, staged=True,
+                pallas_phase=getattr(ta, "_pallas_phase", False),
+                jet_mode=True,
+            )
+        ev_b = build_event_step_batch(
+            ta._fns, tes, ntes, dtype, ta._tol, flat_jet=flat_jet,
+        )
+        pu = make_propagate_until_ev_batch(
+            ev_b, ta._order, ta.dim, len(tes), len(ntes),
         )
 
-    fn = jax.jit(_mesh_shard(shard_fn, mesh, 10))
+        def shard_fn(state, pars_, t_hi, t_lo, tgt, msteps, cd, act, lh,
+                     tc):
+            return pu(
+                state, pars_, t_hi, t_lo, tgt, jnp.zeros_like(tgt),
+                jnp.full_like(tgt, mdt), msteps, cd, act, lh, tc,
+            )
+
+        shfn = _mesh_shard(shard_fn, mesh, 10)
+        if flat_jet is not None:
+            fn = jit_flat_step(shfn)
+        else:
+            fn = jax.jit(shfn)
+        if cache is not None:
+            cache[key] = fn
 
     from collections import deque
 
@@ -577,6 +625,7 @@ class _BatchShim:
         self._flat = getattr(tab, "_flat", False)
         self._mp_order = getattr(tab, "_mp_order", None)
         self._pallas_phase = getattr(tab, "_pallas_phase", False)
+        self._fused_prop = getattr(tab, "_fused_prop", "auto")
         # share the underlying integrator's jitted-driver cache so fresh
         # shims (one per ensemble_*_batch call) reuse compiled programs
         self._ens_drivers = tab.__dict__.setdefault("_ens_drivers", {})

@@ -165,13 +165,31 @@ class TaylorAdaptiveBatch:
             # root isolation runs dense over all batch*event rows through
             # the static subdivision tree (events_impl.py,
             # build_event_step_batch) — no per-lane isolator scatters
+            from .compact_flat import jit_flat_step
             from .events_impl import build_event_step_batch
 
+            flat_jet = None
+            if self._flat:
+                # the event jet rides the staged flat / dd-Pallas engine
+                # (jet_mode): the vmapped loop-engine jet dominated the
+                # batched event step (PERF.md round-2 events section)
+                flat_jet = make_batched_step_flat(
+                    self._tape, self._order, dtype=self._dtype,
+                    high_accuracy=self._high_accuracy,
+                    mp_order=self._mp_order,
+                    layout="3d", unroll=True, staged=True,
+                    pallas_phase=self._pallas_phase, jet_mode=True,
+                )
             self._ev_step_raw = build_event_step_batch(
                 self._fns, self._t_events, self._nt_events,
-                self._dtype, self._tol,
+                self._dtype, self._tol, flat_jet=flat_jet,
             )
-            self._ev_step = jax.jit(self._ev_step_raw)
+            # jit_flat_step: the flat jet's unrolled 3-D graph needs the
+            # CPU pass workarounds (see compact_flat.jit_flat_step)
+            self._ev_step = (
+                jit_flat_step(self._ev_step_raw) if flat_jet is not None
+                else jax.jit(self._ev_step_raw)
+            )
         else:
             self._ev_step = None
             self._ev_step_raw = None
@@ -748,13 +766,16 @@ class TaylorAdaptiveBatch:
 
     @cached_property
     def _pu_ev_jit(self):
+        from .compact_flat import jit_flat_step
         from .events import make_propagate_until_ev_batch
 
         pu = make_propagate_until_ev_batch(
             self._ev_step_raw, self._order, self.dim,
             len(self._t_events), len(self._nt_events),
         )
-        return jax.jit(pu)
+        # jit_flat_step: a flat-engine event jet inside the driver needs
+        # the CPU pass workarounds (no-op on TPU)
+        return jit_flat_step(pu) if self._flat else jax.jit(pu)
 
     def _propagate_until_ev_fast(self, t, mdt, max_steps):
         """On-device lockstep propagate-until with events (terminal ones

@@ -107,7 +107,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                            high_accuracy: bool = True, mp_order: int | None = None,
                            unroll: bool = False, layout: str = "flat",
                            staged: bool = False, return_tc: bool = False,
-                           pallas_phase=False,
+                           pallas_phase=False, jet_mode: bool = False,
                            _debug_tc: bool = False):
     """Whole-batch adaptive Taylor step over the flat layout.
 
@@ -129,6 +129,16 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
     buffers: one gathered (m, B) row is appended per order instead of
     re-gathering the whole (m, k+1, B) history — on the profile of the
     north-star workload, whole-history gathers were 54% of the step.
+
+    With ``jet_mode=True`` the update phase is skipped and the function
+    becomes ``jet(states, pars, t, max_dt) -> (tc (B, order+1, n_sv),
+    h (B,))`` where ``n_sv = n_eq + len(tape.outputs)`` — the natively
+    batched analog of the reference's ``step_e`` event jet
+    (``taylor_00.cpp:592``): the state-variable AND sv-func (event
+    equation) Taylor coefficients, plus the adaptive h each lane
+    *would* take.  Callers (``events_impl.build_event_step_batch``)
+    isolate event roots in ``[0, h)`` and run the state update at the
+    possibly-truncated step themselves.
     """
     if layout not in ("flat", "3d"):
         raise ValueError(f"unknown layout {layout!r}; expected 'flat' or '3d'")
@@ -303,9 +313,14 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         # dd order-0 rule; otherwise the XLA side evaluates order 0 in f64
         _pp_o0 = _pp_dd and _o0_ok(plan)
         _pp_o0_mode = "dd" if _pp_o0 else "xla"
+        # jet_mode needs the sv-func (event-equation) coefficient rows
+        # out of the slim kernel too
+        _pp_extra = plan.out_cols if (jet_mode and plan.out_cols.size) \
+            else None
         if _pp_dd:  # validation build (slim unless the debug path needs tc)
             _mk_dd(plan, mp_order, K, 128, interpret=_pp_interp,
-                   slim=not _debug_tc, order0=_pp_o0_mode)
+                   slim=not _debug_tc, order0=_pp_o0_mode,
+                   sv_extra=_pp_extra)
         else:
             _mk_pp(plan, mp_order + 1, K, 128, interpret=_pp_interp)
 
@@ -331,7 +346,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             if _pp_dd:
                 fn = _mk_dd(plan, mp_order, K, Bp, bt=_bt,
                             interpret=_pp_interp,
-                            slim=not _debug_tc, order0=_pp_o0_mode)
+                            slim=not _debug_tc, order0=_pp_o0_mode,
+                            sv_extra=_pp_extra)
             else:
                 fn = _mk_pp(plan, mp_order + 1, K, Bp, bt=_bt,
                             interpret=_pp_interp)
@@ -653,6 +669,31 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             src = tcv if (not use_mp or i <= mp_order) else hiv
             c = src[:n_eq, i, :]
             return c.astype(dtype)
+
+        if jet_mode:
+            # (B, K+1, n_sv) coefficients over state vars + sv-func
+            # outputs (the event-equation polynomials), plus the
+            # natural adaptive h — no state update
+            ev_ex = plan.out_cols
+
+            def coeff_sv(i):
+                st = coeff(i)
+                if not ev_ex.size:
+                    return st
+                if dd_run:
+                    if i == 0 and not _pp_o0:
+                        ex = row0[ev_ex]  # exact f64 (XLA order 0)
+                    else:
+                        ex = tc_hi[n_eq:, i, :].astype(dtype)
+                        if i <= mp_order:
+                            ex = ex + tc_lo[n_eq:, i, :].astype(dtype)
+                else:
+                    src = tcv if (not use_mp or i <= mp_order) else hiv
+                    ex = src[ev_ex, i, :].astype(dtype)
+                return jnp.concatenate([st, ex], axis=0)
+
+            tc_sv = jnp.stack([coeff_sv(i) for i in range(K + 1)], 0)
+            return tc_sv.transpose(2, 0, 1), h
 
         if high_accuracy:
             res = coeff(0)

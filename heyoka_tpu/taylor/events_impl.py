@@ -611,7 +611,8 @@ def build_event_step(fns, tape, t_events, nt_events, dtype):
 # ---------------------------------------------------------------------------
 
 
-def build_event_step_batch(fns, t_events, nt_events, dtype, tol):
+def build_event_step_batch(fns, t_events, nt_events, dtype, tol,
+                           flat_jet=None):
     """Whole-batch step-with-events: the TPU-native counterpart of the
     reference's SIMD ``ed_data_batch::detect_events``
     (``src/detail/event_detection.cpp:1733``).
@@ -633,6 +634,14 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol):
     ``ev_step_b(state (B,n), pars (B,p), t_hi (B,), t_lo (B,), max_dt
     (B,), cooldowns (B,n_te)) -> dict`` of batched results; nt hits are
     reported per slot (``n_nte * MAX_ROOTS`` static slots per lane).
+
+    ``flat_jet`` (optional): a natively batched
+    ``jet(state, pars, t, max_dt) -> (tc (B, order+1, n_sv), h (B,))``
+    from ``compact_flat.make_batched_step_flat(..., jet_mode=True)`` —
+    the staged flat / dd-Pallas engine replaces the vmapped loop-engine
+    jet (the round-2 path's dominant cost on the batched Henon-Heiles
+    workload; the reference's batch event step shares its jet with the
+    plain stepper for the same reason, ``taylor_00.cpp:592``).
     """
     n_te = len(t_events)
     n_nte = len(nt_events)
@@ -742,10 +751,13 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol):
 
     def ev_step_b(state, pars, t_hi, t_lo, max_dt, cooldowns):
         B = state.shape[0]
-        tc = jet_b(state, pars, t_hi)  # (B, order+1, n_eq + n_ev)
-        h = jax.vmap(lambda c, m: _st.determine_h(c, order, n_eq, m))(
-            tc, max_dt
-        )
+        if flat_jet is not None:
+            tc, h = flat_jet(state, pars, t_hi, max_dt)
+        else:
+            tc = jet_b(state, pars, t_hi)  # (B, order+1, n_eq + n_ev)
+            h = jax.vmap(lambda c, m: _st.determine_h(c, order, n_eq, m))(
+                tc, max_dt
+            )
 
         max_abs_state = jnp.max(jnp.abs(tc[:, 0, :]), axis=1)
         max_r = jnp.where(

@@ -917,7 +917,8 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
 
 def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
                        bt: int = 128, interpret: bool = False,
-                       slim: bool = False, order0: str = "xla"):
+                       slim: bool = False, order0: str = "xla",
+                       sv_extra=None):
     """Build the full-jet kernel from the seeded order-0/1 rows
     ``hi0/lo0 (W, 2, B) f32`` (callers seed row 0 of both, plus the time
     column's row 1 in ``hi0``; all other row-1 seeds are overwritten by
@@ -941,6 +942,13 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
     Orders ``1..dd_until`` run in double-float (two-f32) arithmetic —
     the hi part lands in ``hi`` and the compensation in ``lo`` — and
     orders above in plain f32 on the hi buffer.
+
+    ``sv_extra`` (slim mode only): extra tape columns — the sv-func
+    outputs of an event-carrying tape (``plan.out_cols``) — whose
+    coefficient rows are appended after the ``n_eq`` state rows in the
+    slim outputs, so event-polynomial jets ride this kernel too
+    (reference: the ``step_e`` variant writing the event-equation jet,
+    ``taylor_00.cpp:592``).
     """
     import jax
     import jax.numpy as jnp
@@ -961,6 +969,11 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
 
     norm_cols = (np.concatenate([np.arange(n_eq), plan.out_cols])
                  if plan.out_cols.size else np.arange(n_eq))
+    extra = (np.asarray(sv_extra, np.int64)
+             if sv_extra is not None else np.zeros((0,), np.int64))
+    if extra.size and not slim:
+        raise ValueError("sv_extra requires slim=True")
+    n_sv = n_eq + extra.size
 
     gops = []
     for lv in plan.levels:
@@ -985,8 +998,11 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
                            ohi_ref, olo_ref, jnp, order0)
 
         if slim:
-            chi_ref[...] = ohi_ref[0:n_eq, :, :]
-            clo_ref[...] = olo_ref[0:n_eq, :, :]
+            chi_ref[0:n_eq, :, :] = ohi_ref[0:n_eq, :, :]
+            clo_ref[0:n_eq, :, :] = olo_ref[0:n_eq, :, :]
+            for xi, xc in enumerate(extra):
+                chi_ref[n_eq + xi, :, :] = ohi_ref[int(xc), :, :]
+                clo_ref[n_eq + xi, :, :] = olo_ref[int(xc), :, :]
             nrm_ref[0, :] = jnp.max(
                 jnp.abs(_vrows(ohi_ref[:, K - 1, :], norm_cols)), axis=0
             )
@@ -1004,13 +1020,13 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
     n_nrm = 3 if order0 == "dd" else 2
     if slim:
         out_specs = [
-            pl.BlockSpec((n_eq, K + 1, bt), lambda i: (z32, z32, i)),
-            pl.BlockSpec((n_eq, dd_until + 1, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((n_sv, K + 1, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((n_sv, dd_until + 1, bt), lambda i: (z32, z32, i)),
             pl.BlockSpec((n_nrm, bt), lambda i: (z32, i)),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((n_eq, K + 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((n_eq, dd_until + 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_sv, K + 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_sv, dd_until + 1, B), jnp.float32),
             jax.ShapeDtypeStruct((n_nrm, B), jnp.float32),
         ]
         scratch = [

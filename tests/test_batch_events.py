@@ -155,3 +155,39 @@ def test_batch_event_overflow_replay_keeps_stopped_lanes():
     assert len(nhits[1]) == expect
     assert all(a <= b for a, b in zip(nhits[1], nhits[1][1:]))
     assert all(t <= 0.5 + 1e-12 for t in nhits[0])
+
+
+@pytest.mark.parametrize("pallas", [False, "dd-interpret"])
+def test_batch_events_flat_engine_matches_loop(states, pallas):
+    # the flat/dd-Pallas engines drive the event jet (jet_mode); roots,
+    # stop times and outcomes must match the loop engine lane by lane
+    x, v = hy.make_vars("x", "v")
+    if pallas:
+        # the dd kernel needs mp_order; pendulum's sin/cos tape is inside
+        # the in-kernel rule set since round 2
+        kw = dict(compact_mode="flat", mp_order=8, pallas_phase=pallas)
+        tol_t = 1e-7  # two-f32 jet: step sequences differ slightly
+    else:
+        kw = dict(compact_mode="flat")
+        tol_t = 1e-11
+    hits_f = [[] for _ in range(BATCH)]
+    hits_l = [[] for _ in range(BATCH)]
+
+    def mk_cb(hits):
+        return lambda tb, t, d, lane: hits[lane].append(t)
+
+    tab_f = hy.taylor_adaptive_batch(
+        pendulum(), states.copy(), tol=1e-12,
+        t_events=[t_event(v)], nt_events=[nt_event(x, callback=mk_cb(hits_f))],
+        **kw)
+    tab_l = hy.taylor_adaptive_batch(
+        pendulum(), states.copy(), tol=1e-12,
+        t_events=[t_event(v)], nt_events=[nt_event(x, callback=mk_cb(hits_l))],
+        compact_mode=True)
+    ocs_f, *_ = tab_f.propagate_until(100.0)
+    ocs_l, *_ = tab_l.propagate_until(100.0)
+    assert [int(o) for o in ocs_f] == [int(o) for o in ocs_l]
+    np.testing.assert_allclose(tab_f.time, tab_l.time, rtol=0, atol=tol_t)
+    assert [len(h) for h in hits_f] == [len(h) for h in hits_l]
+    for hf, hl in zip(hits_f, hits_l):
+        np.testing.assert_allclose(hf, hl, rtol=0, atol=tol_t)
