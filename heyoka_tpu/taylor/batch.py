@@ -1252,12 +1252,15 @@ def _batch_getstate(self):
         ),
         "fused_prop": getattr(self, "_fused_prop", "auto"),
         "dtype": self._dtype.name,
+        "t_events": self._t_events,
+        "nt_events": self._nt_events,
         "state": np.asarray(self._state),
         "pars": np.asarray(self._pars),
         "t_hi": np.asarray(self._t_hi),
         "t_lo": np.asarray(self._t_lo),
         "last_h": np.asarray(self._last_h),
         "tc": np.asarray(self._tc),
+        "cooldowns": np.asarray(self._te_cooldowns),
     }
 
 
@@ -1268,11 +1271,15 @@ def _batch_setstate(self, st):
         dtype=st["dtype"], mp_order=st.get("mp_order"),
         pallas_phase=st.get("pallas_phase", False),
         fused_prop=st.get("fused_prop", "auto"),
+        t_events=st.get("t_events", []),
+        nt_events=st.get("nt_events", []),
     )
     self._t_hi = jnp.asarray(st["t_hi"], self._dtype)
     self._t_lo = jnp.asarray(st["t_lo"], self._dtype)
     self._last_h = jnp.asarray(st["last_h"], self._dtype)
     self._tc = jnp.asarray(st["tc"], self._dtype)
+    if "cooldowns" in st:
+        self._te_cooldowns = jnp.asarray(st["cooldowns"], self._dtype)
 
 
 TaylorAdaptiveBatch.__getstate__ = _batch_getstate

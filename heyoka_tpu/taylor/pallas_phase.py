@@ -1223,16 +1223,23 @@ def make_dd_prop_kernel(plan, dd_until: int, K: int, B: int, n_steps: int,
             take = act & ~near_now & (ns < budget)
             hs = h * dirv
 
-            # dd Horner over the state rows (compensation carried in the
-            # lo limb; matches the XLA side's f64 ceval to ~2^-48)
+            # Horner over the state rows: the tail orders (> dd_until)
+            # only carry f32 coefficients, so their accumulation runs in
+            # plain f32 — the partial sum's magnitude is ~|c_{dd+1}
+            # h^{dd+1}| << the dd noise floor, so f32 accumulation adds
+            # nothing beyond the error the tail terms already carry; the
+            # dd (two-f32) phase picks up from order dd_until down
+            # (compensation in the lo limb; matches the XLA side's f64
+            # ceval to ~2^-48)
+            dd_start = min(dd_until, K - 1)
+            res32 = ohi_ref[0:n_eq, K, :]
+            for j in range(K - 1, dd_start, -1):
+                res32 = ohi_ref[0:n_eq, j, :] + res32 * hs
             hdd = (hs, jnp.zeros_like(hs))
-            res = (ohi_ref[0:n_eq, K, :], jnp.zeros((n_eq, btc), f32))
-            for i in range(1, K + 1):
-                j = K - i
+            res = (res32, jnp.zeros((n_eq, btc), f32))
+            for j in range(dd_start, -1, -1):
                 cj = ((sh, sl) if j == 0 else
-                      (ohi_ref[0:n_eq, j, :],
-                       olo_ref[0:n_eq, j, :] if j <= dd_until
-                       else jnp.zeros((n_eq, btc), f32)))
+                      (ohi_ref[0:n_eq, j, :], olo_ref[0:n_eq, j, :]))
                 res = DD.add(cj, DD.mul(res, hdd))
 
             okrow = jnp.min(

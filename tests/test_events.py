@@ -214,3 +214,69 @@ def test_nt_fast_path_overflow_chunking():
     assert all(a <= b for a, b in zip(hits, hits[1:]))
     worst = max(abs(h - round(h * 50 / math.pi) * math.pi / 50) for h in hits)
     assert worst < 1e-12
+
+
+def test_wavy_ramp_bouncing_ball():
+    # reference test/wavy_ramp.cpp "accurate event propagation": a ball
+    # under constant gravity bounces off a wavy ramp and off y=0; both
+    # terminal events carry state-modifying continue-callbacks and the
+    # (highly nonlinear) event equation must hold to precision at every
+    # trigger.  Exercises: sv-func participation in the timestep norms,
+    # cooldown auto-deduction, repeated te re-entry, callback mutation.
+    x, y, vx, vy = hy.make_vars("x", "y", "vx", "vy")
+    pi = math.pi
+    curve_eq = y - (1.0 - x + 0.05 * hy.cos(11 * pi * x))
+    n_hits = [0, 0]
+
+    def cb_curve(ta, d_sgn):
+        X, Y, VX, VY = np.asarray(ta.state)
+        assert abs(Y - (1.0 - X + 0.05 * math.cos(11 * pi * X))) < 1e-9
+        gx = 1.0 + 0.05 * 11 * pi * math.sin(11 * pi * X)
+        gy = 1.0
+        gn = math.hypot(gx, gy)
+        gx, gy = gx / gn, gy / gn
+        vp = VX * gx + VY * gy
+        st = np.array([X, Y, VX - 1.8 * vp * gx, VY - 1.8 * vp * gy])
+        ta.state = st
+        n_hits[0] += 1
+        return True
+
+    def cb_bottom(ta, d_sgn):
+        st = np.array(ta.state)
+        assert abs(st[1]) < 1e-9
+        st[3] = -0.8 * st[3]
+        ta.state = st
+        n_hits[1] += 1
+        return True
+
+    ta = hy.taylor_adaptive(
+        [(x, vx), (y, vy), (vx, hy.Number(0.0)),
+         (vy, hy.Number(-1.0))],
+        [0.0, 1.2, 0.0, 0.0],
+        tol=1e-15,
+        t_events=[
+            t_event(curve_eq, callback=cb_curve,
+                    direction=EventDirection.negative),
+            t_event(y, callback=cb_bottom,
+                    direction=EventDirection.negative),
+        ],
+    )
+    # reference "assertion misfire" case: a raw step of this
+    # constant-acceleration system has an unbounded natural h -> the
+    # non-finite guard must fire (err_nf_state), not an assertion
+    ta_nf = hy.taylor_adaptive(
+        [(x, vx), (y, vy), (vx, hy.Number(0.0)),
+         (vy, hy.Number(-1.0))],
+        [0.0, 1.2, 0.0, 0.0], tol=1e-15,
+        t_events=[
+            t_event(curve_eq, direction=EventDirection.negative),
+            t_event(y, direction=EventDirection.negative),
+        ],
+    )
+    assert ta_nf.step()[0] == TaylorOutcome.err_nf_state
+    assert ta_nf.step(10.0)[0] == TaylorOutcome.err_nf_state
+
+    oc, *_ = ta.propagate_until(10.0)
+    assert oc == TaylorOutcome.time_limit
+    assert ta.time == pytest.approx(10.0, abs=1e-12)
+    assert n_hits[0] >= 1  # ramp bounces happened

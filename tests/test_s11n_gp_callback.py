@@ -130,3 +130,32 @@ def test_logging_levels_and_timer():
     assert t.elapsed >= 0.0
     hy.set_logger_level_warn()
     assert hy.logging.logger.level == 30
+
+
+def _s11n_te_cb(ta, d_sgn, lane):
+    return True
+
+
+def test_batch_integrator_pickle_with_events(rng):
+    # reference analog: test/s11n_event.cpp — events (and live cooldowns)
+    # survive the round trip and keep firing afterwards
+    from heyoka_tpu import t_event
+
+    x, v = hy.make_vars("x", "v")
+    states = 0.05 + 0.01 * rng.standard_normal((4, 2))
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), states, tol=1e-12,
+        t_events=[t_event(v, callback=_s11n_te_cb, cooldown=0.5)],
+    )
+    tab.propagate_until(10.0)  # several te hits (continue) per lane
+    tab2 = hy.s11n.loads(hy.s11n.dumps(tab))
+    np.testing.assert_array_equal(tab2.state, tab.state)
+    np.testing.assert_array_equal(tab2.time, tab.time)
+    assert len(tab2.t_events) == 1
+    np.testing.assert_array_equal(
+        np.asarray(tab2._te_cooldowns), np.asarray(tab._te_cooldowns)
+    )
+    # both keep integrating identically through the next event window
+    tab.propagate_until(12.0)
+    tab2.propagate_until(12.0)
+    np.testing.assert_allclose(tab2.state, tab.state, rtol=0, atol=1e-13)
