@@ -46,7 +46,7 @@ from .expr.math import (  # noqa: E402
     sin, cos, tan, asin, acos, atan, atan2,
     sinh, cosh, tanh, asinh, acosh, atanh,
     exp, log, sqrt, cbrt, erf, sigmoid, relu, relup,
-    kepE, kepF, kepDE, sum_ as sum_expr, prod, pi, select,
+    kepE, kepF, kepDE, sum_ as sum_expr, sum_, sum_sq, prod, pi, select,
     lt, gt, le, ge, eq, ne, logical_and, logical_or, logical_not,
 )
 from .expr.diff import diff  # noqa: E402

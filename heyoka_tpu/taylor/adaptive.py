@@ -816,7 +816,21 @@ class TaylorAdaptive:
                 -sl,
             )
             rel = rh + rl
-        return np.asarray(self._dout_jit(self._tc, rel))[: self.dim]
+        self._d_output = np.asarray(self._dout_jit(self._tc, rel))[: self.dim]
+        return self._d_output
+
+    @property
+    def d_output(self) -> np.ndarray:
+        """The last dense output computed by :meth:`update_d_output`
+        (reference ``get_d_output``: zeros before the first call)."""
+        if not hasattr(self, "_d_output"):
+            self._d_output = np.zeros((self.dim,), dtype=self._dtype)
+        return self._d_output
+
+    def get_n_orig_sv(self) -> int:
+        """Number of original (non-variational) state variables
+        (reference ``get_n_orig_sv``)."""
+        return self._vsys.n_orig if self._vsys is not None else self.dim
 
     # -- serialization (reference: Boost.Serialization of the integrator
     # mid-flight incl. dfloat time and cooldowns, taylor.hpp:1217-1240;

@@ -49,6 +49,29 @@ class TaylorAdaptiveBatch:
         pallas_phase=False,
         fused_prop="auto",
     ):
+        # a var_ode_sys may be passed directly, like the scalar integrator
+        # (reference ``taylor_adaptive_batch{vsys, ...}``); original-only
+        # per-lane ICs are augmented with the variational ICs automatically
+        from ..varsys import var_ode_sys as _vsys_t
+
+        self._vsys = sys if isinstance(sys, _vsys_t) else None
+        if self._vsys is not None:
+            state = np.asarray(state, dtype=np.float64)
+            if state.ndim == 2 and state.shape[1] == self._vsys.n_orig:
+                t0s = np.broadcast_to(
+                    np.asarray(0.0 if time is None else time, np.float64),
+                    (state.shape[0],),
+                )
+                pr = None if pars is None else np.asarray(pars)
+                state = np.stack([
+                    self._vsys.initial_state(
+                        state[i],
+                        pars=None if pr is None else pr[i],
+                        t0=float(t0s[i]),
+                    )
+                    for i in range(state.shape[0])
+                ])
+            sys = self._vsys.sys
         self._sys = _normalize_sys(sys)
         self._dtype = jnp.dtype(dtype)
         if tol is None:
@@ -223,6 +246,79 @@ class TaylorAdaptiveBatch:
     @property
     def decomposition(self) -> Tape:
         return self._tape
+
+    @property
+    def sys(self):
+        """The (normalized) ODE system (reference ``get_sys``)."""
+        return self._sys
+
+    @property
+    def high_accuracy(self) -> bool:
+        return self._high_accuracy
+
+    # -- variational API (mirrors TaylorAdaptive; reference
+    # taylor_adaptive_batch's variational members, taylor.hpp:958-1028) ---------
+
+    def _check_variational(self, name):
+        if self._vsys is None:
+            raise ValueError(
+                f"{name} requires an integrator built from a var_ode_sys"
+            )
+
+    @property
+    def is_variational(self) -> bool:
+        return self._vsys is not None
+
+    def get_n_orig_sv(self) -> int:
+        """Number of original (non-variational) state variables
+        (reference ``get_n_orig_sv``)."""
+        return self._vsys.n_orig if self._vsys is not None else self.dim
+
+    def get_vargs(self):
+        self._check_variational("get_vargs")
+        return list(self._vsys.vargs)
+
+    def get_vorder(self) -> int:
+        self._check_variational("get_vorder")
+        return self._vsys.order
+
+    def get_vslice(self, order: int, component: int | None = None) -> slice:
+        self._check_variational("get_vslice")
+        return self._vsys.get_vslice(order, component)
+
+    def get_mindex(self, i: int):
+        self._check_variational("get_mindex")
+        return self._vsys.get_mindex(i)
+
+    @cached_property
+    def _taylor_map(self):
+        return self._vsys.make_taylor_map(dtype=self._dtype)
+
+    def eval_taylor_map(self, s):
+        """Evaluate the Taylor map at deviations ``s`` for every lane
+        (reference ``taylor_adaptive_batch::eval_taylor_map``): ``s`` is
+        ``(n_vargs,)`` (shared across lanes) or ``(batch, n_vargs)``;
+        returns the ``(batch, n_orig)`` mapped states."""
+        self._check_variational("eval_taylor_map")
+        s = np.asarray(s, dtype=self._dtype)
+        K = self._vsys.n_vargs
+        if s.shape == (K,):
+            s = np.broadcast_to(s, (self._batch, K))
+        if s.shape != (self._batch, K):
+            raise ValueError(
+                f"expected deviations of shape ({K},) or "
+                f"({self._batch}, {K}); got {s.shape}"
+            )
+        self._tstate = np.asarray(self._taylor_map(s, self.state))
+        return self._tstate
+
+    def get_tstate(self) -> np.ndarray:
+        self._check_variational("get_tstate")
+        if not hasattr(self, "_tstate"):
+            self._tstate = np.zeros(
+                (self._batch, self._vsys.n_orig), dtype=self._dtype
+            )
+        return self._tstate
 
     @property
     def state(self) -> np.ndarray:
@@ -589,7 +685,17 @@ class TaylorAdaptiveBatch:
             return res
 
         out = jax.vmap(one)(self._tc, rel)
-        return np.asarray(out)[:, : self.dim]
+        self._d_output = np.asarray(out)[:, : self.dim]
+        return self._d_output
+
+    @property
+    def d_output(self) -> np.ndarray:
+        """The last dense output computed by :meth:`update_d_output`
+        (reference ``get_d_output``: zeros before the first call)."""
+        if not hasattr(self, "_d_output"):
+            self._d_output = np.zeros((self._batch, self.dim),
+                                      dtype=self._dtype)
+        return self._d_output
 
     # -- propagation ---------------------------------------------------------------
 
@@ -1242,6 +1348,7 @@ def taylor_adaptive_batch(sys, state, **kw) -> TaylorAdaptiveBatch:
 
 def _batch_getstate(self):
     return {
+        "vsys": self._vsys,
         "sys": self._sys,
         "tol": self._tol,
         "high_accuracy": self._high_accuracy,
@@ -1280,6 +1387,7 @@ def _batch_setstate(self, st):
     self._tc = jnp.asarray(st["tc"], self._dtype)
     if "cooldowns" in st:
         self._te_cooldowns = jnp.asarray(st["cooldowns"], self._dtype)
+    self._vsys = st.get("vsys")
 
 
 TaylorAdaptiveBatch.__getstate__ = _batch_getstate

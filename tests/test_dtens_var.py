@@ -238,3 +238,44 @@ def test_var_stm_native_crosscheck():
     np.testing.assert_allclose(
         np.asarray(ta.state), st_n, rtol=0, atol=1e-12
     )
+
+
+def test_var_ode_sys_batch_matches_scalar():
+    # reference: taylor_adaptive_batch's variational members
+    # (taylor.hpp:958-1028) — the batch integrator accepts a var_ode_sys,
+    # auto-fills per-lane variational ICs, and its Taylor map matches the
+    # scalar integrator lane by lane
+    sys = pendulum()
+    vsys = var_ode_sys(sys, VarArgs.vars)
+    rng = np.random.default_rng(5)
+    states = 0.05 + 0.01 * rng.standard_normal((3, 2))
+    tab = hy.taylor_adaptive_batch(vsys, states, tol=1e-15)
+    assert tab.is_variational and tab.get_vorder() == 1
+    assert tab.get_n_orig_sv() == 2 and tab.dim == 6
+    t = 3.0
+    tab.propagate_until(t)
+    da = np.array([3e-3, -2e-3])
+    mapped = tab.eval_taylor_map(da)
+    assert mapped.shape == (3, 2)
+    np.testing.assert_array_equal(tab.get_tstate(), mapped)
+    for i in range(3):
+        ta = hy.taylor_adaptive(vsys, states[i], tol=1e-15)
+        ta.propagate_until(t)
+        np.testing.assert_allclose(
+            np.asarray(tab.state[i]), np.asarray(ta.state),
+            rtol=0, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            mapped[i], ta.eval_taylor_map(da), rtol=0, atol=1e-12
+        )
+    # per-lane deviations + vslice indexing
+    das = np.tile(da, (3, 1))
+    np.testing.assert_allclose(tab.eval_taylor_map(das), mapped)
+    sl = tab.get_vslice(1, 0)
+    assert np.asarray(tab.state[:, sl]).shape == (3, 2)
+    # pickle round-trip keeps the variational identity
+    import pickle
+
+    tab2 = pickle.loads(pickle.dumps(tab))
+    assert tab2.is_variational
+    np.testing.assert_allclose(tab2.eval_taylor_map(da), mapped, atol=1e-12)
