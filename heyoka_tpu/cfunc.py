@@ -73,6 +73,21 @@ class cfunc:
         self.dtype = jnp.dtype(dtype)
 
     @property
+    def vars(self) -> list:
+        """The input variable names, in order (reference ``get_vars``)."""
+        return list(self.tape.var_names)
+
+    @property
+    def fn(self) -> list:
+        """The compiled expressions (reference ``get_fn``)."""
+        return list(self.fns)
+
+    @property
+    def dc(self):
+        """The decomposition tape (reference ``get_dc``)."""
+        return self.tape
+
+    @property
     def n_vars(self) -> int:
         return self.tape.n_eq
 

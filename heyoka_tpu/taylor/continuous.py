@@ -216,7 +216,16 @@ class ContinuousOutput:
         scalar = np.ndim(t) == 0
         t = jnp.atleast_1d(jnp.asarray(t, self._tcs.dtype))
         out = np.asarray(self._eval(t))
-        return out[0] if scalar else out
+        self._output = out[0] if scalar else out
+        return self._output
+
+    @property
+    def output(self):
+        """The result of the last evaluation (reference ``get_output``)."""
+        if not hasattr(self, "_output"):
+            self._output = np.zeros((self._tcs.shape[-1],),
+                                    dtype=self._tcs.dtype)
+        return self._output
 
 
 class ContinuousOutputBatch:
