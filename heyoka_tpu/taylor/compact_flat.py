@@ -354,6 +354,11 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             _pp_cache[Bp] = fn
         return fn, Bp
 
+    # norms over the state variables and sv-func outputs, like the
+    # reference (taylor_00.cpp:168-195)
+    norm_cols = np.concatenate([np.arange(n_eq), plan.out_cols]) \
+        if plan.out_cols.size else np.arange(n_eq)
+
     def step(states, pars, t, max_dt):
         B = states.shape[0]
         _pallas_fn, _pallas_B = \
@@ -504,8 +509,15 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                     buf, row0[cols].astype(dt)[:, None, :], (0, 0, 0)
                 )
 
-        def _stage_widen(dt, Kw):
+        def _stage_widen(dt, Kw, sig_e=None):
             for key, buf in stage.items():
+                if sig_e is not None:
+                    # scaled f32 phase: the f64-phase history rows become
+                    # d_k = c_k sig^k (exact power-of-two shifts)
+                    buf = jnp.stack(
+                        [jnp.ldexp(buf[:, k_, :], k_ * sig_e)
+                         for k_ in range(buf.shape[1])], axis=1,
+                    )
                 nbuf = jnp.zeros((buf.shape[0], Kw + 1, B), dt)
                 stage[key] = lax.dynamic_update_slice(
                     nbuf, buf.astype(dt), (0, 0, 0)
@@ -523,9 +535,14 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             dt = ctx["dtype"]
             kf = jnp.asarray(k).astype(dt)
             off = k * B
-            # state variables from the rhs at order k-1
+            # state variables from the rhs at order k-1 (times the
+            # coefficient scale in the scaled f32 phase — see the
+            # scaled-carry note at the seeding site below)
             prev = ctx["blk"](tc, k - 1)
             sv = prev[plan.rhs_cols] / kf
+            sg = ctx.get("sigma")
+            if sg is not None:
+                sv = sv * sg
             tc = _put(tc, sv, 0, k)
             rowk = ctx["blk"](tc, k) if staged else None
             if staged:
@@ -595,15 +612,48 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                     1, lo_end + 1, lambda k, a: body(k, a, ctx64), tc
                 )
 
+        scale32 = False
+        sig_e32 = None
         if use_mp and not dd_run:
             # widen the window to the full order for the f32 phase
             ctx32 = _mkctx(jnp, f32, B, K, three_d=three_d)
+            scale32 = _pallas_fn is None
+            if scale32:
+                # scaled-coefficient carry for the f32 phase (see
+                # pallas_phase._jet_refs): seed d_k = c_k sig^k with a
+                # per-lane power-of-two sig estimated from the exact f64
+                # phase (radius of convergence from orders 0/mp), so
+                # problems with natural timescales far from 1 in the
+                # user's units don't under/overflow the f32 range.  The
+                # scaling is exact; everything is shifted back out below.
+                tcv64 = tc if three_d else tc.reshape(W, lo_end + 1, B)
+                m0v = jnp.max(jnp.abs(tcv64[norm_cols, 0, :]), axis=0)
+                mmp = jnp.max(jnp.abs(tcv64[norm_cols, lo_end, :]), axis=0)
+                est = (jnp.maximum(m0v, 1.0)
+                       / jnp.maximum(mmp, 1e-300)) ** (1.0 / lo_end)
+                sig_e32 = jnp.clip(
+                    jnp.round(jnp.log2(jnp.maximum(est, 1e-300))),
+                    -60.0, 60.0,
+                ).astype(jnp.int32)
+                sig32 = jnp.exp2(sig_e32.astype(f32))
+                seed32 = jnp.stack(
+                    [jnp.ldexp(tcv64[:, k_, :], k_ * sig_e32).astype(f32)
+                     for k_ in range(lo_end + 1)], axis=1,
+                )
+                ctx32["sigma"] = sig32
+            else:
+                seed32 = tc.astype(f32) if three_d else None
             if three_d:
                 tc32 = jnp.zeros((W, K + 1, B), f32)
-                tc32 = lax.dynamic_update_slice(tc32, tc.astype(f32), (0, 0, 0))
+                tc32 = lax.dynamic_update_slice(tc32, seed32, (0, 0, 0))
             else:
                 tc32 = jnp.zeros((W, (K + 1) * B), f32)
-                tc32 = lax.dynamic_update_slice(tc32, tc.astype(f32), (0, 0))
+                tc32 = lax.dynamic_update_slice(
+                    tc32,
+                    (seed32.reshape(W, (lo_end + 1) * B)
+                     if scale32 else tc.astype(f32)),
+                    (0, 0),
+                )
             if _pallas_fn is not None:
                 # whole f32 phase in one VMEM-resident Pallas kernel
                 # (pallas_phase.py; ~3x the XLA phase at the north-star
@@ -611,12 +661,14 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 tc32 = _pallas_fn(tc32)
             else:
                 if staged:
-                    _stage_widen(f32, K)
+                    _stage_widen(f32, K, sig_e=sig_e32 if scale32 else None)
                 if unroll:
                     for k_ in range(mp_order + 1, K + 1):
-                        tc32 = body(k_, tc32,
-                                    _mkctx(jnp, f32, B, K, kwin=k_,
-                                           three_d=three_d, stage=stage))
+                        c32 = _mkctx(jnp, f32, B, K, kwin=k_,
+                                     three_d=three_d, stage=stage)
+                        if scale32:
+                            c32["sigma"] = sig32
+                        tc32 = body(k_, tc32, c32)
                 else:
                     tc32 = lax.fori_loop(
                         mp_order + 1, K + 1, lambda k, a: body(k, a, ctx32),
@@ -628,16 +680,20 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
         # step control + update: norms over the state variables (and
         # sv-func outputs) only, like the reference (taylor_00.cpp:168-195)
-        norm_cols = np.concatenate([np.arange(n_eq), plan.out_cols]) \
-            if plan.out_cols.size else np.arange(n_eq)
         tcv = tc if three_d else tc.reshape(W, lo_end + 1, B)
+        sig_e = sig_e32  # log2 of the coefficient scale (int32) or None
         if dd_run:
             hiv = None
             if _pp_o0:
                 # group-output order-0 values only exist in-kernel
                 m0 = dd_norms[2].astype(dtype)
+                sig64 = dd_norms[3].astype(dtype)
             else:
                 m0 = jnp.max(jnp.abs(tcv[norm_cols, 0, :]), axis=0)
+                sig64 = dd_norms[2].astype(dtype)
+            # the kernel carries d_k = c_k sig^k (pallas_phase._jet_refs
+            # scaled-coefficient carry): norms come out in sig units
+            sig_e = jnp.round(jnp.log2(sig64)).astype(jnp.int32)
             mo1 = dd_norms[0].astype(dtype)
             mo = dd_norms[1].astype(dtype)
         else:
@@ -652,6 +708,10 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         rho = jnp.minimum(
             (num / mo) ** (1.0 / K), (num / mo1) ** (1.0 / (K - 1))
         )
+        if sig_e is not None:
+            # rho in sig units -> real units (exact exponent shift; sig^K
+            # itself may exceed the f64 range, so never form it)
+            rho = jnp.ldexp(rho, sig_e)
         fac = _pymath.exp(-0.7 / (K - 1)) / (_pymath.e * _pymath.e)
         h = jnp.minimum(rho * fac, jnp.abs(max_dt))
         h = jnp.where(max_dt < 0, -h, h)
@@ -659,16 +719,18 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         def coeff(i):
             if dd_run:
                 # double-float reconstruction: exact f64 order 0, hi+lo for
-                # the dd orders, hi only above
+                # the dd orders, hi only above; the kernel rows are scaled
+                # (d_i = c_i sig^i) — shift the exponent back out exactly
                 if i == 0:
                     return tcv[:n_eq, 0, :]
                 c = tc_hi[:n_eq, i, :].astype(dtype)
                 if i <= mp_order:
                     c = c + tc_lo[:n_eq, i, :].astype(dtype)
-                return c
-            src = tcv if (not use_mp or i <= mp_order) else hiv
-            c = src[:n_eq, i, :]
-            return c.astype(dtype)
+                return jnp.ldexp(c, -i * sig_e)
+            if use_mp and i > mp_order:
+                c = hiv[:n_eq, i, :].astype(dtype)
+                return jnp.ldexp(c, -i * sig_e) if scale32 else c
+            return tcv[:n_eq, i, :].astype(dtype)
 
         if jet_mode:
             # (B, K+1, n_sv) coefficients over state vars + sv-func
@@ -687,9 +749,14 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                         ex = tc_hi[n_eq:, i, :].astype(dtype)
                         if i <= mp_order:
                             ex = ex + tc_lo[n_eq:, i, :].astype(dtype)
+                        if i > 0:
+                            ex = jnp.ldexp(ex, -i * sig_e)
+                elif use_mp and i > mp_order:
+                    ex = hiv[ev_ex, i, :].astype(dtype)
+                    if scale32:
+                        ex = jnp.ldexp(ex, -i * sig_e)
                 else:
-                    src = tcv if (not use_mp or i <= mp_order) else hiv
-                    ex = src[ev_ex, i, :].astype(dtype)
+                    ex = tcv[ev_ex, i, :].astype(dtype)
                 return jnp.concatenate([st, ex], axis=0)
 
             tc_sv = jnp.stack([coeff_sv(i) for i in range(K + 1)], 0)

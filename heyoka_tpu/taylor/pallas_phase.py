@@ -791,15 +791,34 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
 # ---------------------------------------------------------------------------
 
 def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
-              ohi_ref, olo_ref, jnp, order0: str):
+              ohi_ref, olo_ref, jnp, order0: str, norm_cols=None,
+              scaled: bool = True):
     """Run (optional in-kernel dd) order 0 plus Taylor orders ``1..K``
     in-place on the ``(W, K+1, bt)`` / ``(W, dd_until+1, bt)`` refs.
 
     Factored from :func:`make_dd_jet_kernel` so the multi-step kernel
     (:func:`make_dd_prop_kernel`) can run the same jet once per step.
-    Returns the ``_vrows`` row gatherer for downstream norm computation.
+    Returns ``(_vrows, sig)`` — the row gatherer for downstream norm
+    computation and the per-lane coefficient scale (see below).
+
+    **Scaled-coefficient carry.** The buffers hold ``d_k = c_k * sig^k``
+    where ``sig`` is a per-lane power of two estimated from orders 0/1
+    (``sig ~ max(m0,1)/max|c_1|`` — a radius-of-convergence estimate,
+    quantized to ``2^e`` so every rescale is *exact*: the recurrences
+    are grade-homogeneous, so only the state-variable rule gains a
+    ``sig`` factor and the f32 rounding of every operation is
+    exponent-equivariant, i.e. bit-identical mantissas).  Without it,
+    problems whose natural timestep is far from 1 in the user's time
+    unit (e.g. LEO dynamics in SI seconds: rho ~ 3e3, c_20 ~ 1e-66)
+    under/overflow the f32 coefficient range — the reference never hits
+    this because its coefficients are f64 (see PERF.md round-2 scaling
+    note).  Callers divide by ``sig^k`` (exactly, via ldexp) on the way
+    out; order-0 rows are unscaled.
     """
     n_eq = plan.n_eq
+    if norm_cols is None:
+        norm_cols = (np.concatenate([np.arange(n_eq), plan.out_cols])
+                     if plan.out_cols.size else np.arange(n_eq))
 
     def _vrows(x, cols):
         r = _contig(cols)
@@ -873,13 +892,17 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
                 DD.with_split(_synth_w(DD, g, _geth0, 0))
             ]
 
+    sig = None
     for k in range(1, K + 1):
         dd = k <= dd_until
         A = DD if dd else F32
 
-        # state variables: sv_k = rhs_{k-1} / k
+        # state variables: sv_k = rhs_{k-1} / k (times the coefficient
+        # scale once it is established — exact, sig is a power of two)
         prev = _read(np.asarray(plan.rhs_cols), k - 1, dd)
         sv = A.scale(_coerce(prev, A), 1.0 / k)
+        if sig is not None:
+            sv = tuple(c * sig for c in sv)
         ohi_ref[0:n_eq, k, :] = sv[0]
         if dd:
             olo_ref[0:n_eq, k, :] = sv[1]
@@ -912,7 +935,25 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
                     DD.with_split(w) if dd else w
                 )
 
-    return _vrows
+        if k == 1 and scaled:
+            # establish the per-lane scale from the (exactly computed,
+            # always f32-representable) orders 0/1, then rescale every
+            # order-1 entry in place — exact (power-of-two factors;
+            # Dekker splits are exponent-equivariant so cached splits
+            # scale componentwise)
+            m0s = jnp.max(jnp.abs(_vrows(ohi_ref[:, 0, :], norm_cols)),
+                          axis=0)
+            m1s = jnp.max(jnp.abs(_vrows(ohi_ref[:, 1, :], norm_cols)),
+                          axis=0)
+            est = jnp.maximum(m0s, 1.0) / jnp.maximum(m1s, 1e-30)
+            sig = jnp.exp2(jnp.clip(jnp.round(
+                jnp.log2(jnp.maximum(est, 1e-30))), -60.0, 60.0))
+            ohi_ref[:, 1, :] = ohi_ref[:, 1, :] * sig
+            olo_ref[:, 1, :] = olo_ref[:, 1, :] * sig
+            for key, h in hist.items():
+                h[1] = tuple(c * sig for c in h[1])
+
+    return _vrows, sig
 
 
 def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
@@ -994,8 +1035,9 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
         ohi_ref[:, 0:2, :] = hi_ref[...]
         olo_ref[:, 0:2, :] = lo_ref[...]
 
-        _vrows = _jet_refs(plan, gops, DD, F32, dd_until, K,
-                           ohi_ref, olo_ref, jnp, order0)
+        _vrows, sig = _jet_refs(plan, gops, DD, F32, dd_until, K,
+                                ohi_ref, olo_ref, jnp, order0,
+                                norm_cols=norm_cols, scaled=slim)
 
         if slim:
             chi_ref[0:n_eq, :, :] = ohi_ref[0:n_eq, :, :]
@@ -1003,6 +1045,8 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
             for xi, xc in enumerate(extra):
                 chi_ref[n_eq + xi, :, :] = ohi_ref[int(xc), :, :]
                 clo_ref[n_eq + xi, :, :] = olo_ref[int(xc), :, :]
+            # scaled norms (the XLA side folds sig back in, which it
+            # reads from the last norm row)
             nrm_ref[0, :] = jnp.max(
                 jnp.abs(_vrows(ohi_ref[:, K - 1, :], norm_cols)), axis=0
             )
@@ -1015,9 +1059,10 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
                 nrm_ref[2, :] = jnp.max(
                     jnp.abs(_vrows(ohi_ref[:, 0, :], norm_cols)), axis=0
                 )
+            nrm_ref[3 if order0 == "dd" else 2, :] = sig
 
     z32 = np.int32(0)
-    n_nrm = 3 if order0 == "dd" else 2
+    n_nrm = 4 if order0 == "dd" else 3
     if slim:
         out_specs = [
             pl.BlockSpec((n_sv, K + 1, bt), lambda i: (z32, z32, i)),
@@ -1197,13 +1242,18 @@ def make_dd_prop_kernel(plan, dd_until: int, K: int, B: int, n_steps: int,
             near = oi_ref[1, :] > 0
             errf = oi_ref[2, :] > 0
 
-            # current state into the order-0 rows; jet in-place
+            # current state into the order-0 rows; jet in-place (scaled
+            # carry: rows hold d_k = c_k sig^k, see _jet_refs)
             ohi_ref[0:n_eq, 0, :] = sh
             olo_ref[0:n_eq, 0, :] = sl
-            vrows = _jet_refs(plan, gops, DD, F32, dd_until, K,
-                              ohi_ref, olo_ref, jnp, "dd")
+            vrows, sig = _jet_refs(plan, gops, DD, F32, dd_until, K,
+                                   ohi_ref, olo_ref, jnp, "dd",
+                                   norm_cols=norm_cols)
 
-            # Jorba's rho with safety factor (stepper.determine_h), f32
+            # Jorba's rho with safety factor (stepper.determine_h), f32;
+            # the norms are over scaled rows, so the rho estimates come
+            # out in sig units — u below is h/sig, and the true h folds
+            # sig back in (exactly: sig is a power of two)
             m0 = jnp.max(jnp.abs(vrows(ohi_ref[:, 0, :], norm_cols)),
                          axis=0)
             mo1 = jnp.max(jnp.abs(vrows(ohi_ref[:, K - 1, :], norm_cols)),
@@ -1217,11 +1267,13 @@ def make_dd_prop_kernel(plan, dd_until: int, K: int, B: int, n_steps: int,
             r_o1 = jnp.where(mo1 > 0.0,
                              jnp.exp(jnp.log(num / mo1) * f32(1.0 / (K - 1))),
                              big)
-            h = jnp.minimum(jnp.minimum(r_o, r_o1) * rhofac, mdt)
+            h = jnp.minimum(jnp.minimum(r_o, r_o1) * rhofac * sig, mdt)
+            u = h / sig  # exact: sig is a power of two
 
             near_now = act & (h >= rem_h)
             take = act & ~near_now & (ns < budget)
-            hs = h * dirv
+            hs = h * dirv        # real signed step (time/statistics)
+            us = u * dirv        # scaled signed step (Horner over d_k)
 
             # Horner over the state rows: the tail orders (> dd_until)
             # only carry f32 coefficients, so their accumulation runs in
@@ -1230,12 +1282,13 @@ def make_dd_prop_kernel(plan, dd_until: int, K: int, B: int, n_steps: int,
             # nothing beyond the error the tail terms already carry; the
             # dd (two-f32) phase picks up from order dd_until down
             # (compensation in the lo limb; matches the XLA side's f64
-            # ceval to ~2^-48)
+            # ceval to ~2^-48).  The rows hold d_k = c_k sig^k, so the
+            # evaluation variable is u = h/sig: sum d_k u^k = sum c_k h^k.
             dd_start = min(dd_until, K - 1)
             res32 = ohi_ref[0:n_eq, K, :]
             for j in range(K - 1, dd_start, -1):
-                res32 = ohi_ref[0:n_eq, j, :] + res32 * hs
-            hdd = (hs, jnp.zeros_like(hs))
+                res32 = ohi_ref[0:n_eq, j, :] + res32 * us
+            hdd = (us, jnp.zeros_like(us))
             res = (res32, jnp.zeros((n_eq, btc), f32))
             for j in range(dd_start, -1, -1):
                 cj = ((sh, sl) if j == 0 else
@@ -1255,7 +1308,8 @@ def make_dd_prop_kernel(plan, dd_until: int, K: int, B: int, n_steps: int,
             nrem = DD.sub((rem_h, rem_l), (h, jnp.zeros_like(h)))
             wk_ref[0, :] = jnp.where(step_t, nrem[0], rem_h)
             wk_ref[1, :] = jnp.where(step_t, nrem[1], rem_l)
-            nacc = DD.add((of_ref[0, :], of_ref[1, :]), hdd)
+            nacc = DD.add((of_ref[0, :], of_ref[1, :]),
+                          (hs, jnp.zeros_like(hs)))
             of_ref[0, :] = jnp.where(step_t, nacc[0], of_ref[0, :])
             of_ref[1, :] = jnp.where(step_t, nacc[1], of_ref[1, :])
             of_ref[2, :] = jnp.where(step_t,

@@ -416,3 +416,51 @@ def test_batch_integrator_flat_grid():
     np.testing.assert_allclose(rf[4], rl[4], rtol=0, atol=5e-13)
     np.testing.assert_array_equal(rf[3], rl[3])
     np.testing.assert_allclose(ta_f.state, ta_l.state, rtol=0, atol=5e-13)
+
+
+def test_scaled_carry_extreme_time_units():
+    # LEO-like two-body dynamics in km / km/s with time in SECONDS:
+    # rho ~ 1e3, c_20 ~ 1e-60 — far outside the f32 coefficient range.
+    # The mixed-precision/dd engines carry d_k = c_k sig^k with a
+    # power-of-two per-lane sig (pallas_phase._jet_refs scaled carry), so
+    # they must pick the same adaptive h as the f64 loop engine (to f32
+    # resolution) and match its state at a clamped common step to dd
+    # accuracy.  Reference behavior: heyoka is unit-agnostic (f64
+    # coefficients) — this is the TPU engines' equivalent guarantee.
+    import heyoka_tpu as hy
+    from heyoka_tpu.models import nbody
+
+    mu = 398600.4415  # km^3/s^2
+    sys_ = nbody(2, masses=[1.0, 0.0], Gconst=mu)
+    ic = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                   7000.0, 0.0, 0.0, 0.0, 7.546049108166282, 0.0])
+    st = np.tile(ic, (4, 1))
+    ref = hy.taylor_adaptive_batch(
+        sys_, st.copy(), tol=1e-15, high_accuracy=True, compact_mode=True)
+    ref.step()
+    h_ref = float(np.asarray(ref.last_h)[0])
+    assert 50.0 < h_ref < 5000.0
+
+    ref2 = hy.taylor_adaptive_batch(
+        sys_, st.copy(), tol=1e-15, high_accuracy=True, compact_mode=True)
+    ref2.step(100.0)
+
+    for kw in (dict(compact_mode="flat", mp_order=8),
+               dict(compact_mode="flat", mp_order=8,
+                    pallas_phase="dd-interpret")):
+        tab = hy.taylor_adaptive_batch(
+            sys_, st.copy(), tol=1e-15, high_accuracy=True, **kw)
+        tab.step()
+        h = float(np.asarray(tab.last_h)[0])
+        # f32 norms of the (cancellation-heavy, near-circular) order-20
+        # coefficients move h by a few percent — an equally valid
+        # adaptive step (pre-existing mp-engine property, independent of
+        # the scaled carry; the guarantee that matters is the same-h
+        # state agreement below)
+        assert abs(h - h_ref) / h_ref < 0.05, (kw, h, h_ref)
+        tab2 = hy.taylor_adaptive_batch(
+            sys_, st.copy(), tol=1e-15, high_accuracy=True, **kw)
+        tab2.step(100.0)
+        rel = np.max(np.abs(np.asarray(tab2.state) - np.asarray(ref2.state))
+                     ) / np.max(np.abs(np.asarray(ref2.state)))
+        assert rel < 1e-13, (kw, rel)
