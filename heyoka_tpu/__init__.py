@@ -64,13 +64,15 @@ from .taylor.stepper import taylor_order_from_tol  # noqa: E402
 
 def recommended_simd_size(dtype=None) -> int:
     """The natural batch width of the attached backend — the analog of
-    heyoka's ``recommended_simd_size<T>()`` (``llvm_state.hpp:88-110``):
-    the TPU VPU lane width (128, also the Pallas kernel batch tile) on
-    TPU, a vector-register-ish 8 elsewhere.  Batch sizes that are a
-    multiple of this fill every lane of the batched engines."""
+    heyoka's ``recommended_simd_size<T>()`` (``llvm_state.hpp:88-110``).
+    On an accelerator backend this is the 128-lane vector tile (also the
+    Pallas kernel batch tile — the same for f32 and f64, since TPU f64
+    is emulated on f32 lanes, so ``dtype`` is accepted only for API
+    parity); on CPU it is a vector-register-ish 8.  Batch sizes that are
+    a multiple of this fill every lane of the batched engines."""
     import jax as _j
 
-    return 128 if _j.default_backend() not in ("cpu",) else 8
+    return 8 if _j.default_backend() == "cpu" else 128
 from .taylor.events import t_event, nt_event, EventDirection  # noqa: E402
 from .cfunc import cfunc, make_cfunc  # noqa: E402
 from .lagham import lagrangian, hamiltonian  # noqa: E402

@@ -617,7 +617,9 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         if use_mp and not dd_run:
             # widen the window to the full order for the f32 phase
             ctx32 = _mkctx(jnp, f32, B, K, three_d=three_d)
-            scale32 = _pallas_fn is None
+            # the scale estimate needs at least one exact f64 order
+            # (mp_order=0 keeps the pre-existing unscaled behavior)
+            scale32 = _pallas_fn is None and lo_end >= 1
             if scale32:
                 # scaled-coefficient carry for the f32 phase (see
                 # pallas_phase._jet_refs): seed d_k = c_k sig^k with a

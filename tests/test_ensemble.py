@@ -264,3 +264,28 @@ def test_ensemble_flat_batch_matches_loop():
     np.testing.assert_array_equal(
         np.asarray(res_f["nsteps"]), np.asarray(res_l["nsteps"])
     )
+
+
+def test_ensemble_flat_batch_with_events(rng):
+    # flat-engine batch ensemble with a terminal event: reuses the
+    # integrator's own (jet_mode) batch event step and must match the
+    # loop-engine ensemble lane by lane
+    states = 0.05 + 0.01 * rng.standard_normal((2, 4, 2))
+    x, v = hy.make_vars("x", "v")
+    res = {}
+    for key, cm in (("flat", "flat"), ("loop", True)):
+        tab = hy.taylor_adaptive_batch(
+            pendulum(), states[0].copy(), tol=1e-12, compact_mode=cm,
+            t_events=[t_event(v)],
+        )
+        res[key] = hy.ensemble_propagate_until_batch(
+            tab, 50.0, 2, {"state": states}
+        )
+    np.testing.assert_array_equal(
+        np.asarray(res["flat"]["outcome"]), np.asarray(res["loop"]["outcome"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["flat"]["time"]), np.asarray(res["loop"]["time"]),
+        rtol=0, atol=1e-10,
+    )
+    assert np.all(np.asarray(res["flat"]["outcome"]) == 0)
