@@ -15,6 +15,7 @@ FAST = [
     "04_events.py",
     "05_variational.py",
     "10_checkpointing.py",
+    "13_physical_units_leo.py",
 ]
 
 
