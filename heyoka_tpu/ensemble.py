@@ -166,9 +166,11 @@ def ensemble_propagate_until(
         from .taylor.compact_flat import make_propagate_until_flat
 
         puf = None
-        if (getattr(ta, "_fused_prop", "auto") in ("auto", True)
+        fused_setting = getattr(ta, "_fused_prop", "auto")
+        if (fused_setting in ("auto", True)
                 and getattr(ta, "_pallas_phase", False)
-                in ("dd", "dd-interpret")):
+                in ("dd", "dd-interpret")
+                and getattr(ta, "_mp_order", None) is not None):
             from .taylor.pallas_phase import UnsupportedPallasOp
             from .taylor.fused import make_propagate_until_fused
 
@@ -176,10 +178,14 @@ def ensemble_propagate_until(
                 puf = make_propagate_until_fused(
                     ta._tape, ta._order, dtype=dtype,
                     high_accuracy=ta._high_accuracy,
-                    mp_order=getattr(ta, "_mp_order", None) or 8,
+                    mp_order=ta._mp_order,
                     pallas_phase=ta._pallas_phase,
                 )
             except UnsupportedPallasOp:
+                # mirror _pu_jit (batch.py): an explicit fused_prop=True
+                # is an error on unsupported tapes, "auto" falls back
+                if fused_setting is True:
+                    raise
                 puf = None
         if puf is None:
             puf = make_propagate_until_flat(
@@ -258,25 +264,34 @@ def _ensemble_propagate_until_ev(
     key = ("until_ev", mdt, _mesh_key(mesh))
     fn = cache.get(key) if cache is not None else None
     if fn is None:
-        flat_jet = None
-        if getattr(ta, "_flat", False):
-            # the event jet rides the staged flat / dd-Pallas engine
-            # (jet_mode), like TaylorAdaptiveBatch's own event step
-            from .taylor.compact_flat import (
-                jit_flat_step, make_batched_step_flat,
-            )
+        is_flat = getattr(ta, "_flat", False)
+        if is_flat:
+            from .taylor.compact_flat import jit_flat_step
+        # batch ensembles reuse the integrator's own batch event step
+        # (byte-identical construction: same tape/events/engine — the
+        # shim forwards it, and rebuilding a Pallas-bearing jet costs
+        # tens of seconds, PERF.md ensemble audit).  A scalar ta's
+        # _ev_step_raw is the per-trajectory step — NOT reusable here.
+        ev_b = (getattr(ta, "_ev_step_raw", None)
+                if isinstance(ta, _BatchShim) else None)
+        if ev_b is None:
+            flat_jet = None
+            if is_flat:
+                # the event jet rides the staged flat / dd-Pallas engine
+                # (jet_mode), like TaylorAdaptiveBatch's own event step
+                from .taylor.compact_flat import make_batched_step_flat
 
-            flat_jet = make_batched_step_flat(
-                ta._tape, ta._order, dtype=dtype,
-                high_accuracy=ta._high_accuracy,
-                mp_order=getattr(ta, "_mp_order", None),
-                layout="3d", unroll=True, staged=True,
-                pallas_phase=getattr(ta, "_pallas_phase", False),
-                jet_mode=True,
+                flat_jet = make_batched_step_flat(
+                    ta._tape, ta._order, dtype=dtype,
+                    high_accuracy=ta._high_accuracy,
+                    mp_order=getattr(ta, "_mp_order", None),
+                    layout="3d", unroll=True, staged=True,
+                    pallas_phase=getattr(ta, "_pallas_phase", False),
+                    jet_mode=True,
+                )
+            ev_b = build_event_step_batch(
+                ta._fns, tes, ntes, dtype, ta._tol, flat_jet=flat_jet,
             )
-        ev_b = build_event_step_batch(
-            ta._fns, tes, ntes, dtype, ta._tol, flat_jet=flat_jet,
-        )
         pu = make_propagate_until_ev_batch(
             ev_b, ta._order, ta.dim, len(tes), len(ntes),
         )
@@ -289,10 +304,10 @@ def _ensemble_propagate_until_ev(
             )
 
         shfn = _mesh_shard(shard_fn, mesh, 10)
-        if flat_jet is not None:
-            fn = jit_flat_step(shfn)
-        else:
-            fn = jax.jit(shfn)
+        # a flat-engine jet inside the driver needs the CPU pass
+        # workarounds regardless of whether the step was reused or
+        # rebuilt (jit_flat_step is a plain jit on TPU)
+        fn = jit_flat_step(shfn) if is_flat else jax.jit(shfn)
         if cache is not None:
             cache[key] = fn
 
@@ -427,11 +442,49 @@ def _ensemble_propagate_until_host_ev(
     import copy
 
     if isinstance(ta, _BatchShim):
-        raise NotImplementedError(
-            "batch ensembles do not support terminal-event callbacks; "
-            "use a scalar ensemble or propagate the batch integrator "
-            "directly"
-        )
+        # batch ensembles: one deep-copied working copy of the batch
+        # integrator steps each instance's lane block through its own
+        # host event driver (te callbacks receive the live batch
+        # integrator and the lane index, like the direct call)
+        tab = copy.deepcopy(ta._tab)
+        b = tab.batch_size
+        n_inst = n_iter // b
+        dim = tab.dim
+        out_state = np.empty((n_iter, dim))
+        out_time = np.empty((n_iter,))
+        oc = np.full((n_iter,), int(TaylorOutcome.time_limit), np.int32)
+        min_h = np.full((n_iter,), _pymath.inf)
+        max_h = np.zeros((n_iter,))
+        nsteps = np.zeros((n_iter,), np.int64)
+        te_idx = np.full((n_iter,), -1, np.int32)
+        t_arr = np.broadcast_to(np.asarray(t, np.float64), (n_iter,))
+        for i in range(n_inst):
+            sl = slice(i * b, (i + 1) * b)
+            tab.state = states[sl][:, :dim]
+            tab.pars = pars[sl]
+            tab.set_time(times[sl])
+            tab.reset_cooldowns()
+            ocs, mn, mx, ns = tab.propagate_until(
+                t_arr[sl], max_delta_t=max_delta_t, max_steps=max_steps,
+            )
+            out_state[sl] = np.asarray(tab.state)[:, :dim]
+            out_time[sl] = np.asarray(tab.time)
+            for j, o in enumerate(ocs):
+                oc[i * b + j] = int(o)
+                if int(o) >= 0:
+                    te_idx[i * b + j] = int(o)
+            min_h[sl] = np.minimum(min_h[sl], np.asarray(mn))
+            max_h[sl] = np.maximum(max_h[sl], np.asarray(mx))
+            nsteps[sl] += np.asarray(ns)
+        return {
+            "state": out_state,
+            "time": out_time,
+            "outcome": oc,
+            "min_h": min_h,
+            "max_h": max_h,
+            "nsteps": nsteps,
+            "te_idx": te_idx,
+        }
     # deepcopy goes through the pickle protocol for the integrator state
     # but keeps callback closures by reference (locals cannot pickle)
     tai = copy.deepcopy(ta)
@@ -443,13 +496,14 @@ def _ensemble_propagate_until_host_ev(
     max_h = np.zeros((n_iter,))
     nsteps = np.zeros((n_iter,), np.int64)
     te_idx = np.full((n_iter,), -1, np.int32)
+    t_arr = np.broadcast_to(np.asarray(t, np.float64), (n_iter,))
     for i in range(n_iter):
         tai.state = states[i]
         tai.pars = pars[i]
         tai.time = float(times[i])
         tai.reset_cooldowns()
         o, mn, mx, ns = tai.propagate_until(
-            float(t), max_delta_t=max_delta_t, max_steps=max_steps,
+            float(t_arr[i]), max_delta_t=max_delta_t, max_steps=max_steps,
         )
         out_state[i] = np.asarray(tai.state)[:dim]
         out_time[i] = tai.time
@@ -618,6 +672,7 @@ class _BatchShim:
     """Adapts a TaylorAdaptiveBatch to the scalar ensemble driver."""
 
     def __init__(self, tab):
+        self._tab = tab
         self.dim = tab.dim
         self._tape = tab._tape
         self._dtype = tab._dtype

@@ -289,3 +289,43 @@ def test_ensemble_flat_batch_with_events(rng):
         rtol=0, atol=1e-10,
     )
     assert np.all(np.asarray(res["flat"]["outcome"]) == 0)
+
+
+def test_ensemble_batch_te_callbacks(rng):
+    # batch ensembles with terminal-event CALLBACKS: each instance's lane
+    # block runs the batch integrator's own host event driver; hits and
+    # final states must match direct per-instance propagation
+    states = 0.05 + 0.01 * rng.standard_normal((2, 3, 2))
+    x, v = hy.make_vars("x", "v")
+    hits_e = []
+    hits_d = []
+
+    def mk(rec):
+        def cb(tb, d_sgn, lane):
+            rec.append((round(float(np.asarray(tb.time)[lane]), 9), lane))
+            return True  # continue through the turning point
+
+        return cb
+
+    tab_e = hy.taylor_adaptive_batch(
+        pendulum(), states[0].copy(), tol=1e-12,
+        t_events=[t_event(v, callback=mk(hits_e), cooldown=0.3)],
+    )
+    res = hy.ensemble_propagate_until_batch(
+        tab_e, 5.0, 2, {"state": states}
+    )
+    assert res["state"].shape == (2, 3, 2)
+    np.testing.assert_allclose(np.asarray(res["time"]), 5.0, atol=1e-12)
+    # direct per-instance propagation for comparison
+    for i in range(2):
+        tab_d = hy.taylor_adaptive_batch(
+            pendulum(), states[i].copy(), tol=1e-12,
+            t_events=[t_event(v, callback=mk(hits_d), cooldown=0.3)],
+        )
+        tab_d.propagate_until(5.0)
+        np.testing.assert_allclose(
+            np.asarray(res["state"][i]), np.asarray(tab_d.state),
+            rtol=0, atol=1e-13,
+        )
+    assert sorted(hits_e) == sorted(hits_d)
+    assert len(hits_e) > 0
