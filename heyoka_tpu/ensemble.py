@@ -544,11 +544,48 @@ def _ensemble_propagate_grid_host_ev(
     import copy
 
     if isinstance(ta, _BatchShim):
-        raise NotImplementedError(
-            "batch ensembles do not support grids with events; use a "
-            "scalar ensemble or the batch integrator's own "
-            "propagate_grid"
-        )
+        # batch ensembles: one deep-copied working copy of the batch
+        # integrator runs each instance's lane block through its own
+        # event-aware propagate_grid (stepwise host driver)
+        tab = copy.deepcopy(ta._tab)
+        b = tab.batch_size
+        n_inst = n_iter // b
+        dim = tab.dim
+        grid = np.asarray(grid, dtype=ta._dtype)
+        ngrid = grid.shape[0]
+        out = np.full((n_iter, ngrid, dim), np.nan)
+        out_state = np.empty((n_iter, dim))
+        out_time = np.empty((n_iter,))
+        oc = np.full((n_iter,), int(TaylorOutcome.time_limit), np.int32)
+        min_h = np.full((n_iter,), _pymath.inf)
+        max_h = np.zeros((n_iter,))
+        nsteps = np.zeros((n_iter,), np.int64)
+        for i in range(n_inst):
+            sl = slice(i * b, (i + 1) * b)
+            tab.state = states[sl][:, :dim]
+            tab.pars = pars[sl]
+            tab.set_time(times[sl])
+            tab.reset_cooldowns()
+            ocs, mn, mx, ns, res = tab.propagate_grid(
+                grid, max_delta_t=max_delta_t, max_steps=max_steps,
+            )
+            out[sl] = np.asarray(res)
+            out_state[sl] = np.asarray(tab.state)[:, :dim]
+            out_time[sl] = np.asarray(tab.time)
+            for j, o in enumerate(ocs):
+                oc[i * b + j] = int(o)
+            min_h[sl] = np.minimum(min_h[sl], np.asarray(mn))
+            max_h[sl] = np.maximum(max_h[sl], np.asarray(mx))
+            nsteps[sl] += np.asarray(ns)
+        return {
+            "out": out,
+            "state": out_state,
+            "time": out_time,
+            "outcome": oc,
+            "min_h": min_h,
+            "max_h": max_h,
+            "nsteps": nsteps,
+        }
     tai = copy.deepcopy(ta)
     grid = np.asarray(grid, dtype=ta._dtype)
     ngrid = grid.shape[0]

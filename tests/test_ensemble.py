@@ -329,3 +329,26 @@ def test_ensemble_batch_te_callbacks(rng):
         )
     assert sorted(hits_e) == sorted(hits_d)
     assert len(hits_e) > 0
+
+
+def test_ensemble_batch_grid_with_events(rng):
+    # batch ensemble grids over event-carrying integrators route through
+    # the batch integrator's event-aware propagate_grid per instance
+    states = 0.05 + 0.01 * rng.standard_normal((2, 3, 2))
+    x, v = hy.make_vars("x", "v")
+    grid = np.linspace(0.0, 3.0, 5)
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), states[0].copy(), tol=1e-12,
+        nt_events=[nt_event(x, callback=lambda tb, t, d, lane: None)],
+    )
+    res = hy.ensemble_propagate_grid_batch(tab, grid, 2, {"state": states})
+    assert res["out"].shape == (2, 3, 5, 2)
+    for i in range(2):
+        tab_d = hy.taylor_adaptive_batch(
+            pendulum(), states[i].copy(), tol=1e-12,
+            nt_events=[nt_event(x, callback=lambda tb, t, d, lane: None)],
+        )
+        *_, out_d = tab_d.propagate_grid(grid)
+        np.testing.assert_allclose(
+            np.asarray(res["out"][i]), np.asarray(out_d), rtol=0, atol=1e-12
+        )
