@@ -34,6 +34,40 @@ from .compact_loop import UnsupportedLoopOp, _pow0_vec_b
 _F_RULES: dict = {}
 
 
+def _ldexp2(jnp, x, e):
+    """Exact ``x * 2**e`` for per-element int32 ``e`` without bitcasts.
+
+    ``jnp.ldexp`` lowers through ``frexp``'s s64 ``bitcast-convert``,
+    which the TPU X64 rewriter rejects ("While rewriting computation to
+    not contain X64 element types... not implemented") — so the sig-scaled
+    engines could not compile on hardware.  This builds the shift out of
+    exact power-of-two *factors*: chunks of ``2**±512`` plus a 9-bit
+    remainder.  Each multiply is exact in binary FP (pure exponent
+    arithmetic) and every applied factor has the sign of ``e``, so partial
+    results move monotonically from ``|x|`` to the final magnitude —
+    nothing transiently over/underflows that the true ``ldexp`` wouldn't.
+    Covers |e| ≤ 3071 (the engines bound |e| ≤ K*126 ≈ 2.5k); subnormal /
+    overflow endpoints round exactly like a plain multiply.
+    """
+    dt = x.dtype
+    e = e.astype(jnp.int32)
+    neg = e < 0
+    rem = jnp.minimum(jnp.abs(e), 3071)
+    one = jnp.asarray(1.0, dt)
+    big = jnp.where(neg, jnp.asarray(2.0 ** -512, dt),
+                    jnp.asarray(2.0 ** 512, dt))
+    for _ in range(5):
+        take = rem >= 512
+        x = x * jnp.where(take, big, one)
+        rem = rem - jnp.where(take, 512, 0)
+    for j in range(9):
+        p = 1 << j
+        fac = jnp.where(neg, jnp.asarray(2.0 ** -p, dt),
+                        jnp.asarray(2.0 ** p, dt))
+        x = x * jnp.where((rem & p) != 0, fac, one)
+    return x
+
+
 def _rule(name):
     def deco(fn):
         _F_RULES[name] = fn
@@ -515,7 +549,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                     # scaled f32 phase: the f64-phase history rows become
                     # d_k = c_k sig^k (exact power-of-two shifts)
                     buf = jnp.stack(
-                        [jnp.ldexp(buf[:, k_, :], k_ * sig_e)
+                        [_ldexp2(jnp, buf[:, k_, :], k_ * sig_e)
                          for k_ in range(buf.shape[1])], axis=1,
                     )
                 nbuf = jnp.zeros((buf.shape[0], Kw + 1, B), dt)
@@ -637,9 +671,9 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                     jnp.round(jnp.log2(jnp.maximum(est, 1e-300))),
                     -60.0, 60.0,
                 ).astype(jnp.int32)
-                sig32 = jnp.exp2(sig_e32.astype(f32))
+                sig32 = _ldexp2(jnp, jnp.ones_like(sig_e32, f32), sig_e32)
                 seed32 = jnp.stack(
-                    [jnp.ldexp(tcv64[:, k_, :], k_ * sig_e32).astype(f32)
+                    [_ldexp2(jnp, tcv64[:, k_, :], k_ * sig_e32).astype(f32)
                      for k_ in range(lo_end + 1)], axis=1,
                 )
                 ctx32["sigma"] = sig32
@@ -713,7 +747,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         if sig_e is not None:
             # rho in sig units -> real units (exact exponent shift; sig^K
             # itself may exceed the f64 range, so never form it)
-            rho = jnp.ldexp(rho, sig_e)
+            rho = _ldexp2(jnp, rho, sig_e)
         fac = _pymath.exp(-0.7 / (K - 1)) / (_pymath.e * _pymath.e)
         h = jnp.minimum(rho * fac, jnp.abs(max_dt))
         h = jnp.where(max_dt < 0, -h, h)
@@ -728,10 +762,10 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 c = tc_hi[:n_eq, i, :].astype(dtype)
                 if i <= mp_order:
                     c = c + tc_lo[:n_eq, i, :].astype(dtype)
-                return jnp.ldexp(c, -i * sig_e)
+                return _ldexp2(jnp, c, -i * sig_e)
             if use_mp and i > mp_order:
                 c = hiv[:n_eq, i, :].astype(dtype)
-                return jnp.ldexp(c, -i * sig_e) if scale32 else c
+                return _ldexp2(jnp, c, -i * sig_e) if scale32 else c
             return tcv[:n_eq, i, :].astype(dtype)
 
         if jet_mode:
@@ -752,11 +786,11 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                         if i <= mp_order:
                             ex = ex + tc_lo[n_eq:, i, :].astype(dtype)
                         if i > 0:
-                            ex = jnp.ldexp(ex, -i * sig_e)
+                            ex = _ldexp2(jnp, ex, -i * sig_e)
                 elif use_mp and i > mp_order:
                     ex = hiv[ev_ex, i, :].astype(dtype)
                     if scale32:
-                        ex = jnp.ldexp(ex, -i * sig_e)
+                        ex = _ldexp2(jnp, ex, -i * sig_e)
                 else:
                     ex = tcv[ev_ex, i, :].astype(dtype)
                 return jnp.concatenate([st, ex], axis=0)

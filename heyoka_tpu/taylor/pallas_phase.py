@@ -946,8 +946,23 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
             m1s = jnp.max(jnp.abs(_vrows(ohi_ref[:, 1, :], norm_cols)),
                           axis=0)
             est = jnp.maximum(m0s, 1.0) / jnp.maximum(m1s, 1e-30)
-            sig = jnp.exp2(jnp.clip(jnp.round(
-                jnp.log2(jnp.maximum(est, 1e-30))), -60.0, 60.0))
+            sig_e = jnp.clip(jnp.round(
+                jnp.log2(jnp.maximum(est, 1e-30))), -60.0, 60.0
+            ).astype(jnp.int32)
+            # exp2 is NOT guaranteed exact at integer args (measured off
+            # by ulps on XLA:CPU); sig must be an exact power of two or
+            # the d_k = c_k sig^k carry stops being a pure exponent
+            # shift.  Build it from exact power-of-two factors instead
+            # (6 bits cover |e| <= 60; every multiply is exact).
+            neg_s = sig_e < 0
+            rem_s = jnp.abs(sig_e)
+            sig = jnp.ones_like(est)
+            for _j in range(6):
+                _p = 1 << _j
+                _fac = jnp.where(neg_s, jnp.float32(2.0 ** -_p),
+                                 jnp.float32(2.0 ** _p))
+                sig = sig * jnp.where((rem_s & _p) != 0, _fac,
+                                      jnp.float32(1.0))
             ohi_ref[:, 1, :] = ohi_ref[:, 1, :] * sig
             olo_ref[:, 1, :] = olo_ref[:, 1, :] * sig
             for key, h in hist.items():
