@@ -351,10 +351,30 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
 
     n_slots = n_nte * MAX_ROOTS
 
+    # deferred-isolation hooks: for nt-only configurations the step
+    # sequence does not depend on the event results, so the loop body
+    # records the raw event-polynomial rows and ONE batched isolation
+    # sweep runs per chunk over all (chunk * B * ne) rows — the per-step
+    # isolation graph (tree matmul + two lax.conds + top_k + refinement)
+    # leaves the while_loop entirely.  This is the TPU answer to the
+    # reference's per-step SIMD ``ed_data_batch::detect_events``
+    # (src/detail/event_detection.cpp:1733): same roots, amortized
+    # dispatch.
+    _plain_step = getattr(ev_step_b, "plain_step_b", None)
+    _find_roots = getattr(ev_step_b, "find_roots_b", None)
+    _nt_dirs = getattr(ev_step_b, "nt_dirs", None)
+    _defer_ok = (n_te == 0 and n_nte > 0 and _plain_step is not None
+                 and _find_roots is not None)
+    #: record-buffer budget for the deferred path (bytes)
+    _DEFER_BUDGET = 512 * 2**20
+
     def pu(state, pars, t_hi, t_lo, target_hi, target_lo, max_delta_t,
            max_steps, cooldowns, active, last_h=None, tc=None):
         dtype = state.dtype
         B = state.shape[0]
+        deferred = _defer_ok and (
+            chunk * B * n_nte * (order + 1) * 8 <= _DEFER_BUDGET
+        )
         zero = jnp.zeros((B,), dtype)
         if last_h is None:
             last_h = zero
@@ -382,10 +402,20 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
             cooldowns=cooldowns,
             te_idx=jnp.full((B,), jnp.int32(-1)),
             te_sgn=jnp.zeros((B,), jnp.int32),
-            rec_t=jnp.zeros((chunk, B, n_slots), dtype),
-            rec_sgn=jnp.zeros((chunk, B, n_slots), jnp.int8),
             it=jnp.int32(0),
         )
+        if deferred:
+            init.update(
+                ev_rec=jnp.zeros((chunk, B, n_nte, order + 1), dtype),
+                h_rec=jnp.zeros((chunk, B), dtype),
+                t0_rec=jnp.zeros((chunk, B), dtype),
+                live_rec=jnp.zeros((chunk, B), bool),
+            )
+        else:
+            init.update(
+                rec_t=jnp.zeros((chunk, B, n_slots), dtype),
+                rec_sgn=jnp.zeros((chunk, B, n_slots), jnp.int8),
+            )
 
         def cond(c):
             return jnp.any(~c["done"]) & (c["it"] < chunk)
@@ -395,9 +425,19 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
             cap = jnp.minimum(jnp.abs(rem), max_delta_t)
             dt = jnp.where(fwd, cap, -cap)
 
-            res = ev_step_b(
-                c["state"], pars, c["t_hi"], c["t_lo"], dt, c["cooldowns"]
-            )
+            if deferred:
+                res = _plain_step(c["state"], pars, c["t_hi"], c["t_lo"], dt)
+                res = dict(
+                    res,
+                    te_idx=jnp.full((B,), jnp.int32(-1)),
+                    te_sgn=jnp.zeros((B,), jnp.int32),
+                    cooldowns=c["cooldowns"],
+                )
+            else:
+                res = ev_step_b(
+                    c["state"], pars, c["t_hi"], c["t_lo"], dt,
+                    c["cooldowns"]
+                )
 
             live = ~c["done"]
             finite = res["outcome"] != jnp.int32(TaylorOutcome.err_nf_state)
@@ -431,7 +471,24 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
                 return jnp.where(lv, new, old)
 
             it = c["it"]
-            if n_slots:
+            rec = {}
+            if deferred:
+                # record the raw event-polynomial rows; isolation runs
+                # once per chunk after the loop
+                z = jnp.int32(0)
+                rec["ev_rec"] = lax.dynamic_update_slice(
+                    c["ev_rec"], res["ev_row"][None], (it, z, z, z)
+                )
+                rec["h_rec"] = lax.dynamic_update_slice(
+                    c["h_rec"], res["last_h"][None], (it, z)
+                )
+                rec["t0_rec"] = lax.dynamic_update_slice(
+                    c["t0_rec"], c["t_hi"][None], (it, z)
+                )
+                rec["live_rec"] = lax.dynamic_update_slice(
+                    c["live_rec"], live[None], (it, z)
+                )
+            elif n_slots:
                 # step-major record write: a dynamic index on the LEADING
                 # dim lowers to a true in-place slice update; the lane-major
                 # form was measured as a full-buffer masked write per step
@@ -441,15 +498,15 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
                     hit, (res["nt_sgn"] + 2).astype(jnp.int8),
                     jnp.int8(0),
                 )
-                rec_t = lax.dynamic_update_slice(
+                rec["rec_t"] = lax.dynamic_update_slice(
                     c["rec_t"], res["nt_times"][None], (it, z, z)
                 )
-                rec_sgn = lax.dynamic_update_slice(
+                rec["rec_sgn"] = lax.dynamic_update_slice(
                     c["rec_sgn"], sgn_row[None], (it, z, z)
                 )
             else:
-                rec_t = c["rec_t"]
-                rec_sgn = c["rec_sgn"]
+                rec["rec_t"] = c["rec_t"]
+                rec["rec_sgn"] = c["rec_sgn"]
 
             return dict(
                 state=sel(res["state"], c["state"]),
@@ -471,12 +528,38 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
                     jnp.where(te_hit, res["te_sgn"], c["te_sgn"]),
                     c["te_sgn"],
                 ),
-                rec_t=rec_t,
-                rec_sgn=rec_sgn,
                 it=it + 1,
+                **rec,
             )
 
         out = lax.while_loop(cond, body, init)
+        if deferred:
+            # one isolation sweep over every recorded (step, lane, event)
+            # row of the chunk: the fast-exclusion check prunes the
+            # non-crossing majority, the sparse working set gathers the
+            # survivors, and the tree isolator's constant matmul runs at
+            # chunk-size batch efficiency.
+            R = chunk * B
+            rows = out.pop("ev_rec").reshape(R, n_nte, order + 1)
+            hs = out.pop("h_rec").reshape(R)
+            t0s = out.pop("t0_rec").reshape(R)
+            live = out.pop("live_rec").reshape(R)
+            # neutralize dead/unrecorded rows: c0 = 1, rest 0 fails the
+            # root-possible test, so they cost nothing downstream
+            rows = jnp.where(live[:, None, None], rows, 0.0)
+            rows = rows.at[:, :, 0].set(
+                jnp.where(live[:, None], rows[:, :, 0], 1.0)
+            )
+            s_roots, valid, d_sgn = _find_roots(rows, hs)
+            dir_ok = (_nt_dirs[None, :, None] == 0) | (
+                d_sgn == _nt_dirs[None, :, None]
+            )
+            ok = valid & dir_ok & live[:, None, None]
+            times = t0s[:, None, None] + s_roots * hs[:, None, None]
+            out["rec_t"] = times.reshape(chunk, B, n_slots)
+            out["rec_sgn"] = jnp.where(
+                ok, (d_sgn + 2).astype(jnp.int8), jnp.int8(0)
+            ).reshape(chunk, B, n_slots)
         # per-lane it broadcast: every driver output then has a leading
         # batch axis (shard_map-able with uniform out_specs)
         out["it"] = jnp.full((B,), out["it"], jnp.int32)

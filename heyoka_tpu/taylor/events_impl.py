@@ -888,4 +888,48 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol,
             nt_sgn=nt_sgn,
         )
 
+    def plain_step_b(state, pars, t_hi, t_lo, max_dt):
+        """The event step minus isolation: jet + h + state update only,
+        with the event-equation coefficient rows returned raw
+        (``ev_row`` (B, ne, order+1)) for *deferred* per-chunk isolation
+        (see ``events.make_propagate_until_ev_batch``).  Only valid for
+        nt-only configurations: terminal events and cooldowns make the
+        step sequence depend on the isolation results."""
+        if flat_jet is not None:
+            tc, h = flat_jet(state, pars, t_hi, max_dt)
+        else:
+            tc = jet_b(state, pars, t_hi)
+            h = jax.vmap(lambda c, m: _st.determine_h(c, order, n_eq, m))(
+                tc, max_dt
+            )
+        new_state = jax.vmap(fns.update)(tc, h)
+        nt_hi, nt_lo = dd_add_d(t_hi, t_lo, h)
+        finite = jnp.all(jnp.isfinite(new_state), axis=1) & jnp.isfinite(h)
+        clamped = jnp.abs(h) >= jnp.abs(max_dt)
+        outcome = jnp.where(
+            ~finite,
+            jnp.int32(TaylorOutcome.err_nf_state),
+            jnp.where(
+                clamped,
+                jnp.int32(TaylorOutcome.time_limit),
+                jnp.int32(TaylorOutcome.success),
+            ),
+        )
+        return dict(
+            state=new_state,
+            t_hi=nt_hi,
+            t_lo=nt_lo,
+            last_h=h,
+            tc=tc,
+            outcome=outcome,
+            ev_row=tc[:, :, n_eq:].transpose(0, 2, 1),
+        )
+
+    # deferred-isolation hooks (consumed by the chunked batch driver for
+    # nt-only configurations)
+    ev_step_b.plain_step_b = plain_step_b
+    ev_step_b.find_roots_b = find_roots_b
+    ev_step_b.nt_dirs = nt_dirs
+    ev_step_b.n_ev = n_ev
+
     return ev_step_b
