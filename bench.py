@@ -136,8 +136,11 @@ def main():
 
         # timed: full propagate_until to the horizon; a host-side value
         # read closes the timing window (block_until_ready alone does
-        # not synchronize on all remote platforms)
-        horizon = 200.0
+        # not synchronize on all remote platforms).  1000 yr ~ 1,350
+        # adaptive steps/lane: the drift this reports is a real
+        # long-horizon parity statement, not a few-hundred-step sample
+        # (tools/drift_long.py extends the same engine to 10k yr).
+        horizon = 1000.0
         tgt = jnp.full((BATCH,), horizon, dtype)
         t_start = time.perf_counter()
         r = pu(states, pars, zero, zero, tgt, zero, mdt, ms)

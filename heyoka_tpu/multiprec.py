@@ -38,11 +38,42 @@ class MPTaylorIntegrator:
     The Taylor order defaults to the optimal-order rule of the reference
     (ceil(-0.5 * ln(tol)) with tol = 10^-dps), like
     ``taylor_order_from_tol``.
+
+    Accepts either a decomposed :class:`Tape` or an ODE system (list of
+    ``(lhs, rhs)`` pairs, like ``taylor_adaptive``).  Event detection
+    (``t_events=`` / ``nt_events=``, the classes from
+    :mod:`heyoka_tpu.taylor.events`) and dense output
+    (:meth:`update_d_output`, :meth:`propagate_grid`) complete the API of
+    this precision rung — the reference exposes the full integrator API at
+    every fp type including MPFR ``real`` (``taylor.hpp:688-709``,
+    ``test/event_detection_mp.cpp``, ``test/taylor_adaptive_mp.cpp``).
+    Detection here is host-side: the event equations ride the tape as
+    extra outputs, so their step polynomials fall out of the jet; roots in
+    the step interval come from ``mpmath.polyroots`` (all roots of the
+    degree-K polynomial — no missed crossings) filtered to the real window.
     """
 
-    def __init__(self, tape: Tape, state, *, pars=None, time=0.0,
-                 dps: int = 50, order: int | None = None):
+    def __init__(self, tape, state, *, pars=None, time=0.0,
+                 dps: int = 50, order: int | None = None,
+                 t_events=(), nt_events=()):
         mp = _mp()
+        self.t_events = list(t_events)
+        self.nt_events = list(nt_events)
+        if not isinstance(tape, Tape):
+            # an ODE system: decompose here (required for events, whose
+            # equations must be tape outputs)
+            from .expr.decompose import taylor_decompose_sys
+
+            ev_eqs = [ev.expression for ev in self.t_events] + [
+                ev.expression for ev in self.nt_events
+            ]
+            tape = taylor_decompose_sys(tape, extra_outputs=ev_eqs)
+        elif self.t_events or self.nt_events:
+            raise ValueError(
+                "events require the ODE system (the event equations must "
+                "be decomposed into the tape): pass the [(lhs, rhs), ...] "
+                "system instead of a Tape"
+            )
         self.tape = tape
         self.p = pack_tape(tape)
         self.dps = int(dps)
@@ -57,6 +88,17 @@ class MPTaylorIntegrator:
             )]
             self.time = mp.mpf(time)
             self.consts = [mp.mpf(c) for c in self.p["consts"].tolist()]
+        # dense-output block: Taylor coefficients / start time / h of the
+        # last accepted step
+        self._tc = None
+        self._t_prev = None
+        self.last_h = None
+        # per-terminal-event cooldown expiry (absolute time)
+        self._te_cd_until = [None] * len(self.t_events)
+        # (time, index) of the last nt trigger, for same-root dedup
+        self._nt_last = [None] * len(self.nt_events)
+        #: index of the terminal event that stopped the last step (-1: none)
+        self.te_triggered = -1
 
     # -- tape evaluation ---------------------------------------------------
 
@@ -265,11 +307,168 @@ class MPTaylorIntegrator:
                 cc[k][n_eq + i] = self._rec(cc, ops[i], n_eq + i, metas[i], k)
         return cc
 
+    # -- event detection -----------------------------------------------------
+
+    def _oval(self, cc, operand, k):
+        """value of a tape *output* operand at order k."""
+        mp = _mp()
+        kind = operand[0]
+        if kind == "u":
+            return cc[k][operand[1]]
+        if kind == "t":
+            return self._t if k == 0 else (mp.mpf(1) if k == 1 else mp.mpf(0))
+        if kind == "p":
+            return self.pars[operand[1]] if k == 0 else mp.mpf(0)
+        return mp.mpf(operand[1]) if k == 0 else mp.mpf(0)
+
+    def _poly_roots(self, coeffs, h):
+        """real roots tau of sum_k coeffs[k] tau^k with tau/h in [0, 1),
+        each as (tau, d_sgn); mpmath.polyroots finds ALL roots, so no
+        crossing is missed (the reference's rigor bar,
+        event_detection.cpp:1069)."""
+        mp = _mp()
+        if h == 0:
+            return []
+        # scale to the unit interval (b_k = c_k h^k, roots in s = tau/h):
+        # the Taylor coefficients decay like rho^-k, so the scaled
+        # polynomial is well-conditioned in f64 — isolation runs there
+        # (np.roots companion eigenvalues, microseconds), and each real
+        # candidate is polished by full-precision Newton on the mpmath
+        # polynomial.  This mirrors the reference's isolate-then-polish
+        # structure (event_detection.cpp: rtscc bisection + toms748);
+        # mp.polyroots at degree ~60 / 50 dps costs ~20 s per call.
+        scaled = []
+        hk = mp.mpf(1)
+        for c in coeffs:
+            scaled.append(c * hk)
+            hk *= h
+        mag = max(abs(b) for b in scaled)
+        if mag == 0:
+            return []
+        bf = np.array([float(b / mag) for b in scaled])
+        nz = np.nonzero(bf)[0]
+        if len(nz) == 0 or nz[-1] == 0:
+            return []
+        bf = bf[: nz[-1] + 1]
+        cand = np.roots(bf[::-1])
+        cand = [c for c in cand
+                if abs(c.imag) < 1e-5 and -0.01 < c.real < 1.01]
+
+        deg = len(scaled) - 1
+
+        def g(s):
+            r = scaled[deg]
+            for k in range(deg - 1, -1, -1):
+                r = scaled[k] + r * s
+            return r
+
+        def gp(s):
+            r = deg * scaled[deg]
+            for k in range(deg - 1, 0, -1):
+                r = k * scaled[k] + r * s
+            return r
+
+        res_tol = mag * mp.mpf(10) ** (-(self.dps - 6))
+        out = []
+        seen: list = []
+        for c in cand:
+            s = mp.mpf(c.real)
+            # Newton at dps+15 working digits: the correction can then
+            # shrink below 10^-dps (at plain dps it floors at the
+            # rounding noise of g and never meets the tolerance)
+            with mp.extradps(15):
+                for _ in range(100):
+                    d = gp(s)
+                    if d == 0:
+                        break
+                    corr = g(s) / d
+                    s -= corr
+                    if abs(corr) < mp.mpf(10) ** (-(self.dps + 5)):
+                        break
+            if abs(g(s)) > res_tol:
+                continue
+            # accept a hair below 0: a root at the shared boundary of two
+            # steps polishes to s = 0 +- noise in the later step (the
+            # earlier step sees it at s ~ 1, outside its half-open [0,1));
+            # the dedup in _detect_events drops true double-counts
+            if not (-mp.mpf(10) ** (-(self.dps - 15)) <= s < 1):
+                continue
+            s = max(s, mp.mpf(0))
+            if any(abs(s - s0) < mp.mpf(10) ** (-(self.dps - 12))
+                   for s0 in seen):
+                continue
+            seen.append(s)
+            # crossing direction in *time*: sign of dg/dtau = gp(s)/h
+            d = gp(s)
+            d_sgn = 1 if d > 0 else (-1 if d < 0 else 0)
+            if h < 0:
+                d_sgn = -d_sgn
+            out.append((s * h, d_sgn))
+        out.sort(key=lambda rd: abs(rd[0]))
+        return out
+
+    def _detect_events(self, cc, h):
+        """roots of every event polynomial inside the step [0, h):
+        (earliest terminal (idx, tau, d_sgn) or None, nt hit list)."""
+        mp = _mp()
+        K = self.order
+        n_te = len(self.t_events)
+        outs = self.tape.outputs
+        te_best = None
+        nt_hits = []
+        for i, ev in enumerate(self.t_events):
+            coeffs = [self._oval(cc, outs[i], k) for k in range(K + 1)]
+            for tau, d_sgn in self._poly_roots(coeffs, h):
+                if ev.direction != 0 and d_sgn != int(ev.direction):
+                    continue
+                tr = self._t + tau
+                cd = self._te_cd_until[i]
+                if cd is not None and (
+                    (h > 0 and tr <= cd) or (h < 0 and tr >= cd)
+                ):
+                    continue
+                if te_best is None or abs(tau) < abs(te_best[1]):
+                    te_best = (i, tau, d_sgn)
+                break  # roots sorted by |tau|: first admissible is earliest
+        for j, ev in enumerate(self.nt_events):
+            coeffs = [self._oval(cc, outs[n_te + j], k) for k in range(K + 1)]
+            for tau, d_sgn in self._poly_roots(coeffs, h):
+                if ev.direction != 0 and d_sgn != int(ev.direction):
+                    continue
+                tr = self._t + tau
+                last = self._nt_last[j]
+                if last is not None and abs(tr - last) <= mp.mpf(10) ** (
+                    -(self.dps - 10)
+                ) * max(abs(tr), mp.mpf(1)):
+                    continue  # same root re-seen at a step boundary
+                if te_best is not None and abs(tau) >= abs(te_best[1]):
+                    continue  # beyond the truncated step
+                nt_hits.append((tr, j, d_sgn))
+        nt_hits.sort(key=lambda x: abs(x[0] - self._t))
+        return te_best, nt_hits
+
     # -- stepping ------------------------------------------------------------
+
+    def _apply(self, cc, h):
+        """Horner state update at step size h; stores the dense-output
+        block (tc, t_prev, last_h)."""
+        n_eq = self.p["n_eq"]
+        K = self.order
+        for i in range(n_eq):
+            r = cc[K][i]
+            for k in range(K - 1, -1, -1):
+                r = cc[k][i] + r * h
+            self.state[i] = r
+        self._tc = cc
+        self._t_prev = self.time
+        self.last_h = h
+        self.time += h
 
     def step(self, max_delta_t=None):
         """One adaptive Taylor step (Jorba rho control, Horner update);
-        returns the step size taken."""
+        returns the step size taken.  With events configured, the step is
+        truncated at the earliest terminal-event root (``te_triggered``
+        records its index) and nt callbacks fire chronologically."""
         mp = _mp()
         with mp.workdps(self.dps):
             n_eq = self.p["n_eq"]
@@ -288,16 +487,37 @@ class MPTaylorIntegrator:
                 h = min(h, cap)
                 if max_delta_t < 0:
                     h = -h
-            for i in range(n_eq):
-                r = cc[K][i]
-                for k in range(K - 1, -1, -1):
-                    r = cc[k][i] + r * h
-                self.state[i] = r
-            self.time += h
+            self.te_triggered = -1
+            if self.t_events or self.nt_events:
+                te, nt_hits = self._detect_events(cc, h)
+                if te is not None:
+                    i, tau, d_sgn = te
+                    h = tau
+                self._apply(cc, h)
+                for tr, j, _d in nt_hits:
+                    self._nt_last[j] = tr
+                    self.nt_events[j].callback(self, tr, _d)
+                if te is not None:
+                    ev = self.t_events[i]
+                    cd = ev.cooldown
+                    if cd is None:
+                        # auto cooldown: wide enough to skip the just-fired
+                        # root at the restart, narrow vs any real dynamics
+                        cd = mp.mpf(10) ** (-(self.dps - 10)) * max(
+                            abs(self.time), mp.mpf(1))
+                    self._te_cd_until[i] = self.time + (
+                        cd if h >= 0 else -cd)
+                    self.te_triggered = i
+                    if ev.callback is not None:
+                        ev.callback(self, False, d_sgn)
+            else:
+                self._apply(cc, h)
             return h
 
     def propagate_until(self, target, *, max_steps: int = 0):
-        """Adaptive propagation to ``target``; returns the step count."""
+        """Adaptive propagation to ``target``; returns the step count.
+        Stops early when a terminal event without a continuing callback
+        triggers (``te_triggered`` holds its index)."""
         mp = _mp()
         with mp.workdps(self.dps):
             tgt = mp.mpf(target)
@@ -307,6 +527,65 @@ class MPTaylorIntegrator:
                 cap = tgt - self.time
                 self.step(max_delta_t=cap if fwd else cap)
                 steps += 1
+                if self.te_triggered >= 0:
+                    break
                 if max_steps and steps >= max_steps:
                     break
             return steps
+
+    # -- dense output ----------------------------------------------------
+
+    def update_d_output(self, t):
+        """Dense output: evaluate the last step's Taylor polynomials at
+        absolute time ``t`` (must lie within the last step interval);
+        returns the state list (reference ``update_d_output``,
+        taylor_adaptive.cpp)."""
+        mp = _mp()
+        if self._tc is None:
+            raise RuntimeError("no step taken yet (dense output empty)")
+        with mp.workdps(self.dps):
+            hr = mp.mpf(t) - self._t_prev
+            n_eq = self.p["n_eq"]
+            K = self.order
+            out = []
+            for i in range(n_eq):
+                r = self._tc[K][i]
+                for k in range(K - 1, -1, -1):
+                    r = self._tc[k][i] + r * hr
+                out.append(r)
+            return out
+
+    def propagate_grid(self, grid, *, max_steps: int = 0):
+        """Dense-output sampling at the (monotone) ``grid`` times; returns
+        a list of state rows (lists of mpf)."""
+        mp = _mp()
+        with mp.workdps(self.dps):
+            pts = [mp.mpf(g) for g in np.asarray(grid, object).tolist()]
+            if not pts:
+                return []
+            fwd = pts[-1] >= self.time
+            res = []
+            i = 0
+            # grid points at/behind the current time: dense output if the
+            # last step covers them, else current state
+            while i < len(pts) and (
+                (pts[i] <= self.time) if fwd else (pts[i] >= self.time)
+            ):
+                if self._tc is not None and pts[i] != self.time:
+                    res.append(self.update_d_output(pts[i]))
+                else:
+                    res.append(list(self.state))
+                i += 1
+            steps = 0
+            while i < len(pts):
+                cap = pts[-1] - self.time
+                self.step(max_delta_t=cap)
+                steps += 1
+                while i < len(pts) and (
+                    (pts[i] <= self.time) if fwd else (pts[i] >= self.time)
+                ):
+                    res.append(self.update_d_output(pts[i]))
+                    i += 1
+                if self.te_triggered >= 0 or (max_steps and steps >= max_steps):
+                    break
+            return res

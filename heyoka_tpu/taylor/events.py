@@ -367,13 +367,21 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
                  and _find_roots is not None)
     #: record-buffer budget for the deferred path (bytes)
     _DEFER_BUDGET = 512 * 2**20
+    #: the post-loop sweep materializes ~3-4x the record buffer in
+    #: transients (neutralized-rows copy, times, top-k gathers), so the
+    #: budget check scales ev_rec by this factor
+    _DEFER_TRANSIENTS = 4
 
     def pu(state, pars, t_hi, t_lo, target_hi, target_lo, max_delta_t,
            max_steps, cooldowns, active, last_h=None, tc=None):
+        import numpy as _np
+
         dtype = state.dtype
         B = state.shape[0]
+        itemsize = _np.dtype(dtype).itemsize
         deferred = _defer_ok and (
-            chunk * B * n_nte * (order + 1) * 8 <= _DEFER_BUDGET
+            chunk * B * n_nte * (order + 1) * itemsize * _DEFER_TRANSIENTS
+            <= _DEFER_BUDGET
         )
         zero = jnp.zeros((B,), dtype)
         if last_h is None:
@@ -485,15 +493,18 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
                 rec["t0_rec"] = lax.dynamic_update_slice(
                     c["t0_rec"], c["t_hi"][None], (it, z)
                 )
+                # mask with the step's finite flag: a rejected step
+                # (err_nf_state; carry keeps the pre-step state) must not
+                # emit nt hits from its garbage event rows
                 rec["live_rec"] = lax.dynamic_update_slice(
-                    c["live_rec"], live[None], (it, z)
+                    c["live_rec"], (live & finite)[None], (it, z)
                 )
             elif n_slots:
                 # step-major record write: a dynamic index on the LEADING
                 # dim lowers to a true in-place slice update; the lane-major
                 # form was measured as a full-buffer masked write per step
                 z = jnp.int32(0)
-                hit = res["nt_mask"] & live[:, None]
+                hit = res["nt_mask"] & (live & finite)[:, None]
                 sgn_row = jnp.where(
                     hit, (res["nt_sgn"] + 2).astype(jnp.int8),
                     jnp.int8(0),

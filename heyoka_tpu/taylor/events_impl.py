@@ -930,6 +930,5 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol,
     ev_step_b.plain_step_b = plain_step_b
     ev_step_b.find_roots_b = find_roots_b
     ev_step_b.nt_dirs = nt_dirs
-    ev_step_b.n_ev = n_ev
 
     return ev_step_b

@@ -212,3 +212,74 @@ def test_multiprec_integrator():
         for i in range(2):
             q = float(jh[k, i]) + float(jl[k, i])
             assert abs(q - float(cc[k][i])) <= 1e-30 + 1e-15 * abs(q)
+
+
+def test_multiprec_events_poincare():
+    # The mp tier exposes the full per-rung API like the reference's MPFR
+    # instantiation (taylor.hpp:688-709, test/event_detection_mp.cpp):
+    # pendulum Poincare section at 50 digits.  With x0 = 0, v0 = 1/2 and
+    # g = l = 1, the amplitude is acos(7/8) and the turning times (zeros
+    # of v) are T/4 + k T/2 with T = 4 K(sin^2(amp/2)) -- a closed form
+    # the detected event times must hit to ~40 digits.
+    import mpmath as mp
+    from heyoka_tpu.multiprec import MPTaylorIntegrator
+
+    sys_ = pendulum(gconst=1.0, length=1.0)
+    v = hy.make_vars("v")
+
+    nt_times = []
+    nt = hy.nt_event(v, lambda ta, t, d: nt_times.append((t, d)))
+    mpta = MPTaylorIntegrator(sys_, [0.0, 0.5], dps=50, nt_events=[nt])
+    with mp.workdps(50):
+        amp = mp.acos(mp.mpf(7) / 8)
+        T = 4 * mp.ellipk(mp.sin(amp / 2) ** 2)
+        mpta.propagate_until(float(1.30 * T))
+        assert len(nt_times) == 3  # T/4, 3T/4, 5T/4
+        for k, (t, d) in enumerate(nt_times):
+            assert abs(t - (2 * k + 1) * T / 4) < mp.mpf(10) ** -38
+        # turning points alternate direction
+        assert nt_times[0][1] == -1 and nt_times[1][1] == 1
+
+    # terminal event: stop at the first turning point, exactly T/4
+    te = hy.t_event(v)
+    mpte = MPTaylorIntegrator(sys_, [0.0, 0.5], dps=50, t_events=[te])
+    mpte.propagate_until(100.0)
+    with mp.workdps(50):
+        assert mpte.te_triggered == 0
+        assert abs(mpte.time - T / 4) < mp.mpf(10) ** -38
+        # at the turning point x == amplitude
+        assert abs(mpte.state[0] - amp) < mp.mpf(10) ** -38
+        # cooldown: re-propagating continues past the same root
+        mpte.propagate_until(100.0)
+        assert mpte.te_triggered == 0
+        assert abs(mpte.time - 3 * T / 4) < mp.mpf(10) ** -37
+
+
+def test_multiprec_dense_output():
+    # dense output + propagate_grid at 40 digits: grid states match a
+    # separate integrator landed exactly on each grid point
+    import mpmath as mp
+    from heyoka_tpu.multiprec import MPTaylorIntegrator
+
+    sys_ = pendulum(gconst=1.0, length=1.0)
+    grid = [0.3, 0.9, 1.7, 2.2, 3.0]
+    m1 = MPTaylorIntegrator(sys_, [0.05, 0.025], dps=40)
+    rows = m1.propagate_grid(grid)
+    assert len(rows) == len(grid)
+    with mp.workdps(40):
+        for t, row in zip(grid, rows):
+            m2 = MPTaylorIntegrator(sys_, [0.05, 0.025], dps=40)
+            m2.propagate_until(t)
+            assert abs(m2.time - mp.mpf(t)) < mp.mpf(10) ** -38
+            for a, b in zip(row, m2.state):
+                assert abs(a - b) < mp.mpf(10) ** -36
+
+    # update_d_output: continuity across the last step interval
+    m3 = MPTaylorIntegrator(sys_, [0.05, 0.025], dps=40)
+    m3.step()
+    h = m3.last_h
+    with mp.workdps(40):
+        mid = m3.update_d_output(m3.time - h / 2)
+        end = m3.update_d_output(m3.time)
+        assert abs(end[0] - m3.state[0]) < mp.mpf(10) ** -38
+        assert abs(mid[0]) < 1  # sane value inside the interval

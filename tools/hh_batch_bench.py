@@ -6,10 +6,12 @@ Reference anchor: doc/benchmarks.rst:105-160 (Poincare-section workload),
 src/detail/event_detection.cpp:1733 (ed_data_batch::detect_events).
 """
 import json
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
 import heyoka_tpu as hy
 
 hy.s11n.enable_compilation_cache()
@@ -39,6 +41,7 @@ t0 = time.perf_counter()
 tab_p.propagate_until(10.0)
 tab_e.propagate_until(10.0)  # warm
 print("warm done in", round(time.perf_counter() - t0, 1), "s", flush=True)
+n_hits[0] = 0  # drop callbacks fired during warm-up: count only the timed window
 
 TB = 200.0
 t0 = time.perf_counter()
