@@ -872,12 +872,18 @@ class TaylorAdaptiveBatch:
 
     @cached_property
     def _pu_ev_jit(self):
+        import os as _osm
+
         from .compact_flat import jit_flat_step
         from .events import make_propagate_until_ev_batch
 
+        # steps per device chunk: larger chunks amortize the per-chunk
+        # tunnel round trip + host hit decode (HEYOKA_EV_CHUNK to tune;
+        # the deferred-isolation record budget caps it internally)
         pu = make_propagate_until_ev_batch(
             self._ev_step_raw, self._order, self.dim,
             len(self._t_events), len(self._nt_events),
+            chunk=int(_osm.environ.get("HEYOKA_EV_CHUNK", "64")),
         )
         # jit_flat_step: a flat-engine event jet inside the driver needs
         # the CPU pass workarounds (no-op on TPU)

@@ -187,10 +187,36 @@ def build_plan(tape: Tape, order: int) -> _Plan:
     # column range: the per-order updates become static slice stores instead
     # of scatters (the layout freedom heyoka gets from its index tables,
     # exploited here for the TPU's preference for dense slices).
+    #
+    # Within each group, entries are first SORTED by their input columns
+    # (mapped through the renumbering of the already-laid-out earlier
+    # levels).  For instance-regular tapes — N mascons, N fixed centres,
+    # N-body pairs, ffnn neurons — this aligns every group's instance
+    # order with its producers', so operand reads become arithmetic
+    # progressions (plain/strided slices, repeats, tiles) instead of
+    # scattered gathers; compact_flat._col_pattern turns those into
+    # gather-free reads.  The reference gets this layout freedom from its
+    # compact-mode index tables (taylor_02.cpp); on TPU the win is that
+    # slice reads fuse while vmapped gathers serialize.
     old2new = np.arange(next_col, dtype=np.int64)
     nxt = n_eq
     for lv in levels:
         for g in lv:
+            m = g.out_cols.size
+            if m > 1:
+                keys = [old2new[g.in_cols[:, c]]
+                        for c in range(g.in_cols.shape[1])]
+                if g.alpha is not None:
+                    keys.append(g.alpha)
+                # row-major lexicographic: first input most significant
+                perm = np.lexsort(tuple(keys[::-1]))
+                if not np.array_equal(perm, np.arange(m)):
+                    g.out_cols = g.out_cols[perm]
+                    g.in_cols = g.in_cols[perm]
+                    g.aux = {k: v[perm] for k, v in g.aux.items()}
+                    if g.alpha is not None:
+                        g.alpha = g.alpha[perm]
+                    g.ops = [g.ops[i] for i in perm]
             for u in g.out_cols:
                 old2new[u] = nxt
                 nxt += 1

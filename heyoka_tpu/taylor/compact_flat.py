@@ -23,6 +23,7 @@ convolutions), independent rules specialized to the layout.
 from __future__ import annotations
 
 import math as _pymath
+import os as _os
 
 import numpy as np
 
@@ -137,6 +138,81 @@ _HIST_KEYS: dict = {
 }
 
 
+def _read_pieces(cols, max_pieces=8):
+    """Decompose an index vector into <= ``max_pieces`` gather-free read
+    pieces ``[(a, d, n, r), ...]``: each piece is ``repeat(a + d*arange(n),
+    r)`` (n stride-``d`` columns from ``a``, every value repeated ``r``
+    times), concatenated in order.  ``build_plan``'s instance-regular
+    entry sort makes the operand sets of repetitive tapes (mascons, fixed
+    centres, N-body pairs, ffnn layers) decompose this way, so their
+    history reads lower to slices + broadcasts instead of the vmapped
+    gathers that serialize on TPU (SURVEY hard part #4, the reference's
+    ``parallel_mode`` workloads).  Returns None for genuinely scattered
+    sets (the caller falls back to a gather / staged buffer)."""
+    cols = np.asarray(cols, dtype=np.int64)
+    m = cols.size
+    if m == 0:
+        return None
+    # run-length encode: a uniform run length r factors out per-instance
+    # repeats (e.g. one r^-3/2 column consumed by the x/y/z rows)
+    brk = np.flatnonzero(np.diff(cols) != 0)
+    starts = np.concatenate([np.zeros(1, np.int64), brk + 1])
+    counts = np.diff(np.concatenate([starts, np.array([m])]))
+    vals = cols[starts]
+    if counts.size and counts[0] > 1 and np.all(counts == counts[0]):
+        r = int(counts[0])
+    else:
+        r = 1
+        vals = cols
+    pieces = []
+    i = 0
+    mv = vals.size
+    while i < mv:
+        if len(pieces) >= max_pieces:
+            return None
+        if i + 1 < mv:
+            d = int(vals[i + 1] - vals[i])
+            if d >= 0:
+                j = i + 1
+                while j + 1 < mv and vals[j + 1] - vals[j] == d:
+                    j += 1
+                n = j - i + 1
+            else:
+                d, n = 1, 1
+        else:
+            d, n = 1, 1
+        pieces.append((int(vals[i]), d, n, r))
+        i += n
+    return pieces
+
+
+def _pieces_read_ax0(jnp_, lax_, x, pieces):
+    """Assemble rows of ``x`` (axis 0) described by ``_read_pieces``
+    output, using only slices / broadcasts / concat — no gather."""
+    nd = x.ndim
+    rest = x.shape[1:]
+    outs = []
+    for a, d, n, r in pieces:
+        if n == 1:
+            sl = lax_.slice_in_dim(x, a, a + 1, axis=0)
+        elif d == 0:
+            sl = jnp_.broadcast_to(
+                lax_.slice_in_dim(x, a, a + 1, axis=0), (n,) + rest
+            )
+        elif d == 1:
+            sl = lax_.slice_in_dim(x, a, a + n, axis=0)
+        else:
+            sl = lax_.slice(
+                x, (a,) + (0,) * (nd - 1),
+                (a + (n - 1) * d + 1,) + rest,
+                (d,) + (1,) * (nd - 1),
+            )
+        if r > 1:
+            sl = jnp_.repeat(sl, r, axis=0)
+        outs.append(sl)
+    return outs[0] if len(outs) == 1 else jnp_.concatenate(outs, axis=0)
+
+
 def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                            high_accuracy: bool = True, mp_order: int | None = None,
                            unroll: bool = False, layout: str = "flat",
@@ -225,6 +301,24 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             _contig[key] = r
         return r
 
+    # piecewise-pattern cache: non-contiguous sets that still decompose
+    # into slice/stride/repeat pieces (instance-regular tapes) read
+    # gather-free via _pieces_read_ax0
+    _pcache: dict = {}
+
+    _no_pieces = bool(int(_os.environ.get("HEYOKA_FLAT_NO_PIECES", "0")))
+
+    def _pcs(cols):
+        if _no_pieces:  # A/B knob: fall back to gathers/staging
+            return None
+        cols = np.asarray(cols)
+        key = cols.tobytes()
+        p = _pcache.get(key, False)
+        if p is False:
+            p = _read_pieces(cols)
+            _pcache[key] = p
+        return p
+
     # staged mode: pre-declare every scattered history read, with the level
     # after which all of its columns are written at each order (appends must
     # happen before the consuming group, which is always at a later level)
@@ -243,6 +337,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                     _cols = np.asarray(_cols)
                     if _rng(_cols):
                         continue  # contiguous: a free slice, no staging
+                    if _pcs(_cols) is not None:
+                        continue  # piecewise-regular: gather-free read
                     stage_cols[_cols.tobytes()] = (
                         _cols, int(prod_level[_cols].max())
                     )
@@ -275,10 +371,31 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 # an XLA CPU algsimp+fusion miscompile (jax 0.9.0) in the
                 # unrolled graph, and the pre-slice also shrinks the gather
                 tcw = tc[:, : win + 1, :] if win < Kw else tc
-                return tcw[r[0] : r[1]] if r else tcw[cols]
-            sl = tc[r[0] : r[1]] if r else tc[cols]
+                if r:
+                    return tcw[r[0] : r[1]]
+                p = _pcs(cols)
+                if p is not None:
+                    return _pieces_read_ax0(jnp_, lax, tcw, p)
+                return tcw[cols]
+            if r:
+                sl = tc[r[0] : r[1]]
+            else:
+                p = _pcs(cols)
+                sl = (_pieces_read_ax0(jnp_, lax, tc, p)
+                      if p is not None else tc[cols])
             full = sl.reshape(cols.size, Kw + 1, B)
             return full[:, : win + 1, :] if win < Kw else full
+
+        def rows(row, cols):
+            # (m, B) rows of a (W, B) order block, gather-free when the
+            # column set is contiguous or decomposes into slice pieces
+            r = _rng(np.asarray(cols))
+            if r:
+                return row[r[0] : r[1]]
+            p = _pcs(cols)
+            if p is not None:
+                return _pieces_read_ax0(jnp_, lax, row, p)
+            return row[cols]
 
         def blk(tc, k):
             # current-order (W, B) block
@@ -318,7 +435,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 return jnp_.einsum("cax,cbx,mab->cmx", Ah, Ch, _S)
 
         return dict(jv=jv, hist=hist, mrow=mrow, rows_rev=rows_rev, conv=conv,
-                    at=at_order, tri=tri, jnp=jnp_, dtype=dt, blk=blk)
+                    at=at_order, tri=tri, jnp=jnp_, dtype=dt, blk=blk,
+                    rows=rows)
 
     three_d = layout == "3d"
 
@@ -357,8 +475,6 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                    sv_extra=_pp_extra)
         else:
             _mk_pp(plan, mp_order + 1, K, 128, interpret=_pp_interp)
-
-    import os as _os
 
     #: batch-tile width (lanes per kernel invocation); 128 is the VPU lane
     #: width — overridable for tuning via HEYOKA_PALLAS_BT
@@ -453,9 +569,11 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 for g in lv:
                     ar = _EVAL_ARITY.get(g.name, None)
                     nin = g.in_cols.shape[1] if ar is None else ar
-                    ins = [row0[g.in_cols[:, c]] for c in range(nin)]
+                    ins = ([] if g.name == "sum" else
+                           [ctx["rows"](row0, g.in_cols[:, c])
+                            for c in range(nin)])
                     if g.name == "sum":
-                        vals = row0[g.in_cols].sum(axis=1)
+                        vals = _sum_rows(ctx, row0, g)
                     elif g.name == "pow":
                         vals = _pow0_vec_b(jnp, ins[0], g.alpha)
                     elif g.name == "mul":
@@ -955,12 +1073,26 @@ def _pu_while(step, pars, target_hi, target_lo, max_delta_t,
 
 def _row(ctx, tc, cols, B, off):
     """order-k values of `cols`: (m, B)."""
-    return ctx["blk"](tc, off // B)[cols]
+    return ctx["rows"](ctx["blk"](tc, off // B), cols)
+
+
+def _sum_rows(ctx, row, g):
+    """Order-block sum over a group's args: per-arg slice-piece reads for
+    low-arity wide groups (the instance-regular shape — N subtractions per
+    mascon/centre/pair), one fused gather otherwise."""
+    nargs = g.in_cols.shape[1]
+    if nargs <= 8 and g.out_cols.size >= nargs:
+        tot = None
+        for c in range(nargs):
+            v = ctx["rows"](row, g.in_cols[:, c])
+            tot = v if tot is None else tot + v
+        return tot
+    return row[g.in_cols].sum(axis=1)
 
 
 @_rule("sum")
 def _f_sum(ctx, tc, k, kf, g, B, off):
-    return ctx["blk"](tc, k)[g.in_cols].sum(axis=1)
+    return _sum_rows(ctx, ctx["blk"](tc, k), g)
 
 
 @_rule("mul")

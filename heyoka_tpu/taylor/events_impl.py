@@ -323,6 +323,155 @@ def _make_tree_isolator(p, dtype, max_roots, depth=TREE_DEPTH):
     return isolate_tree
 
 
+def _make_tree_isolator_f32(p, max_roots, depth=TREE_DEPTH, head=12):
+    """Certified-f32 front tier of the subdivision-tree isolator.
+
+    The f64 tree isolator's cost is one (R, p+1) x (p+1, n_nodes*(p+1))
+    matmul — in emulated f64 that is the dominant cost of batched event
+    detection on TPU (measured 162 ms of a 173 ms HH chunk,
+    tools/profile_ev_sweep.py).  This tier evaluates the same constant
+    tree in f32 on the MXU with RIGOROUS forward error bounds: a
+    transformed coefficient or grid value whose |value| does not exceed
+    its bound has an uncertain sign, and any row touched by uncertainty
+    is reported ``unsure`` — the caller routes those rows (plus the
+    structural fallbacks the f64 tree also has) through the f64 tier.
+    Certified rows are isolated rigorously: interval endpoints are exact
+    binary fractions (f32-exact), and the sign-variation counts use only
+    certified +-1 signs.
+
+    f32 range handling: step-polynomial coefficients span ~1e-15 of
+    dynamic range and the node maps scale order i by w^i (down to
+    2^-100), so a plain f32 transform would underflow.  Orders 0..head
+    go through the f32 matmul (their scaled magnitudes stay in normal
+    f32 range for depth<=5); the orders-above-head tail contributes only
+    to the error bound, via max_i>head |c_i| times per-column constant
+    sums (an elementwise outer product, no matmul).
+
+    Reference: the rigor contract of ``event_detection.cpp:1069`` —
+    never a missed root; speed may degrade (rows fall back), correctness
+    may not.
+    """
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    kh = min(head, p)
+
+    nodes = []
+    for d in range(depth + 1):
+        wd = 1.0 / (1 << d)
+        for i in range(1 << d):
+            nodes.append((i * wd, wd, d))
+    n_nodes = len(nodes)
+
+    def _node_id(d, i):
+        return (1 << d) - 1 + i
+
+    anc = np.zeros((n_nodes, n_nodes), bool)
+    for d in range(depth + 1):
+        for i in range(1 << d):
+            n = _node_id(d, i)
+            dd_, ii = d, i
+            while dd_ > 0:
+                dd_ -= 1
+                ii //= 2
+                anc[_node_id(dd_, ii), n] = True
+
+    comb = np.zeros((p + 1, p + 1))
+    for j in range(p + 1):
+        for i in range(j + 1):
+            comb[i, j] = _pymath.comb(j, i)
+    T = np.zeros((n_nodes, p + 1, p + 1))
+    for n, (a, w, _d) in enumerate(nodes):
+        M = np.zeros((p + 1, p + 1))
+        for j in range(p + 1):
+            for i in range(j + 1):
+                M[i, j] = comb[i, j] * a ** (j - i)
+        M = (w ** np.arange(p + 1))[:, None] * M
+        T[n] = comb @ M[::-1, :]
+    Tm = T.transpose(2, 0, 1).reshape(p + 1, n_nodes * (p + 1))
+    TM_H = jnp.asarray(Tm[: kh + 1], f32)
+    TM_HA = jnp.asarray(np.abs(Tm[: kh + 1]), f32)
+    #: per-output-column tail magnitude sums (f64 constants, cast once)
+    TS = jnp.asarray(np.abs(Tm[kh + 1:]).sum(axis=0), f32)
+
+    ngrid = (1 << depth) + 1
+    grid = np.arange(ngrid) / float(1 << depth)
+    VGn = grid[None, :] ** np.arange(p + 1)[:, None]
+    VG_H = jnp.asarray(VGn[: kh + 1], f32)
+    VG_HA = jnp.asarray(np.abs(VGn[: kh + 1]), f32)
+    VS = jnp.asarray(np.abs(VGn[kh + 1:]).sum(axis=0), f32)
+
+    node_a = np.array([a for a, w, _d in nodes])
+    node_b = np.array([a + w for a, w, _d in nodes])
+    node_leaf = np.array([d == depth for _a, _w, d in nodes])
+    gi_a = np.rint(node_a * (1 << depth)).astype(int)
+    gi_b = np.rint(node_b * (1 << depth)).astype(int)
+    ANC32 = jnp.asarray(anc, f32)
+    NA = jnp.asarray(node_a, f32)
+    NB = jnp.asarray(node_b, f32)
+    LEAF = jnp.asarray(node_leaf)
+
+    #: forward error constant: (p+1)-term dot products in f32 plus the
+    #: f64->f32 input rounding; 64 eps32 over-covers n*eps/(1-n*eps) at
+    #: n = p+2 <= 34 with a 2x safety margin
+    CEPS = np.float32(64.0 * np.finfo(np.float32).eps)
+
+    def isolate32(cs):
+        """cs (R, p+1) f64 -> (rlo, rhi, valid, unsure); rlo/rhi f32
+        exact binary fractions, valid only meaningful where ~unsure."""
+        R = cs.shape[0]
+        ac = jnp.abs(cs)
+        scale = jnp.maximum(jnp.max(ac, axis=1), 1e-300)
+        csn = (cs / scale[:, None])
+        h32 = csn[:, : kh + 1].astype(f32)
+        ah32 = jnp.abs(h32)
+        mtail = (
+            jnp.max(jnp.abs(csn[:, kh + 1:]), axis=1).astype(f32)
+            if p > kh else jnp.zeros((R,), f32)
+        )
+
+        q = h32 @ TM_H  # (R, n_nodes*(p+1)) on the MXU
+        qerr = CEPS * (ah32 @ TM_HA) + mtail[:, None] * TS[None, :]
+        unc_q = jnp.abs(q) <= qerr
+        s = jnp.where(q > 0, jnp.float32(1), jnp.float32(-1)).reshape(
+            R, n_nodes, p + 1
+        )
+        # certified sign-variation count: signs are strictly +-1, so
+        # V = (p - sum_k s_k s_{k+1}) / 2
+        V = ((p - jnp.sum(s[:, :, :-1] * s[:, :, 1:], axis=-1).astype(
+            jnp.int32)) // 2)
+        node_unc = jnp.any(unc_q.reshape(R, n_nodes, p + 1), axis=-1)
+
+        gv = h32 @ VG_H
+        gerr = CEPS * (ah32 @ VG_HA) + mtail[:, None] * VS[None, :]
+        unc_g = jnp.abs(gv) <= gerr
+        g_a = gv[:, gi_a]
+        g_b = gv[:, gi_b]
+        sign_change = g_a * g_b < 0.0
+
+        v1 = V == 1
+        anc_v1 = (v1.astype(f32) @ ANC32) > 0
+        emit = v1 & sign_change & ~anc_v1
+        bad_v1 = v1 & ~anc_v1 & ~sign_change
+        bad_leaf = (V >= 2) & LEAF[None, :] & ~anc_v1
+        unsure = (
+            jnp.any(node_unc | bad_v1 | bad_leaf, axis=1)
+            | jnp.any(unc_g, axis=1)
+        )
+
+        cand_lo = jnp.where(emit, NA[None, :], jnp.float32(2.0))
+        cand_hi = jnp.where(emit, NB[None, :], jnp.float32(2.0))
+        neg, idx = jax.lax.top_k(-cand_lo, max_roots)
+        rlo = -neg
+        rhi = jnp.take_along_axis(cand_hi, idx, axis=1)
+        valid = rlo <= 1.0
+        rlo = jnp.where(valid, rlo, jnp.float32(2.0))
+        rhi = jnp.where(valid, rhi, jnp.float32(2.0))
+        return rlo, rhi, valid, unsure
+
+    return isolate32
+
+
 def _refine_roots(cs, rlo, rhi, valid):
     """Bisection + Newton refinement, duplicate-root merging and
     crossing-direction extraction on the isolating intervals.
@@ -669,6 +818,13 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol,
 
     isolate_tree = _make_tree_isolator(order, dtype, MAX_ROOTS)
     isolate_ca = _make_isolator(order, dtype, MAX_ROOTS)
+    # certified-f32 front tier: only meaningful when the working dtype is
+    # (emulated) f64 — it cuts the dominant f64 tree matmul to one MXU
+    # f32 matmul with rigorous error bounds (uncertain rows fall back)
+    isolate32 = (
+        _make_tree_isolator_f32(order, MAX_ROOTS)
+        if jnp.dtype(dtype) == jnp.float64 else None
+    )
 
     jet_b = jax.vmap(fns.jet)
 
@@ -711,6 +867,103 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol,
             )
             valid = valid & fexed[:, None]
             return _refine_roots(cs_, rlo, rhi, valid)
+
+        if isolate32 is not None and R >= 256:
+            # three-tier isolation (tools/profile_ev_sweep.py: the dense
+            # f64 tree was 162 ms of a 173 ms HH chunk, and 27% fex
+            # survival overflowed the old R//8 sparse budget into it):
+            #   1. certified-f32 tree over ALL rows (MXU matmuls +
+            #      rigorous error bounds — no gathers, no budget);
+            #   2. f64 refinement of the certified isolating intervals,
+            #      gathered sparsely (only rows with roots);
+            #   3. the f64 tree/CA/refine pipeline on the `unsure` rows
+            #      (uncertain signs, possible clusters, zero endpoints),
+            #      gathered sparsely.
+            # Budgets overflow to dense behind scalar conds — rigor and
+            # results are identical to the pure-f64 path by construction.
+            # row-tiled tree evaluation: the (tile, n_nodes*(p+1)) f32
+            # transients are ~25x the input rows, so one whole-R call at
+            # large deferred chunks exhausts HBM (measured: chunk=192,
+            # B=1024 wanted 30 GB); lax.map caps the live footprint at
+            # one tile while keeping the MXU matmuls large
+            _TILE = 65536
+            if R > _TILE and R % _TILE == 0:
+                outs = lax.map(
+                    isolate32, cs.reshape(R // _TILE, _TILE, cs.shape[1])
+                )
+                rlo32, rhi32, v32, unsure = (
+                    o.reshape((R,) + o.shape[2:]) for o in outs
+                )
+            else:
+                rlo32, rhi32, v32, unsure = isolate32(cs)
+            unsure = unsure & need
+            certified = need & ~unsure
+            v32 = v32 & certified[:, None]
+            rooted = jnp.any(v32, axis=1)
+
+            def _refine_sub(csx, rlox, rhix, vx):
+                return _refine_roots(
+                    csx, rlox.astype(dtype), rhix.astype(dtype), vx
+                )
+
+            Mr = min(R, max(64, R // 4))
+            if Mr < R:
+                over_r = jnp.sum(rooted) > Mr
+
+                def _sp_r(args):
+                    cs_, rlo_, rhi_, v_, rt = args
+                    keys, idx = lax.top_k(rt.astype(jnp.float32), Mr)
+                    s_s, v_s, d_s = _refine_sub(
+                        cs_[idx], rlo_[idx], rhi_[idx],
+                        v_[idx] & (keys > 0)[:, None],
+                    )
+                    s_r = jnp.full((R, MAX_ROOTS), 2.0, dtype).at[idx].set(s_s)
+                    v_r = jnp.zeros((R, MAX_ROOTS), bool).at[idx].set(v_s)
+                    d_r = jnp.zeros((R, MAX_ROOTS), dtype).at[idx].set(d_s)
+                    return s_r, v_r, d_r
+
+                def _dn_r(args):
+                    cs_, rlo_, rhi_, v_, rt = args
+                    return _refine_sub(cs_, rlo_, rhi_, v_ & rt[:, None])
+
+                s_c, v_c, d_c = lax.cond(
+                    over_r, _dn_r, _sp_r, (cs, rlo32, rhi32, v32, rooted)
+                )
+            else:
+                s_c, v_c, d_c = _refine_sub(cs, rlo32, rhi32, v32)
+
+            Mu = min(R, max(32, R // 8))
+            if Mu < R:
+                over_u = jnp.sum(unsure) > Mu
+
+                def _sp_u(args):
+                    cs_, un = args
+                    keys, idx = lax.top_k(un.astype(jnp.float32), Mu)
+                    s_s, v_s, d_s = _isolate_refine(cs_[idx], keys > 0)
+                    s_r = jnp.full((R, MAX_ROOTS), 2.0, dtype).at[idx].set(s_s)
+                    v_r = jnp.zeros((R, MAX_ROOTS), bool).at[idx].set(v_s)
+                    d_r = jnp.zeros((R, MAX_ROOTS), dtype).at[idx].set(d_s)
+                    return s_r, v_r, d_r
+
+                def _dn_u(args):
+                    cs_, un = args
+                    return _isolate_refine(cs_, un)
+
+                s_u, v_u, d_u = lax.cond(over_u, _dn_u, _sp_u, (cs, unsure))
+            else:
+                s_u, v_u, d_u = _isolate_refine(cs, unsure)
+
+            tu = unsure[:, None]
+            s_root = jnp.where(tu, s_u, s_c)
+            valid = jnp.where(tu, v_u, v_c)
+            d_sgn_s = jnp.where(tu, d_u, d_c)
+            s_root = s_root.reshape(B, n_ev, MAX_ROOTS)
+            valid = valid.reshape(B, n_ev, MAX_ROOTS)
+            d_sgn_s = d_sgn_s.reshape(B, n_ev, MAX_ROOTS)
+            d_sgn = jnp.where(
+                h[:, None, None] >= 0, d_sgn_s, -d_sgn_s
+            ).astype(jnp.int32)
+            return s_root, valid, d_sgn
 
         # sparse working set: f64 polynomial arithmetic is emulated on the
         # TPU, and on a typical step only ~1% of the batch*event rows pass

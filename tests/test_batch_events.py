@@ -191,3 +191,59 @@ def test_batch_events_flat_engine_matches_loop(states, pallas):
     assert [len(h) for h in hits_f] == [len(h) for h in hits_l]
     for hf, hl in zip(hits_f, hits_l):
         np.testing.assert_allclose(hf, hl, rtol=0, atol=tol_t)
+
+
+def test_large_batch_f32_tier_matches_scalar():
+    # B*n_ev >= 256 engages the certified-f32 isolation tier
+    # (events_impl._make_tree_isolator_f32).  Rigor contract: identical
+    # hits (count, times, directions) to the scalar integrator per lane.
+    B = 384
+    rng = np.random.default_rng(11)
+    states = np.stack([
+        0.05 + 0.02 * rng.standard_normal(B),
+        0.025 + 0.01 * rng.standard_normal(B),
+    ], axis=1)
+    x, v = hy.make_vars("x", "v")
+    hits_b = [[] for _ in range(B)]
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), states.copy(), tol=1e-15, high_accuracy=True,
+        nt_events=[nt_event(
+            v, lambda tb, t, d, lane: hits_b[lane].append((t, d)))],
+    )
+    tab.propagate_until(20.0)
+    for lane in range(0, B, 37):  # spot-check lanes incl. lane 0
+        hits_s = []
+        ta = hy.taylor_adaptive(
+            pendulum(), states[lane], tol=1e-15, high_accuracy=True,
+            nt_events=[nt_event(
+                v, lambda ta_, t, d: hits_s.append((t, d)))],
+        )
+        ta.propagate_until(20.0)
+        assert len(hits_b[lane]) == len(hits_s), lane
+        for (tb_, db_), (ts_, ds_) in zip(sorted(hits_b[lane]), hits_s):
+            assert abs(tb_ - ts_) < 1e-9, (lane, tb_, ts_)
+            assert db_ == ds_
+
+
+def test_large_batch_f32_tier_terminal_events():
+    # terminal events through the f32 tier: every lane must stop at its
+    # first v=0 crossing, matching the scalar integrator's event time
+    B = 300
+    rng = np.random.default_rng(5)
+    states = np.stack([
+        0.05 + 0.02 * rng.standard_normal(B),
+        0.025 + 0.01 * rng.standard_normal(B),
+    ], axis=1)
+    x, v = hy.make_vars("x", "v")
+    tab = hy.taylor_adaptive_batch(
+        pendulum(), states.copy(), tol=1e-15, t_events=[t_event(v)],
+    )
+    tab.propagate_until(50.0)
+    oc = np.asarray([int(r[0]) for r in tab.get_propagate_res()])
+    assert (oc == 0).all()  # stopped by t_event 0 everywhere
+    for lane in range(0, B, 41):
+        ta = hy.taylor_adaptive(
+            pendulum(), states[lane], tol=1e-15, t_events=[t_event(v)],
+        )
+        ta.propagate_until(50.0)
+        assert abs(float(np.asarray(tab.time)[lane]) - ta.time) < 1e-11
