@@ -198,12 +198,27 @@ def build_plan(tape: Tape, order: int) -> _Plan:
     # gather-free reads.  The reference gets this layout freedom from its
     # compact-mode index tables (taylor_02.cpp); on TPU the win is that
     # slice reads fuse while vmapped gathers serialize.
+    import os as _osm
+
+    # Entry-sort gate: only groups at least this large are sorted.  The
+    # payoff (gather-free piecewise reads) matters for instance-regular
+    # groups of hundreds+ entries; for small groups the gathers are cheap
+    # AND the dd-Pallas kernel turned out to be schedule-sensitive to
+    # within-group column order (the full sort cost the outer-SS fused
+    # kernel 2.4x on-chip with bitwise-identical results — same staged
+    # sets, same slice counts; Mosaic VMEM packing/scheduling is the
+    # remaining suspect).  Gating at 256 keeps every tape with only
+    # small groups (outer-SS 135 max, HH, pendulum, series tapes)
+    # bit-identical to the tuned round-2 layout.
+    _sort_min = int(_osm.environ.get("HEYOKA_PLAN_SORT_MIN", "256"))
+    if bool(int(_osm.environ.get("HEYOKA_PLAN_NO_SORT", "0"))):
+        _sort_min = 1 << 62
     old2new = np.arange(next_col, dtype=np.int64)
     nxt = n_eq
     for lv in levels:
         for g in lv:
             m = g.out_cols.size
-            if m > 1:
+            if m >= _sort_min:
                 keys = [old2new[g.in_cols[:, c]]
                         for c in range(g.in_cols.shape[1])]
                 if g.alpha is not None:

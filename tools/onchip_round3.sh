@@ -4,6 +4,9 @@
 set -u
 LOG=/tmp/onchip_r3.log
 cd /root/repo
+# `python benchmarks/x.py` puts benchmarks/ (not the repo root) on
+# sys.path — this silently ate round 2's config-5 numbers
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 echo "=== onchip round3 sweep $(date -u +%FT%TZ) ===" >> "$LOG"
 
 run() {
