@@ -13,7 +13,8 @@ from heyoka_tpu.models.sgp4 import SGP4Propagator
 hy.s11n.enable_compilation_cache()
 
 # synthetic LEO population around the ISS elements
-N = 512
+import sys
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
 rng = np.random.default_rng(0)
 base = dict(n0=0.0487 * 1440 / (2 * np.pi), e0=0.0001647, i0=51.6416,
             node0=247.4627, omega0=130.5360, m0=325.0288, bstar=2.2e-5)

@@ -362,6 +362,13 @@ def _ensemble_propagate_until_ev(
             cooldowns=res["cooldowns"], last_h=res["last_h"],
             tc=res["tc"], active=~res["done"],
         )
+        # prefetch the packed summary to the host (see batch.py
+        # _propagate_until_ev_fast): the decode of chunk k then overlaps
+        # the in-flight chunks instead of paying a synchronous round trip
+        try:
+            res["packed"].copy_to_host_async()
+        except (AttributeError, TypeError):
+            pass
         inflight.append(res)
 
     depth = 1

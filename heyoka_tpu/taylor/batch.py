@@ -889,6 +889,83 @@ class TaylorAdaptiveBatch:
         # the CPU pass workarounds (no-op on TPU)
         return jit_flat_step(pu) if self._flat else jax.jit(pu)
 
+    @cached_property
+    def _pu_ev_full_jit(self):
+        import os as _osm
+
+        from .compact_flat import jit_flat_step
+        from .events import make_propagate_until_ev_batch_full
+
+        pu = make_propagate_until_ev_batch_full(
+            self._ev_step_raw, self._order, self.dim,
+            len(self._t_events), len(self._nt_events),
+            chunk=int(_osm.environ.get("HEYOKA_EV_CHUNK", "64")),
+            gcap=int(_osm.environ.get("HEYOKA_EV_GCAP", "256")),
+        )
+        return jit_flat_step(pu) if self._flat else jax.jit(pu)
+
+    def _propagate_until_ev_full(self, t, mdt, max_steps):
+        """Whole-propagation event driver: ONE device dispatch for the
+        entire propagate_until (events.make_propagate_until_ev_batch_full
+        — the chunk machinery inside an outer while_loop with a
+        device-resident global hit buffer).  Returns None when a lane
+        overflowed its hit budget; the caller then re-runs the chunked
+        driver from the (untouched) pre-call state."""
+        from .events_impl import MAX_ROOTS as _MR
+
+        n_sv = self.dim + len(self._t_events) + len(self._nt_events)
+        tc0 = self._tc
+        if tc0.shape[2] != n_sv:
+            tc0 = jnp.concatenate(
+                [tc0, jnp.zeros(
+                    (self._batch, self._order + 1, n_sv - tc0.shape[2]),
+                    self._dtype)],
+                axis=2,
+            )
+        res = self._pu_ev_full_jit(
+            self._state, self._pars, self._t_hi, self._t_lo,
+            jnp.asarray(t), jnp.zeros((self._batch,), self._dtype),
+            jnp.asarray(mdt), jnp.asarray(max_steps, jnp.int64),
+            self._te_cooldowns, jnp.ones((self._batch,), bool),
+            self._last_h, tc0,
+        )
+        P = np.asarray(res["packed"])  # (B, 8): one transfer
+        if P[:, 7].any():  # overflow: hit budget exceeded somewhere
+            return None
+        fwd = t >= self.time
+        self._state = res["state"]
+        self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
+        self._last_h = res["last_h"]
+        self._tc = res["tc"]
+        self._te_cooldowns = res["cooldowns"]
+        counts = P[:, 6].astype(np.int32)
+        if counts.any() and self._nt_events:
+            g_t = np.asarray(res["g_t"])
+            g_meta = np.asarray(res["g_meta"])
+            for i in range(self._batch):
+                n = int(counts[i])
+                if not n:
+                    continue
+                ts = g_t[i, :n]
+                meta = g_meta[i, :n]
+                order_ = np.argsort(ts) if fwd[i] else np.argsort(-ts)
+                for k in order_:
+                    sl = int(meta[k]) // 4
+                    self._nt_events[sl // _MR].callback(
+                        self, float(ts[k]), int(meta[k] % 4) - 2, i
+                    )
+        oc = P[:, 4].astype(np.int32)
+        outcomes = [
+            TaylorOutcome(int(o)) if int(o) < 0 else int(o) for o in oc
+        ]
+        last_h_np = np.asarray(self._last_h)
+        self._last_res = [
+            (outcomes[i], float(last_h_np[i])) for i in range(self._batch)
+        ]
+        return (
+            outcomes, P[:, 0], P[:, 1], P[:, 2].astype(np.int64),
+        )
+
     def _propagate_until_ev_fast(self, t, mdt, max_steps):
         """On-device lockstep propagate-until with events (terminal ones
         pure-stop): the natively batched recording driver of
@@ -902,8 +979,19 @@ class TaylorAdaptiveBatch:
         packed summary — the ~50 ms tunnel round trip per 64-step chunk
         dominated the sequential loop (the reference's batch driver has no
         such latency, src/detail/event_detection.cpp:1733).  A step limit
-        needs host-side nsteps feedback per chunk and stays sequential."""
+        needs host-side nsteps feedback per chunk and stays sequential.
+
+        The whole-propagation driver (one device dispatch, global hit
+        buffer) runs first; this chunked loop is its overflow fallback
+        and the HEYOKA_EV_NO_FULL=1 escape hatch."""
         from collections import deque
+
+        import os as _osm
+
+        if not int(_osm.environ.get("HEYOKA_EV_NO_FULL", "0")):
+            full = self._propagate_until_ev_full(t, mdt, max_steps)
+            if full is not None:
+                return full
 
         min_h = np.full((self._batch,), _pymath.inf)
         max_h = np.zeros((self._batch,))
@@ -949,6 +1037,14 @@ class TaylorAdaptiveBatch:
                 cooldowns=res["cooldowns"], last_h=res["last_h"],
                 tc=res["tc"], active=~res["done"],
             )
+            # start the packed summary's device->host transfer now: by the
+            # time this chunk is popped for decoding the copy has landed,
+            # so np.asarray returns without a synchronous ~50 ms tunnel
+            # round trip (the decode then overlaps the in-flight chunks)
+            try:
+                res["packed"].copy_to_host_async()
+            except (AttributeError, TypeError):
+                pass
             inflight.append(res)
 
         depth = 1  # ramp up: short propagations don't pay no-op chunks

@@ -633,3 +633,169 @@ def make_propagate_until_ev_batch(ev_step_b, order, n_eq, n_te, n_nte,
         return out
 
     return pu
+
+
+def make_propagate_until_ev_batch_full(ev_step_b, order, n_eq, n_te, n_nte,
+                                       chunk=64, gcap=256):
+    """Whole-propagation batched event driver: ONE device program.
+
+    The chunked driver (:func:`make_propagate_until_ev_batch`) returns to
+    the host after every ``chunk`` lockstep steps so the recorded hits can
+    be offloaded — measured at ~50-60 ms of tunnel round trip + decode per
+    chunk on the HH Poincare workload, which kept the end-to-end batch
+    event overhead at ~4x while the device-side cost is 2.0x (the
+    reference's batch detection loop has no such latency,
+    ``src/detail/event_detection.cpp:1733``).  Here the chunk machinery —
+    inner while_loop, per-chunk isolation sweep, top-k hit compaction —
+    runs inside an *outer* ``lax.while_loop`` that appends each chunk's
+    compacted hits to a device-resident ``(B, gcap)`` global buffer; the
+    host gets ONE result for the entire propagate_until.
+
+    Bounded-buffer contract: a lane whose per-chunk hits exceed the
+    compaction cap or whose total hits exceed ``gcap`` raises its
+    ``overflow`` flag and the caller re-runs the propagation through the
+    chunked driver (no hit is ever silently dropped).  Everything else —
+    step semantics, isolation rigor, terminal pure-stop, per-lane
+    outcomes — is byte-identical to the chunked driver, whose ``pu`` this
+    driver invokes as its outer-loop body.
+    """
+    from jax import lax
+
+    from ..dfloat import dd_add_dd
+    from .outcome import TaylorOutcome
+    from .events_impl import MAX_ROOTS
+
+    n_slots = n_nte * MAX_ROOTS
+    lcap = min(HIT_LCAP, chunk * n_slots) if n_slots else 0
+    pu = make_propagate_until_ev_batch(
+        ev_step_b, order, n_eq, n_te, n_nte, chunk=chunk,
+    )
+
+    def full(state, pars, t_hi, t_lo, target_hi, target_lo, max_delta_t,
+             max_steps, cooldowns, active, last_h=None, tc=None):
+        dtype = state.dtype
+        B = state.shape[0]
+        zero = jnp.zeros((B,), dtype)
+        if last_h is None:
+            last_h = zero
+        if tc is None:
+            tc = jnp.zeros((B, order + 1, n_eq + n_te + n_nte), dtype)
+
+        rh, _ = dd_add_dd(target_hi, target_lo, -t_hi, -t_lo)
+        carry = dict(
+            state=state, t_hi=t_hi, t_lo=t_lo, last_h=last_h, tc=tc,
+            cooldowns=cooldowns,
+            done=(rh == 0) | ~active,
+            nsteps=jnp.zeros((B,), jnp.int64),
+            min_h=jnp.full((B,), jnp.inf, dtype),
+            max_h=zero,
+            outcome=jnp.full((B,), jnp.int32(TaylorOutcome.time_limit)),
+            te_idx=jnp.full((B,), jnp.int32(-1)),
+            te_sgn=jnp.zeros((B,), jnp.int32),
+            steps_done=jnp.int64(0),
+            counts=jnp.zeros((B,), jnp.int32),
+            overflow=jnp.zeros((B,), bool),
+            g_t=jnp.zeros((B, gcap), dtype),
+            # slot*4 + (d_sgn+2); 0 = empty
+            g_meta=jnp.zeros((B, gcap), jnp.int32),
+        )
+
+        def cond(c):
+            return jnp.any(~c["done"])
+
+        def body(c):
+            rem_steps = jnp.where(
+                max_steps > 0,
+                jnp.maximum(jnp.int64(0), max_steps - c["steps_done"]),
+                jnp.int64(0),
+            )
+            res = pu(
+                c["state"], pars, c["t_hi"], c["t_lo"], target_hi,
+                target_lo, max_delta_t, rem_steps, c["cooldowns"],
+                ~c["done"], c["last_h"], c["tc"],
+            )
+            live = ~c["done"]
+            newly = live & res["done"]
+
+            def merge(new, old):
+                lv = live
+                if new.ndim > 1:
+                    lv = live.reshape((B,) + (1,) * (new.ndim - 1))
+                return jnp.where(lv, new, old)
+
+            out = dict(
+                state=merge(res["state"], c["state"]),
+                t_hi=merge(res["t_hi"], c["t_hi"]),
+                t_lo=merge(res["t_lo"], c["t_lo"]),
+                last_h=merge(res["last_h"], c["last_h"]),
+                tc=merge(res["tc"], c["tc"]),
+                cooldowns=merge(res["cooldowns"], c["cooldowns"]),
+                done=c["done"] | res["done"],
+                nsteps=c["nsteps"] + jnp.where(live, res["nsteps"], 0),
+                min_h=jnp.where(
+                    live, jnp.minimum(c["min_h"], res["min_h"]), c["min_h"]
+                ),
+                max_h=jnp.where(
+                    live, jnp.maximum(c["max_h"], res["max_h"]), c["max_h"]
+                ),
+                outcome=jnp.where(newly, res["outcome"], c["outcome"]),
+                te_idx=jnp.where(newly, res["te_idx"], c["te_idx"]),
+                te_sgn=jnp.where(newly, res["te_sgn"], c["te_sgn"]),
+                steps_done=c["steps_done"]
+                + res["it"][0].astype(jnp.int64),
+            )
+            if lcap:
+                pos = res["hits_pos"]  # (B, lcap) flat chunk pos, -1 empty
+                valid = pos >= 0
+                nh = res["nhits"]
+                # append positions: counts[lane] + rank within this chunk
+                rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+                tgt = jnp.where(
+                    valid, c["counts"][:, None] + rank, jnp.int32(gcap)
+                )
+                rows = jnp.broadcast_to(
+                    jnp.arange(B, dtype=jnp.int32)[:, None], tgt.shape
+                )
+                slot = (pos % jnp.int32(max(n_slots, 1))).astype(jnp.int32)
+                meta = slot * 4 + res["hits_sgn"].astype(jnp.int32)
+                g_t = c["g_t"].at[rows, tgt].set(
+                    res["hits_t"].astype(dtype), mode="drop"
+                )
+                g_meta = c["g_meta"].at[rows, tgt].set(
+                    jnp.where(valid, meta, 0), mode="drop"
+                )
+                out.update(
+                    counts=jnp.minimum(
+                        c["counts"] + nh, jnp.int32(gcap)
+                    ),
+                    overflow=c["overflow"]
+                    | (nh > lcap)
+                    | (c["counts"] + nh > gcap),
+                    g_t=g_t,
+                    g_meta=g_meta,
+                )
+            else:
+                out.update(
+                    counts=c["counts"], overflow=c["overflow"],
+                    g_t=c["g_t"], g_meta=c["g_meta"],
+                )
+            return out
+
+        out = lax.while_loop(cond, body, carry)
+        # one packed summary row per lane: a single host transfer carries
+        # every scalar diagnostic (all values exact in f64)
+        out["packed"] = jnp.stack(
+            [
+                out["min_h"], out["max_h"],
+                out["nsteps"].astype(dtype),
+                out["outcome"].astype(dtype),
+                out["te_idx"].astype(dtype),
+                out["te_sgn"].astype(dtype),
+                out["counts"].astype(dtype),
+                out["overflow"].astype(dtype),
+            ],
+            1,
+        )
+        return out
+
+    return full

@@ -20,10 +20,29 @@ if os.environ.get("_HEYOKA_TPU_TEST_REEXEC") != "1":
         os.environ.get("PALLAS_AXON_POOL_IPS")
     )
     if needs:
-        env = dict(os.environ)
-        env.update(_WANT)
-        env["_HEYOKA_TPU_TEST_REEXEC"] = "1"
-        os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+        # try the in-process route first: as long as no jax backend has
+        # been *initialized* yet (plugin registration at interpreter
+        # startup is fine), flipping the platform + XLA_FLAGS here is
+        # equivalent to the re-exec — and some sandboxes swallow the
+        # stdout of an exec'd replacement process entirely
+        os.environ.update(_WANT)
+        os.environ["_HEYOKA_TPU_TEST_REEXEC"] = "1"
+        _inproc = False
+        try:
+            import jax
+            import jax._src.xla_bridge as _xb
+
+            if not _xb.backends_are_initialized():
+                jax.config.update("jax_platforms", "cpu")
+                _inproc = True
+        except Exception:
+            _inproc = False
+        if not _inproc:
+            env = dict(os.environ)
+            os.execvpe(
+                sys.executable,
+                [sys.executable, "-m", "pytest", *sys.argv[1:]], env,
+            )
 
 os.environ.setdefault("XLA_FLAGS", _WANT["XLA_FLAGS"])
 

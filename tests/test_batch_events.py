@@ -247,3 +247,40 @@ def test_large_batch_f32_tier_terminal_events():
         )
         ta.propagate_until(50.0)
         assert abs(float(np.asarray(tab.time)[lane]) - ta.time) < 1e-11
+
+
+def test_full_driver_matches_chunked(states, monkeypatch):
+    # the whole-propagation driver (one device dispatch, global hit
+    # buffer) must produce byte-identical results to the chunked
+    # re-entry loop it wraps: same hits, times, outcomes, diagnostics
+    x, v = hy.make_vars("x", "v")
+
+    def run(no_full):
+        if no_full:
+            monkeypatch.setenv("HEYOKA_EV_NO_FULL", "1")
+        else:
+            monkeypatch.delenv("HEYOKA_EV_NO_FULL", raising=False)
+        hits = [[] for _ in range(BATCH)]
+        tab = hy.taylor_adaptive_batch(
+            pendulum(), states, tol=1e-12,
+            nt_events=[nt_event(
+                x, lambda tb, t, d, lane: hits[lane].append((t, d)))],
+            t_events=[t_event(hy.time - hy.par[0])],
+            pars=np.full((BATCH, 1), 8.25),
+        )
+        ocs, mn, mx, ns = tab.propagate_until(10.0)
+        return hits, ocs, np.asarray(tab.state), np.asarray(tab.time), \
+            np.asarray(mn), np.asarray(mx), np.asarray(ns)
+
+    h_f, oc_f, st_f, t_f, mn_f, mx_f, ns_f = run(False)
+    h_c, oc_c, st_c, t_c, mn_c, mx_c, ns_c = run(True)
+    assert oc_f == oc_c
+    np.testing.assert_array_equal(st_f, st_c)
+    np.testing.assert_array_equal(t_f, t_c)
+    np.testing.assert_array_equal(mn_f, mn_c)
+    np.testing.assert_array_equal(mx_f, mx_c)
+    np.testing.assert_array_equal(ns_f, ns_c)
+    assert h_f == h_c
+    assert all(len(h) > 0 for h in h_f)
+    # terminal stop at t=8.25 on every lane
+    assert all(oc == 0 for oc in oc_f)
