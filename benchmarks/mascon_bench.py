@@ -93,13 +93,13 @@ def main():
     z = jnp.zeros((B,), dtype)
 
     r = ck(st, z, z)  # compile + warm
-    jax.block_until_ready(r)
-    t_compile = time.perf_counter() - t0
+    float(r[1][0])  # host value read: block_until_ready does not
+    t_compile = time.perf_counter() - t0  # synchronize on the tunnel
     print(f"build+compile {t_compile:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     out = ck(st, z, z)
-    jax.block_until_ready(out)
+    float(out[1][0])  # close the timing window with a host value read
     el = time.perf_counter() - t0
     lane_steps = NSTEPS * B
 
