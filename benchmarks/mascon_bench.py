@@ -57,10 +57,13 @@ def main():
           f"decompose {t_dec:.1f}s", flush=True)
 
     dtype = jnp.float64
+    phase = sys.argv[4] if len(sys.argv) > 4 else None
+    if phase in ("", "none", "None"):
+        phase = None
     t0 = time.perf_counter()
     step = make_batched_step_flat(
         tape, order, dtype=dtype, high_accuracy=True, mp_order=8,
-        layout="3d", unroll=True, staged=True,
+        layout="3d", unroll=True, staged=True, pallas_phase=phase,
     )
 
     from heyoka_tpu.dfloat import dd_add_d
@@ -121,6 +124,7 @@ def main():
         "n_mascons": N,
         "n_uvars": tape.n_uvars,
         "batch": B,
+        "pallas_phase": phase,
         "lane_steps_per_sec": round(lane_steps / el, 1),
         "ms_per_step": round(el / NSTEPS * 1e3, 3),
         "energy_drift": drift,

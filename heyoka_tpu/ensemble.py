@@ -99,8 +99,9 @@ def _mesh_key(mesh):
     )
 
 
-def _mesh_shard(fun, mesh, n_args):
-    """shard_map ``fun`` over the trajectory axis of an (optional) mesh."""
+def _mesh_shard(fun, mesh, n_args, n_scalar=0):
+    """shard_map ``fun`` over the trajectory axis of an (optional) mesh;
+    the last ``n_scalar`` args are replicated scalars."""
     if mesh is None:
         return fun
     from jax.sharding import PartitionSpec as P
@@ -110,7 +111,8 @@ def _mesh_shard(fun, mesh, n_args):
         from jax.experimental.shard_map import shard_map
 
     axis = mesh.axis_names[0]
-    specs = tuple(P(axis) for _ in range(n_args))
+    specs = (tuple(P(axis) for _ in range(n_args))
+             + tuple(P() for _ in range(n_scalar)))
     try:
         return shard_map(
             fun, mesh=mesh, in_specs=specs, out_specs=P(axis), check_rep=False
@@ -195,39 +197,55 @@ def ensemble_propagate_until(
                 pallas_phase=getattr(ta, "_pallas_phase", False),
             )
 
-        def vm(state, pars_, t_hi, t_lo, tgt):
+        n_sv = int(np.asarray(states).shape[1])
+
+        def vm(packed, tgt_s):
+            # one packed upload per call: [state | t_hi | pars] columns
+            # — the tunnel round trip per array dominated the steady
+            # ensemble dispatch (~120 ms for 5 uploads, PERF round-3)
+            state = packed[:, :n_sv]
+            t_hi = packed[:, n_sv]
+            pars_ = packed[:, n_sv + 1:]
+            tgt = jnp.full_like(t_hi, tgt_s)
             return puf(
-                state, pars_, t_hi, t_lo, tgt, jnp.zeros_like(tgt),
-                jnp.full_like(tgt, float(max_delta_t)),
+                state, pars_, t_hi, jnp.zeros_like(t_hi), tgt,
+                jnp.zeros_like(t_hi),
+                jnp.full_like(t_hi, float(max_delta_t)),
                 jnp.asarray(int(max_steps), jnp.int64),
             )
 
         from .taylor.compact_flat import jit_flat_step
 
-        fn = jit_flat_step(_mesh_shard(vm, mesh, 5))
+        fn = jit_flat_step(_mesh_shard(vm, mesh, 1, 1))
     elif fn is None:
         pu = _loops.make_propagate_until(ta._fns)
 
-        def one(state, pars_, t_hi, t_lo, tgt):
+        def one(state, pars_, t_hi, tgt):
             return pu(
-                state, pars_, t_hi, t_lo, tgt, jnp.asarray(0.0, dtype),
+                state, pars_, t_hi, jnp.asarray(0.0, dtype), tgt,
+                jnp.asarray(0.0, dtype),
                 jnp.asarray(float(max_delta_t), dtype),
                 jnp.asarray(int(max_steps), jnp.int64),
             )
 
-        vm = jax.vmap(one)
-        fn = jax.jit(_mesh_shard(vm, mesh, 5))
+        n_sv = int(np.asarray(states).shape[1])
+
+        def vm(packed, tgt_s):
+            state = packed[:, :n_sv]
+            t_hi = packed[:, n_sv]
+            pars_ = packed[:, n_sv + 1:]
+            tgt = jnp.full_like(t_hi, tgt_s)
+            return jax.vmap(one)(state, pars_, t_hi, tgt)
+
+        fn = jax.jit(_mesh_shard(vm, mesh, 1, 1))
     if cache is not None:
         cache[key] = fn
 
-    targets = jnp.broadcast_to(jnp.asarray(t, dtype), (n_iter,))
-    res = fn(
-        jnp.asarray(states),
-        jnp.asarray(pars),
-        jnp.asarray(times),
-        jnp.zeros((n_iter,), dtype),
-        targets,
-    )
+    packed = np.concatenate(
+        [np.asarray(states, dtype),
+         np.asarray(times, dtype)[:, None],
+         np.asarray(pars, dtype)], axis=1)
+    res = fn(jnp.asarray(packed), jnp.asarray(t, dtype))
     return {
         "state": res["state"],
         "time": res["t_hi"] + res["t_lo"],

@@ -59,6 +59,54 @@ class _Plan:
     levels: list  # list[list[_Group]]
 
 
+def _read_pieces(cols, max_pieces=8):
+    """Decompose an index vector into <= ``max_pieces`` gather-free read
+    pieces ``[(a, d, n, r), ...]``: each piece is ``repeat(a + d*arange(n),
+    r)`` (n stride-``d`` columns from ``a``, every value repeated ``r``
+    times), concatenated in order.  ``build_plan``'s instance-regular
+    entry sort makes the operand sets of repetitive tapes (mascons, fixed
+    centres, N-body pairs, ffnn layers) decompose this way, so their
+    history reads lower to slices + broadcasts instead of the vmapped
+    gathers that serialize on TPU (SURVEY hard part #4, the reference's
+    ``parallel_mode`` workloads).  Returns None for genuinely scattered
+    sets (the caller falls back to a gather / staged buffer)."""
+    cols = np.asarray(cols, dtype=np.int64)
+    m = cols.size
+    if m == 0:
+        return None
+    # run-length encode: a uniform run length r factors out per-instance
+    # repeats (e.g. one r^-3/2 column consumed by the x/y/z rows)
+    brk = np.flatnonzero(np.diff(cols) != 0)
+    starts = np.concatenate([np.zeros(1, np.int64), brk + 1])
+    counts = np.diff(np.concatenate([starts, np.array([m])]))
+    vals = cols[starts]
+    if counts.size and counts[0] > 1 and np.all(counts == counts[0]):
+        r = int(counts[0])
+    else:
+        r = 1
+        vals = cols
+    pieces = []
+    i = 0
+    mv = vals.size
+    while i < mv:
+        if len(pieces) >= max_pieces:
+            return None
+        if i + 1 < mv:
+            d = int(vals[i + 1] - vals[i])
+            if d >= 0:
+                j = i + 1
+                while j + 1 < mv and vals[j + 1] - vals[j] == d:
+                    j += 1
+                n = j - i + 1
+            else:
+                d, n = 1, 1
+        else:
+            d, n = 1, 1
+        pieces.append((int(vals[i]), d, n, r))
+        i += n
+    return pieces
+
+
 #: ops whose numeric evaluation takes fewer inputs than the tape op carries
 #: (auxiliary operands participate only in the recurrences) — mirrors the
 #: special cases in jet.make_jet_fn
@@ -213,18 +261,68 @@ def build_plan(tape: Tape, order: int) -> _Plan:
     _sort_min = int(_osm.environ.get("HEYOKA_PLAN_SORT_MIN", "256"))
     if bool(int(_osm.environ.get("HEYOKA_PLAN_NO_SORT", "0"))):
         _sort_min = 1 << 62
+
+    # producer-region id per column: -1 state vars, -2 virtual
+    # (const/par/time), group id >= 0 for op outputs.  Used to split a
+    # group's entries into *families* — entries whose operands come from
+    # the same producer regions — before sorting: a (level, op) group can
+    # mix several instance-regular populations (e.g. the mascon L2 muls:
+    # dx_i*dx_i squares alongside Gm_i*dx_i scalings) whose interleaving
+    # under a single lexsort leaves one family's operands as 2-level
+    # affine patterns no piecewise read can express.
+    region = np.full(next_col, -2, dtype=np.int64)
+    region[:n_eq] = -1
+    gid = 0
+    for lv in levels:
+        for g in lv:
+            region[g.out_cols] = gid
+            gid += 1
+
+    def _best_family_perm(in_cols_f, alpha_f):
+        """Choose, among per-operand-major lexsorts of one family, the
+        permutation whose sorted operand sets decompose into the fewest
+        read pieces (scattered operands count as +10k each)."""
+        nargs = in_cols_f.shape[1]
+        base_keys = [in_cols_f[:, c] for c in range(nargs)]
+        if alpha_f is not None:
+            base_keys.append(np.asarray(alpha_f))
+        best = None
+        for primary in range(nargs):
+            keys = ([base_keys[primary]]
+                    + [k for i, k in enumerate(base_keys) if i != primary])
+            perm = np.lexsort(tuple(keys[::-1]))
+            cost = 0
+            for c in range(nargs):
+                p = _read_pieces(in_cols_f[perm, c])
+                cost += len(p) if p is not None else 10_000
+            if best is None or cost < best[0]:
+                best = (cost, perm)
+            if best[0] <= nargs:  # already optimal: 1 piece per operand
+                break
+        return best[1]
+
     old2new = np.arange(next_col, dtype=np.int64)
     nxt = n_eq
     for lv in levels:
         for g in lv:
             m = g.out_cols.size
             if m >= _sort_min:
-                keys = [old2new[g.in_cols[:, c]]
-                        for c in range(g.in_cols.shape[1])]
-                if g.alpha is not None:
-                    keys.append(g.alpha)
-                # row-major lexicographic: first input most significant
-                perm = np.lexsort(tuple(keys[::-1]))
+                mapped = old2new[g.in_cols]
+                fam_keys = [tuple(region[g.in_cols[r]])
+                            for r in range(m)]
+                fams: dict = {}
+                for r, fk in enumerate(fam_keys):
+                    fams.setdefault(fk, []).append(r)
+                perm_parts = []
+                for fk in sorted(fams):
+                    rows = np.asarray(fams[fk], dtype=np.int64)
+                    sub = _best_family_perm(
+                        mapped[rows],
+                        None if g.alpha is None else
+                        np.asarray(g.alpha)[rows],
+                    )
+                    perm_parts.append(rows[sub])
+                perm = np.concatenate(perm_parts)
                 if not np.array_equal(perm, np.arange(m)):
                     g.out_cols = g.out_cols[perm]
                     g.in_cols = g.in_cols[perm]

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..expr.decompose import Tape
 from ..expr import registry as _reg
-from .compact import _EVAL_ARITY, build_plan
+from .compact import _EVAL_ARITY, _read_pieces, build_plan
 from .compact_loop import UnsupportedLoopOp, _pow0_vec_b
 
 _F_RULES: dict = {}
@@ -136,54 +136,6 @@ _HIST_KEYS: dict = {
     "kepDE": lambda g: [g.in_cols[:, 0], g.in_cols[:, 1], g.aux["sin"],
                         g.aux["cos"], g.out_cols],
 }
-
-
-def _read_pieces(cols, max_pieces=8):
-    """Decompose an index vector into <= ``max_pieces`` gather-free read
-    pieces ``[(a, d, n, r), ...]``: each piece is ``repeat(a + d*arange(n),
-    r)`` (n stride-``d`` columns from ``a``, every value repeated ``r``
-    times), concatenated in order.  ``build_plan``'s instance-regular
-    entry sort makes the operand sets of repetitive tapes (mascons, fixed
-    centres, N-body pairs, ffnn layers) decompose this way, so their
-    history reads lower to slices + broadcasts instead of the vmapped
-    gathers that serialize on TPU (SURVEY hard part #4, the reference's
-    ``parallel_mode`` workloads).  Returns None for genuinely scattered
-    sets (the caller falls back to a gather / staged buffer)."""
-    cols = np.asarray(cols, dtype=np.int64)
-    m = cols.size
-    if m == 0:
-        return None
-    # run-length encode: a uniform run length r factors out per-instance
-    # repeats (e.g. one r^-3/2 column consumed by the x/y/z rows)
-    brk = np.flatnonzero(np.diff(cols) != 0)
-    starts = np.concatenate([np.zeros(1, np.int64), brk + 1])
-    counts = np.diff(np.concatenate([starts, np.array([m])]))
-    vals = cols[starts]
-    if counts.size and counts[0] > 1 and np.all(counts == counts[0]):
-        r = int(counts[0])
-    else:
-        r = 1
-        vals = cols
-    pieces = []
-    i = 0
-    mv = vals.size
-    while i < mv:
-        if len(pieces) >= max_pieces:
-            return None
-        if i + 1 < mv:
-            d = int(vals[i + 1] - vals[i])
-            if d >= 0:
-                j = i + 1
-                while j + 1 < mv and vals[j + 1] - vals[j] == d:
-                    j += 1
-                n = j - i + 1
-            else:
-                d, n = 1, 1
-        else:
-            d, n = 1, 1
-        pieces.append((int(vals[i]), d, n, r))
-        i += n
-    return pieces
 
 
 def _pieces_read_ax0(jnp_, lax_, x, pieces):
@@ -453,6 +405,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
     _pp_o0 = False
     if pallas_phase:
         from .pallas_phase import (
+            UnsupportedPallasOp as _UPO,
             make_phase_kernel as _mk_pp, make_dd_jet_kernel as _mk_dd,
             order0_supported as _o0_ok,
         )
@@ -477,8 +430,35 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             _mk_pp(plan, mp_order + 1, K, 128, interpret=_pp_interp)
 
     #: batch-tile width (lanes per kernel invocation); 128 is the VPU lane
-    #: width — overridable for tuning via HEYOKA_PALLAS_BT
-    _bt = int(_os.environ.get("HEYOKA_PALLAS_BT", "128"))
+    #: width — overridable for tuning via HEYOKA_PALLAS_BT.  Mosaic
+    #: requires the tile to be a multiple of 128, so huge tapes
+    #: (mascon-class, SURVEY #24) cannot shrink it — instead the kernel
+    #: switches to row-split VMEM scratch (H/C/V history classes,
+    #: pallas_phase._row_classes) when the dense (W, K+1) scratch
+    #: doesn't fit.
+    _pp_compact = False
+    _bt_env = _os.environ.get("HEYOKA_PALLAS_BT")
+    if _bt_env is not None:
+        _bt = int(_bt_env)
+    elif _pp_dd:
+        from .pallas_phase import auto_bt as _auto_bt
+
+        try:
+            _bt = _auto_bt(plan, mp_order, K, None, 128)
+        except _UPO:
+            # raises again (propagating to the auto-resolution fallback /
+            # the caller) if even the split scratch is too wide
+            _bt = _auto_bt(plan, mp_order, K, None, 128, compact=True)
+            _pp_compact = True
+    else:
+        _bt = 128
+    if _pp_dd and _os.environ.get("HEYOKA_PALLAS_COMPACT") == "1":
+        _pp_compact = True  # test/experiment knob
+    if _pp_compact and not (_pp_o0 and not _debug_tc):
+        raise _UPO(
+            "tape too wide for the dense VMEM scratch and the row-split "
+            "kernel needs slim outputs + in-kernel dd order 0"
+        )
 
     def _get_pallas(B):
         # batch tiles are _bt lanes; for the dd kernel, batches that do
@@ -497,7 +477,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 fn = _mk_dd(plan, mp_order, K, Bp, bt=_bt,
                             interpret=_pp_interp,
                             slim=not _debug_tc, order0=_pp_o0_mode,
-                            sv_extra=_pp_extra)
+                            sv_extra=_pp_extra,
+                            compact_rows=_pp_compact)
             else:
                 fn = _mk_pp(plan, mp_order + 1, K, Bp, bt=_bt,
                             interpret=_pp_interp)

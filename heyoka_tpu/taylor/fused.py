@@ -72,7 +72,15 @@ def make_propagate_until_fused(tape: Tape, order: int, *, dtype=None,
     n_eq = tape.n_eq
     W = plan.width
 
-    bt = int(_os.environ.get("HEYOKA_PALLAS_BT", "128"))
+    _bt_env = _os.environ.get("HEYOKA_PALLAS_BT")
+    if _bt_env is not None:
+        bt = int(_bt_env)
+    else:
+        # huge tapes shrink the batch tile to fit the (W, K+1) VMEM
+        # scratch; margin covers the prop kernel's extra carries
+        from .pallas_phase import auto_bt
+
+        bt = auto_bt(plan, mp_order, K, None, 128, margin=0.85)
 
     # exact landing phase: the single-step engine with the configured
     # Pallas phase (usually already compiled for step()/propagate_grid)

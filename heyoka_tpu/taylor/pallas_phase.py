@@ -41,8 +41,11 @@ bit-masking splits (low 12 mantissa bits zeroed); if Mosaic fuses
 from __future__ import annotations
 
 import math as _pymath
+import os as _os
 
 import numpy as np
+
+from .compact import _read_pieces
 
 
 class UnsupportedPallasOp(Exception):
@@ -94,6 +97,57 @@ def _contig(cols):
     a = int(cols[0])
     return (a, a + int(cols.size)) if np.array_equal(
         cols, np.arange(a, a + cols.size)) else None
+
+
+#: operand sets at least this large read straight from the coefficient
+#: block via piecewise slices (when expressible) instead of carrying a
+#: staged VMEM history: at mascon/fixed-centres scale the staged
+#: histories (4 dd components x K+1 orders x m rows) would blow VMEM,
+#: and the per-read Dekker-split recompute they save is ~20% of the
+#: product flops.  Gated at the same 256 as build_plan's entry sort so
+#: every small-group tape (outer-SS, HH, pendulum) keeps the tuned
+#: round-2 codepath bit-identical.  Env-overridable so tests exercise
+#: the piece-read path at CPU-sized instance counts.
+_STAGE_SKIP_MIN = int(_os.environ.get("HEYOKA_PALLAS_STAGE_MIN", "256"))
+
+
+def _pieces_read_ref(jnp, read_range, pieces, bt, wlim):
+    """Assemble the rows of a piecewise column set from contiguous
+    row-range reads of a (W, bt) view — slices, broadcasts, reshapes
+    and repeats only (the in-kernel analog of
+    compact_flat._pieces_read_ax0).  ``read_range(a, b)`` must return
+    the (b-a, bt) value of rows [a, b); ``wlim`` is the number of rows
+    available.  Strided pieces read the covering contiguous block and
+    deinterleave via reshape — Mosaic's extract_strided_slice only
+    supports unit strides."""
+    outs = []
+    for a, d, n, r in pieces:
+        if n == 1:
+            v = read_range(a, a + 1)
+        elif d == 0:
+            one = read_range(a, a + 1)
+            v = jnp.broadcast_to(one, (n,) + one.shape[1:])
+        elif d == 1:
+            v = read_range(a, a + n)
+        else:
+            full = n * d
+            if a + full <= wlim:
+                x = read_range(a, a + full)
+            else:
+                span = (n - 1) * d + 1
+                x = read_range(a, a + span)
+                x = jnp.concatenate(
+                    [x, jnp.zeros((full - span,) + x.shape[1:],
+                                  x.dtype)], axis=0
+                )
+            v = x.reshape((n, d) + x.shape[1:])[:, 0]
+        if r > 1:
+            m0 = v.shape[0]
+            v = jnp.broadcast_to(
+                v[:, None], (m0, r) + v.shape[1:]
+            ).reshape((m0 * r,) + v.shape[1:])
+        outs.append(v)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def _validate(plan):
@@ -247,6 +301,33 @@ def _mk_arith(jnp, barriers: bool = False):
         def mul_nn(x, y):
             return (x[0] * y[0],)
 
+        # -- block-convolution API: values are (m, L, bt) order blocks;
+        # one vector op per convolution instead of one per term (the
+        # huge-tape compile-time fix — Mosaic program size goes from
+        # O(sum_k k) to O(K) statements per group)
+        @staticmethod
+        def flip1(t):
+            return tuple(jnp.flip(c, axis=1) for c in t)
+
+        @staticmethod
+        def scale_nn_v(t, v):
+            return (t[0] * v,)
+
+        @staticmethod
+        def sum_nn1(t):
+            return (jnp.sum(t[0], axis=1),)
+
+        @staticmethod
+        def iota1(L):
+            from jax import lax as _lx
+
+            return _lx.broadcasted_iota(jnp.float32, (1, L, 1), 1)
+
+        @staticmethod
+        def wvec(av, k, jv):
+            # pow-recurrence weight numerators av*(k-j) - j
+            return (jnp.float32(av) * (jnp.float32(k) - jv) - jv,)
+
         @staticmethod
         def scale_nn(t, c):
             return (t[0] * f32(c),)
@@ -361,6 +442,53 @@ def _mk_arith(jnp, barriers: bool = False):
         def fin(t):
             return _quick_two_sum(t[0], t[1])
 
+        # -- block-convolution API (see F32): order-axis flip, exact
+        # per-element scaling, and an error-compensated binary-tree
+        # reduction over the order axis — every two_sum residual lands
+        # in the error component, so accuracy matches the sequential
+        # acc chain (different rounding order, same error budget)
+        @staticmethod
+        def flip1(t):
+            return tuple(jnp.flip(c, axis=1) for c in t)
+
+        @staticmethod
+        def scale_nn_v(t, v):
+            p, e = _two_prod(t[0], v)
+            return (p, e + t[1] * v)
+
+        @staticmethod
+        def sum_nn1(t):
+            p, e = t[0], t[1]
+            while p.shape[1] > 1:
+                L = p.shape[1]
+                h = L // 2
+                s, r = _two_sum(p[:, :h], p[:, h:2 * h])
+                e2 = e[:, :h] + e[:, h:2 * h] + r
+                if L % 2:
+                    s = jnp.concatenate([s, p[:, 2 * h:]], axis=1)
+                    e2 = jnp.concatenate([e2, e[:, 2 * h:]], axis=1)
+                p, e = s, e2
+            return (p[:, 0], e[:, 0])
+
+        @staticmethod
+        def iota1(L):
+            from jax import lax as _lx
+
+            return _lx.broadcasted_iota(jnp.float32, (1, L, 1), 1)
+
+        @staticmethod
+        def wvec(av, k, jv):
+            # dd-accurate pow weight numerators av*(k-j) - j from the
+            # exact iota (k-j and j are exact small f32 integers; the
+            # two_prod/two_sum keep av's low bits like the trace-time
+            # scalar dd pairs of the unrolled path)
+            avh, avl = _pair(av)
+            kmj = jnp.float32(k) - jv
+            p, e = _two_prod(kmj, avh)
+            e = e + kmj * avl
+            s, r = _two_sum(p, -jv)
+            return (s, e + r)
+
         @staticmethod
         def with_split(x):
             """Attach the cached Dekker split of the hi part: (hi, lo,
@@ -463,18 +591,40 @@ def _mk_arith(jnp, barriers: bool = False):
 #   hrow(ci, j) -> history value of operand set ci at order j (j < k)
 # ---------------------------------------------------------------------------
 
-def _rule(A, g, k, rowv, hrow):
+def _rule(A, g, k, rowv, hrow, static=None, hblk=None):
     # convolutions accumulate non-normalized (value, error) terms
     # (A.mul_nn/scale_nn/acc) and renormalize once per output (A.fin);
     # scalar weights are folded (e.g. j/k precomputed in f64 at trace
-    # time) so no separate 1/k pass is needed
+    # time) so no separate 1/k pass is needed.
+    # ``static(cols)`` (optional): True when the columns' coefficients
+    # vanish identically above order 0 (literals/params) — convolutions
+    # against such operands collapse to one order-0 product and static
+    # sum args above order 0 drop out (exact rewrites; the big win for
+    # instance-regular tapes whose per-instance constants are tape
+    # columns, e.g. mascon's Gm_i).
     name = g.name
     if name == "sum":
-        vals = rowv(g.in_cols[:, 0])
-        for a in range(1, g.in_cols.shape[1]):
+        live = [a for a in range(g.in_cols.shape[1])
+                if static is None or not static(g.in_cols[:, a])]
+        if not live:
+            z = A.zero_like(rowv(g.in_cols[:, 0]))
+            return z
+        vals = rowv(g.in_cols[:, live[0]])
+        for a in live[1:]:
             vals = A.add(vals, rowv(g.in_cols[:, a]))
         return vals
     if name == "mul":
+        s0 = static is not None and static(g.in_cols[:, 0])
+        s1 = static is not None and static(g.in_cols[:, 1])
+        if s0 and s1:
+            return A.zero_like(rowv(g.in_cols[:, 0]))
+        if s1:  # c_j = 0 above order 0: c_k = a_k * b_0
+            return A.fin(A.mul_nn(rowv(g.in_cols[:, 0]), hrow(1, 0)))
+        if s0:
+            return A.fin(A.mul_nn(hrow(0, 0), rowv(g.in_cols[:, 1])))
+        if hblk is not None:
+            t = A.mul_nn(hblk(0, 0, k + 1), A.flip1(hblk(1, 0, k + 1)))
+            return A.fin(A.sum_nn1(t))
         a_k = rowv(g.in_cols[:, 0])
         c_k = rowv(g.in_cols[:, 1])
         acc = A.acc(A.mul_nn(hrow(0, 0), c_k), A.mul_nn(a_k, hrow(1, 0)))
@@ -485,6 +635,11 @@ def _rule(A, g, k, rowv, hrow):
         # c_k = sum_{j<k} c_j b_{k-j} (alpha(k-j) - j) / (k b_0)
         # (uniform exponent per group, enforced in the preamble)
         av = float(np.unique(np.asarray(g.alpha))[0])
+        if hblk is not None:
+            t = A.mul_nn(hblk(0, 0, k), A.flip1(hblk(1, 1, k + 1)))
+            t = A.mul_nn(t, A.wvec(av, k, A.iota1(k)))
+            s = A.scale(A.fin(A.sum_nn1(t)), 1.0 / k)
+            return A.div(s, hrow(1, 0))
         b_k = rowv(g.in_cols[:, 0])
         acc = A.scale_nn(A.mul_nn(hrow(0, 0), b_k), av)
         for j in range(1, k):
@@ -495,6 +650,10 @@ def _rule(A, g, k, rowv, hrow):
     if name == "div":
         # c_k = (a_k - sum_{j<k} c_j d_{k-j}) / d_0
         a_k = rowv(g.in_cols[:, 0])
+        if hblk is not None:
+            t = A.mul_nn(hblk(0, 0, k), A.flip1(hblk(1, 1, k + 1)))
+            s = A.fin(A.sum_nn1(t))
+            return A.div(A.sub(a_k, s), hrow(1, 0))
         acc = A.acc((a_k[0], *a_k[1:2]) if A.width == 2 else (a_k[0],),
                     A.neg_nn(A.mul_nn(hrow(0, 0), rowv(g.in_cols[:, 1]))))
         for j in range(1, k):
@@ -503,6 +662,10 @@ def _rule(A, g, k, rowv, hrow):
         return A.div(A.fin(acc), hrow(1, 0))
     if name == "exp":
         # e_k = (1/k) sum_{j=1..k} j b_j e_{k-j}
+        if hblk is not None:
+            t = A.mul_nn(hblk(1, 1, k + 1), A.flip1(hblk(0, 0, k)))
+            t = A.scale_nn_v(t, A.iota1(k) + 1.0)
+            return A.scale(A.fin(A.sum_nn1(t)), 1.0 / k)
         b_k = rowv(g.in_cols[:, 0])
         acc = A.mul_nn(b_k, hrow(0, 0))  # j=k term: weight k/k = 1
         for j in range(1, k):
@@ -512,6 +675,11 @@ def _rule(A, g, k, rowv, hrow):
     if name in ("sin", "sinh", "cos", "cosh"):
         # s_k = (sign/k) sum_{j=1..k} j b_j p_{k-j}
         sign = -1.0 if name == "cos" else 1.0
+        if hblk is not None:
+            t = A.mul_nn(hblk(0, 1, k + 1), A.flip1(hblk(1, 0, k)))
+            t = A.scale_nn_v(t, A.iota1(k) + 1.0)
+            s = A.scale(A.fin(A.sum_nn1(t)), sign / k)
+            return s
         b_k = rowv(g.in_cols[:, 0])
         acc = A.mul_nn(b_k, hrow(1, 0))
         if sign < 0:
@@ -523,6 +691,13 @@ def _rule(A, g, k, rowv, hrow):
     if name == "log":
         # c_k = (b_k - (1/k) sum_{j=1..k-1} j c_j b_{k-j}) / b_0
         b_k = rowv(g.in_cols[:, 0])
+        if hblk is not None:
+            if k < 2:
+                return A.div(b_k, hrow(1, 0))
+            t = A.mul_nn(hblk(0, 1, k), A.flip1(hblk(1, 1, k)))
+            t = A.scale_nn_v(t, A.iota1(k - 1) + 1.0)
+            s = A.scale(A.fin(A.sum_nn1(t)), 1.0 / k)
+            return A.div(A.sub(b_k, s), hrow(1, 0))
         acc = (b_k[0], *b_k[1:2]) if A.width == 2 else (b_k[0],)
         for j in range(1, k):
             acc = A.acc(acc, A.scale_nn(
@@ -531,6 +706,13 @@ def _rule(A, g, k, rowv, hrow):
     if name == "sqrt":
         # c_k = (b_k - sum_{j=1..k-1} c_j c_{k-j}) / (2 c_0)
         b_k = rowv(g.in_cols[:, 0])
+        if hblk is not None:
+            if k < 2:
+                return A.div(A.scale(b_k, 0.5), hrow(0, 0))
+            t = A.mul_nn(hblk(0, 1, k), A.flip1(hblk(0, 1, k)))
+            s = A.fin(A.sum_nn1(t))
+            return A.div(A.scale(A.sub(b_k, s), 0.5),
+                         hrow(0, 0))
         acc = (b_k[0], *b_k[1:2]) if A.width == 2 else (b_k[0],)
         for j in range(1, k):
             acc = A.acc(acc, A.neg_nn(A.mul_nn(hrow(0, j),
@@ -792,7 +974,7 @@ def make_phase_kernel(plan, lo: int, K: int, B: int, *, bt: int = 128,
 
 def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
               ohi_ref, olo_ref, jnp, order0: str, norm_cols=None,
-              scaled: bool = True):
+              scaled: bool = True, rowsplit=None):
     """Run (optional in-kernel dd) order 0 plus Taylor orders ``1..K``
     in-place on the ``(W, K+1, bt)`` / ``(W, dd_until+1, bt)`` refs.
 
@@ -820,24 +1002,133 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
         norm_cols = (np.concatenate([np.arange(n_eq), plan.out_cols])
                      if plan.out_cols.size else np.arange(n_eq))
 
+    # columns whose Taylor coefficients are identically zero above order
+    # 0: literals and params (the time column — order-1 coefficient 1 —
+    # is excluded).  Convolutions against an all-static operand collapse
+    # to a single order-0 product, and static sum args above order 0
+    # vanish — exact rewrites (x+0 == x, 0-terms never rounded), applied
+    # to big instance-regular groups only so the tuned small-tape Mosaic
+    # schedules stay bit-identical.
+    _n_static0 = (plan.width - len(plan.const_cols) - len(plan.par_cols)
+                  - (1 if plan.time_col is not None else 0))
+
+    def _static(cols):
+        cols = np.asarray(cols)
+        return bool(np.all(cols >= _n_static0)
+                    and (plan.time_col is None
+                         or not np.any(cols == plan.time_col)))
+
+    _pieces_cache: dict = {}
+
+    def _pieces_of(cols, any_size=False):
+        # piece reads only for big (instance-regular) sets: small sets
+        # keep the round-2 unrolled reads bit-identical (the tuned
+        # outer-SS/HH kernels are Mosaic-schedule-sensitive).  Row-split
+        # kernels (huge tapes only) piece-read everything non-trivial.
+        if cols.size < (16 if any_size else _STAGE_SKIP_MIN):
+            return None
+        key = cols.tobytes()
+        if key not in _pieces_cache:
+            _pieces_cache[key] = _read_pieces(cols)
+        return _pieces_cache[key]
+
+    bt_k = ohi_ref.shape[2]
+    W_k = ohi_ref.shape[0]
+    _rs = rowsplit
+
     def _vrows(x, cols):
+        cols = np.asarray(cols, np.int64)
+        if _rs is not None:
+            # callers address tape columns; the split kernel's norm
+            # gathers all land in the H buffer
+            assert np.all(_rs["classv"][cols] == 0), "norm cols not H"
+            cols = _rs["rowmap"][cols]
         r = _contig(cols)
         if r:
             return x[r[0]:r[1]]
+        p = _pieces_of(cols, any_size=_rs is not None)
+        if p is not None:
+            return _pieces_read_ref(jnp, lambda a, b: x[a:b], p, bt_k,
+                                    x.shape[0])
         return jnp.concatenate([x[c:c + 1] for c in cols], axis=0)
 
-    def _read(cols, j, dd):
-        """order-j value of the columns, as a dd or f32 tuple."""
+    def _read_h(cols, j, dd):
+        """order-j value of H-buffer rows, as a dd or f32 tuple."""
         r = _contig(cols)
         if r:
             hi = ohi_ref[r[0]:r[1], j, :]
             if dd and j <= dd_until:
                 return (hi, olo_ref[r[0]:r[1], j, :])
             return (hi,) if not dd else (hi, jnp.zeros_like(hi))
-        hi = _vrows(ohi_ref[:, j, :], cols)
+        p = _pieces_of(cols, any_size=_rs is not None)
+        if p is not None:
+            hi = _pieces_read_ref(
+                jnp, lambda a, b: ohi_ref[a:b, j, :], p, bt_k, W_k)
+            if dd and j <= dd_until:
+                return (hi, _pieces_read_ref(
+                    jnp, lambda a, b: olo_ref[a:b, j, :], p, bt_k, W_k))
+            return (hi,) if not dd else (hi, jnp.zeros_like(hi))
+        # unroll fallback: materialized full-slice + value slices —
+        # bit-identical op graph to the tuned round-2 kernels
+        xh = ohi_ref[:, j, :]
+        hi = jnp.concatenate([xh[c:c + 1] for c in cols], axis=0)
         if dd and j <= dd_until:
-            return (hi, _vrows(olo_ref[:, j, :], cols))
+            xl = olo_ref[:, j, :]
+            lo = jnp.concatenate([xl[c:c + 1] for c in cols], axis=0)
+            return (hi, lo)
         return (hi,) if not dd else (hi, jnp.zeros_like(hi))
+
+    def _rows2d(buf, cols):
+        r = _contig(cols)
+        if r:
+            return buf[r[0]:r[1], :]
+        p = _pieces_of(cols, any_size=True)
+        if p is not None:
+            return _pieces_read_ref(jnp, lambda a, b: buf[a:b, :], p,
+                                    bt_k, buf.shape[0])
+        return jnp.concatenate([buf[c:c + 1, :] for c in cols], axis=0)
+
+    def _read(cols, j, dd):
+        """order-j value of the (tape-space) columns, as a dd or f32
+        tuple; row-split kernels route each same-class run to its
+        buffer (H full history / C current-order / V static)."""
+        cols = np.asarray(cols, np.int64)
+        if _rs is None:
+            return _read_h(cols, j, dd)
+        cv = _rs["classv"][cols]
+        brk = np.flatnonzero(np.diff(cv) != 0)
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), brk + 1, np.array([cols.size])])
+        his, los = [], []
+        want_lo = dd  # lo part always materialized when dd=True
+        for si in range(starts.size - 1):
+            s, e = int(starts[si]), int(starts[si + 1])
+            run = _rs["rowmap"][cols[s:e]]
+            cls = int(cv[s])
+            if cls == 0:
+                v = _read_h(run, j, True if want_lo else dd)
+                hi = v[0]
+                lo = v[1] if want_lo else None
+            elif cls == 1:
+                hi = _rows2d(_rs["chi"], run)
+                lo = (_rows2d(_rs["clo"], run)
+                      if want_lo and j <= dd_until else
+                      (jnp.zeros_like(hi) if want_lo else None))
+            else:
+                if j == 0:
+                    hi = _rows2d(_rs["vhi"], run)
+                    lo = (_rows2d(_rs["vlo"], run) if want_lo else None)
+                else:
+                    hi = jnp.zeros((e - s, bt_k), jnp.float32)
+                    lo = jnp.zeros_like(hi) if want_lo else None
+            his.append(hi)
+            los.append(lo)
+        hi = his[0] if len(his) == 1 else jnp.concatenate(his, axis=0)
+        if not dd:
+            return (hi,)
+        lo = (los[0] if len(los) == 1
+              else jnp.concatenate(los, axis=0))
+        return (hi, lo)
 
     def _coerce(v, A):
         if A.width == 1:
@@ -846,10 +1137,61 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
             return v
         return (v[0], jnp.zeros_like(v[0]))
 
+    def _read_blk(cols, j0, j1, dd):
+        """(m, j1-j0, bt) history block of the columns — the operand of
+        a blockified convolution (one vector multiply + one compensated
+        tree reduction instead of per-term statements; the huge-tape
+        Mosaic compile-time fix).  Only H-class, piece-readable sets
+        qualify (_blk_ok)."""
+        cols = np.asarray(cols, np.int64)
+        if _rs is not None:
+            cols = _rs["rowmap"][cols]
+        r = _contig(cols)
+        if r:
+            hi = ohi_ref[r[0]:r[1], j0:j1, :]
+            if dd:
+                return (hi, olo_ref[r[0]:r[1], j0:j1, :])
+            return (hi,)
+        p = _pieces_of(cols, any_size=True)
+        hi = _pieces_read_ref(
+            jnp, lambda a, b: ohi_ref[a:b, j0:j1, :], p, bt_k, W_k)
+        if dd:
+            return (hi, _pieces_read_ref(
+                jnp, lambda a, b: olo_ref[a:b, j0:j1, :], p, bt_k, W_k))
+        return (hi,)
+
+    def _blk_ok(g, cols):
+        cols = np.asarray(cols, np.int64)
+        if cols.size < _STAGE_SKIP_MIN or g.name in _SYNTH:
+            return False
+        if _rs is not None:
+            if not bool(np.all(_rs["classv"][cols] == 0)):
+                return False
+            cols = _rs["rowmap"][cols]
+        return (_contig(cols) is not None
+                or _pieces_of(cols, any_size=True) is not None)
+
+    def _store(gidx, g, k, vals, lo_too):
+        """Group-output store, routed to the H buffer (order column k)
+        or the C current-order slot under row splitting."""
+        a0, m = g.out_start, g.out_cols.size
+        if _rs is not None and _rs["gclass"][gidx] == 1:
+            ca = int(_rs["rowmap"][a0])
+            _rs["chi"][ca:ca + m, :] = vals[0]
+            if lo_too and len(vals) > 1:
+                _rs["clo"][ca:ca + m, :] = vals[1]
+            return
+        if _rs is not None:
+            a0 = int(_rs["rowmap"][a0])
+        ohi_ref[a0:a0 + m, k, :] = vals[0]
+        if lo_too and len(vals) > 1:
+            olo_ref[a0:a0 + m, k, :] = vals[1]
+
     if order0 == "dd":
         # in-kernel double-float order-0 evaluation (callers seed only
         # the state/const/par/time rows; group-output rows of the seed
         # are zero)
+        gidx0 = 0
         for lv in plan.levels:
             for g in lv:
                 def in0(c):
@@ -871,19 +1213,28 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
                     v = DD.pow_half(in0(0), av)
                 else:  # pragma: no cover - gated by order0_supported
                     raise UnsupportedPallasOp(name)
-                a0, m = g.out_start, g.out_cols.size
-                ohi_ref[a0:a0 + m, 0, :] = v[0]
-                olo_ref[a0:a0 + m, 0, :] = v[1]
+                _store(gidx0, g, 0, v, True)
+                gidx0 += 1
 
     # VMEM histories for every product-operand set (scattered AND
     # contiguous: caching lets dd entries carry their Dekker splits,
     # computed once at append and reused across all later orders):
     # entries are (hi, lo, split_hi, split_lo) up to order dd_until,
     # (hi,) beyond
+    def _stage(cols):
+        """Whether this operand set carries a staged VMEM history (small
+        sets: cached Dekker splits pay; large piece-readable sets: read
+        straight from the block, or VMEM blows up)."""
+        if cols.size < _STAGE_SKIP_MIN:
+            return True
+        return (_contig(cols) is None
+                and _pieces_of(np.asarray(cols, np.int64)) is None)
+
     hist: dict = {}
     for gi, (g, colsets) in enumerate(gops):
         for ci, cols in enumerate(colsets):
-            hist[(gi, ci)] = [DD.with_split(_read(cols, 0, True))]
+            if _stage(cols) or g.name in _SYNTH:
+                hist[(gi, ci)] = [DD.with_split(_read(cols, 0, True))]
         if g.name in _SYNTH:
             def _geth0(ci, i, gi=gi):
                 return _coerce(hist[(gi, ci)][i], DD)
@@ -916,14 +1267,22 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
                 v = h[j] if h is not None else _read(colsets[ci], j, dd)
                 return _coerce(v, A)
 
-            vals = _rule(A, g, k, rowv, hrow)
-            a, m = g.out_start, g.out_cols.size
-            ohi_ref[a:a + m, k, :] = vals[0]
-            if dd:
-                olo_ref[a:a + m, k, :] = vals[1]
+            big = g.out_cols.size >= _STAGE_SKIP_MIN
+            use_blk = (big and colsets
+                       and all(_blk_ok(g, c) for c in colsets))
+
+            def hblk(ci, j0, j1, colsets=colsets):
+                return _coerce(_read_blk(colsets[ci], j0, j1, dd), A)
+
+            vals = _rule(A, g, k, rowv, hrow,
+                         static=_static if big else None,
+                         hblk=hblk if use_blk else None)
+            _store(gi, g, k, vals, dd)
 
         for gi, (g, colsets) in enumerate(gops):
             for ci, cols in enumerate(colsets):
+                if (gi, ci) not in hist:
+                    continue
                 v = _read(cols, k, dd)
                 hist[(gi, ci)].append(DD.with_split(v) if dd else v)
             if g.name in _SYNTH:
@@ -971,10 +1330,113 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
     return _vrows, sig
 
 
+def _row_classes(plan, sv_extra=None):
+    """Partition tape columns into history classes for the VMEM scratch
+    of huge instance-regular tapes (SURVEY #24; reference parallel_mode
+    workloads, ``src/taylor_01.cpp:1202``):
+
+    - **H** (class 0): full ``(K+1)``-order history — columns read by
+      convolution recurrences (every ``_opsets`` operand set), state
+      variables, rhs/norm/output/sv-extra columns, and the time column.
+    - **C** (class 1): current-order scratch — op outputs consumed only
+      at the order they are produced (``sum`` inputs and other
+      ``rowv``-only reads).  One (hi, lo) row instead of ``K+1``.
+    - **V** (class 2): literals/params — coefficients identically zero
+      above order 0; one seeded (hi, lo) row, reads above order 0
+      synthesize zeros.
+
+    A mascon-class tape is ~2/3 C+V rows, so the scratch drops ~3x —
+    the difference between "does not fit at the mandatory bt=128" and
+    a comfortable fit.  Returns ``(classv, rowmap, sizes, gclass)``:
+    per-column class, per-column row within its class buffer (ascending
+    column order, so piecewise reads stay piecewise), class sizes, and
+    the per-group class list in plan order."""
+    W = plan.width
+    n_eq = plan.n_eq
+    need_h = np.zeros(W, bool)
+    need_h[:n_eq] = True
+    for lv in plan.levels:
+        for g in lv:
+            for cols in _opsets(g):
+                need_h[np.asarray(cols)] = True
+    if plan.rhs_cols.size:
+        need_h[np.asarray(plan.rhs_cols)] = True
+    if plan.out_cols.size:
+        need_h[np.asarray(plan.out_cols)] = True
+    if sv_extra is not None and len(sv_extra):
+        need_h[np.asarray(sv_extra, np.int64)] = True
+
+    n_u = (W - len(plan.const_cols) - len(plan.par_cols)
+           - (1 if plan.time_col is not None else 0))
+    classv = np.full(W, 2, np.int8)
+    classv[:n_eq] = 0
+    gclass = []
+    for lv in plan.levels:
+        for g in lv:
+            a, m = g.out_start, g.out_cols.size
+            cls = 0 if bool(need_h[a:a + m].any()) else 1
+            gclass.append(cls)
+            classv[a:a + m] = cls
+    if plan.time_col is not None:
+        classv[plan.time_col] = 0  # order-1 coefficient is 1, not 0
+    rowmap = np.zeros(W, np.int64)
+    sizes = []
+    for cls in (0, 1, 2):
+        idx = np.flatnonzero(classv == cls)
+        rowmap[idx] = np.arange(idx.size)
+        sizes.append(int(idx.size))
+    return classv, rowmap, tuple(sizes), gclass
+
+
+def auto_bt(plan, dd_until: int, K: int, B: int | None, bt: int = 128,
+            margin: float = 1.0, compact: bool = False):
+    """Largest batch tile (<= ``bt``, dividing ``B``) whose in-kernel
+    VMEM footprint fits the 96 MiB window: the (W, K+1) + (W, dd+1)
+    coefficient scratch, the 4-row seed blocks, and the staged operand
+    histories (sets below ``_STAGE_SKIP_MIN``, synth companions, or
+    genuinely scattered sets carry (hi, lo, split_hi, split_lo) rows per
+    dd order plus one per f32 order).  ``margin`` scales the budget down
+    for kernels with extra carries (the fused multi-step kernel)."""
+    W = plan.width
+    if compact:
+        _, _, (WH, WC, WV), _ = _row_classes(plan)
+        rows = (WH * (K + 1) + WH * (dd_until + 1)
+                + 2 * max(WC, 8) + 2 * max(WV, 8) + 4 * W)
+    else:
+        rows = W * (K + 1) + W * (dd_until + 1) + 4 * W
+    hist_orders = 4 * (dd_until + 1) + (K - dd_until)
+    for lv in plan.levels:
+        for g in lv:
+            colsets = _opsets(g)
+            for cols in colsets:
+                contig = _contig(cols) is not None
+                pieced = _read_pieces(
+                    np.asarray(cols, np.int64)) is not None
+                if (g.name in _SYNTH or cols.size < _STAGE_SKIP_MIN
+                        or not (contig or pieced)):
+                    rows += cols.size * hist_orders
+            if g.name in _SYNTH:
+                rows += g.out_cols.size * hist_orders
+    budget = int(88 * 1024 * 1024 * margin)
+    # Mosaic tiling requires the (minor) batch-tile dim to be a multiple
+    # of 128, so the tile cannot shrink below the VPU lane width — a
+    # tape whose scratch does not fit at bt=128 cannot ride the kernel.
+    if 4 * rows * 128 > budget:
+        raise UnsupportedPallasOp(
+            f"tape too wide for the VMEM scratch at bt=128 "
+            f"({4 * rows * 128 / 2**20:.0f} MiB > {budget / 2**20:.0f} "
+            f"MiB); the staged XLA phase handles it"
+        )
+    while bt > 128 and (4 * rows * bt > budget
+                        or (B is not None and B % bt)):
+        bt //= 2
+    return max(bt, 128)
+
+
 def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
                        bt: int = 128, interpret: bool = False,
                        slim: bool = False, order0: str = "xla",
-                       sv_extra=None):
+                       sv_extra=None, compact_rows: bool = False):
     """Build the full-jet kernel from the seeded order-0/1 rows
     ``hi0/lo0 (W, 2, B) f32`` (callers seed row 0 of both, plus the time
     column's row 1 in ``hi0``; all other row-1 seeds are overwritten by
@@ -1031,6 +1493,17 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
         raise ValueError("sv_extra requires slim=True")
     n_sv = n_eq + extra.size
 
+    if compact_rows:
+        if not slim or order0 != "dd":
+            raise UnsupportedPallasOp(
+                "compact_rows requires slim=True and in-kernel dd "
+                "order 0")
+        classv, rowmap, (WH, WC, WV), gclass = _row_classes(
+            plan, sv_extra=extra)
+        n_u = (W - len(plan.const_cols) - len(plan.par_cols)
+               - (1 if plan.time_col is not None else 0))
+        WCp, WVp = max(WC, 8), max(WV, 8)
+
     gops = []
     for lv in plan.levels:
         for g in lv:
@@ -1039,27 +1512,65 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
     # dd-representable scalar pairs for 1/k land inside _rule via A.scale
 
     def kernel(hi_ref, lo_ref, *out_refs):
-        if slim:
-            chi_ref, clo_ref, nrm_ref, ohi_ref, olo_ref = out_refs
+        if compact_rows:
+            (chi_ref, clo_ref, nrm_ref, ohi_ref, olo_ref,
+             Chi, Clo, Vhi, Vlo) = out_refs
+            btk = hi_ref.shape[2]
+            ohi_ref[...] = jnp.zeros((WH, K + 1, btk), jnp.float32)
+            olo_ref[...] = jnp.zeros((WH, dd_until + 1, btk), jnp.float32)
+            Chi[...] = jnp.zeros((WCp, btk), jnp.float32)
+            Clo[...] = jnp.zeros((WCp, btk), jnp.float32)
+            Vhi[...] = jnp.zeros((WVp, btk), jnp.float32)
+            Vlo[...] = jnp.zeros((WVp, btk), jnp.float32)
+            # seeds: state rows (H rows 0..n_eq-1), the static virtual
+            # block (order 0), and the time column's (0, 1) rows
+            ohi_ref[0:n_eq, 0:2, :] = hi_ref[0:n_eq, :, :]
+            olo_ref[0:n_eq, 0:2, :] = lo_ref[0:n_eq, :, :]
+            tcol = plan.time_col
+            if tcol is None:
+                if W > n_u:
+                    Vhi[0:W - n_u, :] = hi_ref[n_u:W, 0, :]
+                    Vlo[0:W - n_u, :] = lo_ref[n_u:W, 0, :]
+            else:
+                n1 = tcol - n_u
+                if n1 > 0:
+                    Vhi[0:n1, :] = hi_ref[n_u:tcol, 0, :]
+                    Vlo[0:n1, :] = lo_ref[n_u:tcol, 0, :]
+                n2 = W - tcol - 1
+                if n2 > 0:
+                    Vhi[n1:n1 + n2, :] = hi_ref[tcol + 1:W, 0, :]
+                    Vlo[n1:n1 + n2, :] = lo_ref[tcol + 1:W, 0, :]
+                tr = int(rowmap[tcol])
+                ohi_ref[tr:tr + 1, 0:2, :] = hi_ref[tcol:tcol + 1, :, :]
+                olo_ref[tr:tr + 1, 0:2, :] = lo_ref[tcol:tcol + 1, :, :]
+            rowsplit = dict(classv=classv, rowmap=rowmap, gclass=gclass,
+                            chi=Chi, clo=Clo, vhi=Vhi, vlo=Vlo)
         else:
-            ohi_ref, olo_ref = out_refs
-        ohi_ref[...] = jnp.zeros((W, K + 1, hi_ref.shape[2]), jnp.float32)
-        olo_ref[...] = jnp.zeros(
-            (W, dd_until + 1, hi_ref.shape[2]), jnp.float32
-        )
-        ohi_ref[:, 0:2, :] = hi_ref[...]
-        olo_ref[:, 0:2, :] = lo_ref[...]
+            if slim:
+                chi_ref, clo_ref, nrm_ref, ohi_ref, olo_ref = out_refs
+            else:
+                ohi_ref, olo_ref = out_refs
+            ohi_ref[...] = jnp.zeros(
+                (W, K + 1, hi_ref.shape[2]), jnp.float32)
+            olo_ref[...] = jnp.zeros(
+                (W, dd_until + 1, hi_ref.shape[2]), jnp.float32
+            )
+            ohi_ref[:, 0:2, :] = hi_ref[...]
+            olo_ref[:, 0:2, :] = lo_ref[...]
+            rowsplit = None
 
         _vrows, sig = _jet_refs(plan, gops, DD, F32, dd_until, K,
                                 ohi_ref, olo_ref, jnp, order0,
-                                norm_cols=norm_cols, scaled=slim)
+                                norm_cols=norm_cols, scaled=slim,
+                                rowsplit=rowsplit)
 
         if slim:
             chi_ref[0:n_eq, :, :] = ohi_ref[0:n_eq, :, :]
             clo_ref[0:n_eq, :, :] = olo_ref[0:n_eq, :, :]
             for xi, xc in enumerate(extra):
-                chi_ref[n_eq + xi, :, :] = ohi_ref[int(xc), :, :]
-                clo_ref[n_eq + xi, :, :] = olo_ref[int(xc), :, :]
+                xr = int(rowmap[int(xc)]) if compact_rows else int(xc)
+                chi_ref[n_eq + xi, :, :] = ohi_ref[xr, :, :]
+                clo_ref[n_eq + xi, :, :] = olo_ref[xr, :, :]
             # scaled norms (the XLA side folds sig back in, which it
             # reads from the last norm row)
             nrm_ref[0, :] = jnp.max(
@@ -1089,10 +1600,20 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
             jax.ShapeDtypeStruct((n_sv, dd_until + 1, B), jnp.float32),
             jax.ShapeDtypeStruct((n_nrm, B), jnp.float32),
         ]
-        scratch = [
-            pltpu.VMEM((W, K + 1, bt), jnp.float32),
-            pltpu.VMEM((W, dd_until + 1, bt), jnp.float32),
-        ]
+        if compact_rows:
+            scratch = [
+                pltpu.VMEM((WH, K + 1, bt), jnp.float32),
+                pltpu.VMEM((WH, dd_until + 1, bt), jnp.float32),
+                pltpu.VMEM((WCp, bt), jnp.float32),
+                pltpu.VMEM((WCp, bt), jnp.float32),
+                pltpu.VMEM((WVp, bt), jnp.float32),
+                pltpu.VMEM((WVp, bt), jnp.float32),
+            ]
+        else:
+            scratch = [
+                pltpu.VMEM((W, K + 1, bt), jnp.float32),
+                pltpu.VMEM((W, dd_until + 1, bt), jnp.float32),
+            ]
     else:
         out_specs = [
             pl.BlockSpec((W, K + 1, bt), lambda i: (z32, z32, i)),

@@ -464,3 +464,128 @@ def test_scaled_carry_extreme_time_units():
         rel = np.max(np.abs(np.asarray(tab2.state) - np.asarray(ref2.state))
                      ) / np.max(np.abs(np.asarray(ref2.state)))
         assert rel < 1e-13, (kw, rel)
+
+
+def test_pallas_piece_reads_mascon(monkeypatch):
+    # Instance-regular huge-tape path (SURVEY #24, reference
+    # parallel_mode workloads, src/taylor_01.cpp:1202-1247): the dd
+    # Pallas kernel reads big operand sets via piecewise slices /
+    # broadcasts / deinterleaving reshapes instead of unrolled per-row
+    # gathers, and build_plan's family-split entry sort makes the
+    # mascon tape's sets (incl. the mixed squares/Gm*dx mul level)
+    # piece-expressible.  Coefficients must match the staged XLA
+    # engine at dd accuracy for dd orders and f32 above.  Gates are
+    # lowered so CPU-sized instance counts exercise the path.
+    import jax
+    from heyoka_tpu.models import mascon
+    from heyoka_tpu.taylor import pallas_phase as pp
+    from heyoka_tpu.taylor.compact_flat import (
+        jit_flat_step, make_batched_step_flat,
+    )
+
+    monkeypatch.setenv("HEYOKA_PLAN_SORT_MIN", "8")
+    monkeypatch.setattr(pp, "_STAGE_SKIP_MIN", 8)
+
+    rng = np.random.default_rng(1)
+    N, B, ORDER, MP = 16, 2, 9, 5
+    pts = rng.uniform(-1.0, 1.0, (4 * N, 3))
+    pts = pts[np.linalg.norm(pts, axis=1) <= 1.0][:N]
+    masses = rng.uniform(0.5, 1.0, N)
+    masses /= masses.sum()
+    sys_ = mascon(Gconst=1.0, masses=masses.tolist(),
+                  positions=pts.tolist(), omega=(0.0, 0.0, 0.3))
+    tape = taylor_decompose_sys(sys_)
+
+    # the plan's big sets must be piece-readable (not scattered)
+    from heyoka_tpu.taylor.compact import _read_pieces, build_plan
+
+    plan = build_plan(tape, ORDER)
+    for lv in plan.levels:
+        for g in lv:
+            for c in range(g.in_cols.shape[1]):
+                cols = np.asarray(g.in_cols[:, c])
+                if cols.size >= 8 and np.unique(cols).size > 1:
+                    assert _read_pieces(cols) is not None, (
+                        g.name, cols[:12])
+
+    ang = rng.uniform(0, 2 * np.pi, B)
+    st = np.zeros((B, 6))
+    st[:, 0] = 2.0 * np.cos(ang)
+    st[:, 1] = 2.0 * np.sin(ang)
+    st[:, 3] = -0.7 * np.sin(ang)
+    st[:, 4] = 0.7 * np.cos(ang)
+    st = jnp.asarray(st)
+    p = jnp.zeros((B, 0))
+    t = jnp.zeros((B,))
+    mdt = jnp.full((B,), 1e9)
+
+    kw = dict(layout="3d", unroll=True, staged=True)
+    tcf = np.asarray(jit_flat_step(make_batched_step_flat(
+        tape, ORDER, _debug_tc=True, **kw))(st, p, t, mdt)[0])
+    hi, lo = jit_flat_step(make_batched_step_flat(
+        tape, ORDER, pallas_phase="dd-interpret", mp_order=MP,
+        _debug_tc=True, **kw))(st, p, t, mdt)
+    rec = np.asarray(hi, np.float64)
+    rec[:, :MP + 1, :] += np.asarray(lo, np.float64)
+    for k in range(ORDER + 1):
+        d = np.max(np.abs(rec[:, k, :] - tcf[:, k, :]))
+        # per-order scale: dd orders sit at the 2^-48 noise of the
+        # largest same-order tape value, f32 orders at 2^-24
+        scale = max(float(np.max(np.abs(tcf[:, k, :]))), 1.0)
+        tol = (2e-14 if k <= MP else 1e-7) * scale
+        assert d < tol, (k, d, tol)
+
+
+def test_pallas_row_split_matches_plain(monkeypatch):
+    # Row-split VMEM scratch (H/C/V history classes,
+    # pallas_phase._row_classes): tapes too wide for the dense
+    # (W, K+1) scratch at the mandatory bt=128 keep full history only
+    # for convolution-read columns.  The split kernel must match the
+    # dense kernel bit-for-bit (same ops, routed reads/writes).
+    from heyoka_tpu.models import mascon
+    from heyoka_tpu.taylor import pallas_phase as pp
+    from heyoka_tpu.taylor.compact_flat import (
+        jit_flat_step, make_batched_step_flat,
+    )
+
+    monkeypatch.setenv("HEYOKA_PLAN_SORT_MIN", "8")
+    monkeypatch.setattr(pp, "_STAGE_SKIP_MIN", 8)
+
+    rng = np.random.default_rng(7)
+    N, B, ORDER = 12, 2, 9
+    pts = rng.uniform(-1.0, 1.0, (4 * N, 3))
+    pts = pts[np.linalg.norm(pts, axis=1) <= 1.0][:N]
+    masses = rng.uniform(0.5, 1.0, N)
+    masses /= masses.sum()
+    sys_ = mascon(Gconst=1.0, masses=masses.tolist(),
+                  positions=pts.tolist(), omega=(0.0, 0.0, 0.3))
+    tape = taylor_decompose_sys(sys_)
+
+    from heyoka_tpu.taylor.compact import build_plan
+
+    plan = build_plan(tape, ORDER)
+    classv, rowmap, sizes, gclass = pp._row_classes(plan)
+    assert sizes[1] > 0 and sizes[2] > 0  # real C and V populations
+
+    ang = rng.uniform(0, 2 * np.pi, B)
+    st = np.zeros((B, 6))
+    st[:, 0] = 2.0 * np.cos(ang)
+    st[:, 1] = 2.0 * np.sin(ang)
+    st[:, 3] = -0.7 * np.sin(ang)
+    st[:, 4] = 0.7 * np.cos(ang)
+    st = jnp.asarray(st)
+    p = jnp.zeros((B, 0))
+    t = jnp.zeros((B,))
+    mdt = jnp.full((B,), 1e9)
+
+    kw = dict(dtype=jnp.float64, high_accuracy=True, mp_order=5,
+              layout="3d", unroll=True, staged=True,
+              pallas_phase="dd-interpret")
+    n1, h1 = jit_flat_step(make_batched_step_flat(
+        tape, ORDER, **kw))(st, p, t, mdt)
+    monkeypatch.setenv("HEYOKA_PALLAS_COMPACT", "1")
+    n2, h2 = jit_flat_step(make_batched_step_flat(
+        tape, ORDER, **kw))(st, p, t, mdt)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2),
+                               rtol=0, atol=1e-18)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
