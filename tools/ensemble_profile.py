@@ -37,14 +37,16 @@ for rep in range(2):
     shim = _BatchShim(ta)
     gen = _flatten_batch_gen(ta, N_ITER, {"state": ens})
     states, pars, times = _build_inputs(shim, N_ITER * B, gen)
+    packed = np.concatenate(
+        [np.asarray(states, np.float64),
+         np.asarray(times, np.float64)[:, None],
+         np.asarray(pars, np.float64)], axis=1)
     t1 = time.perf_counter()
-    sj = jnp.asarray(states); pj = jnp.asarray(pars); tj = jnp.asarray(times)
-    zj = jnp.zeros((N_ITER * B,), np.float64)
-    tgt = jnp.broadcast_to(jnp.asarray(100.0), (N_ITER * B,))
-    jax.block_until_ready(sj)
+    pk = jnp.asarray(packed)
+    _ = float(np.asarray(pk[0, 0]))  # host read: sync the tunnel upload
     t2 = time.perf_counter()
     fn = ta._ens_drivers[("until", float(np.inf), 0, None)]
-    r = fn(sj, pj, tj, zj, tgt)
+    r = fn(pk, jnp.asarray(100.0, np.float64))
     t3 = time.perf_counter()
     ns = np.asarray(r["nsteps"])
     t4 = time.perf_counter()

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Public-API ensemble throughput on the attached chip: 10,240
-outer-Solar-System trajectories propagated 100 yr through
+outer-Solar-System trajectories propagated 1,000 yr (bench.py's horizon,
+so raw-vs-public is apples-to-apples) through
 ensemble_propagate_until_batch with the dd Pallas engine (the BASELINE
 'ensemble_propagate of 10k perturbed orbits' configuration, north-star
 dynamics)."""
@@ -37,18 +38,18 @@ def main():
     import jax
 
     t0 = time.perf_counter()
-    res = ensemble_propagate_until_batch(ta, 100.0, N_ITER, {"state": ens})
+    res = ensemble_propagate_until_batch(ta, 1000.0, N_ITER, {"state": ens})
     jax.block_until_ready(res)
     _ = float(np.asarray(res["nsteps"]).ravel()[0])  # tunnel sync
     warm = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = ensemble_propagate_until_batch(ta, 100.0, N_ITER, {"state": ens})
+    res = ensemble_propagate_until_batch(ta, 1000.0, N_ITER, {"state": ens})
     jax.block_until_ready(res)
     nsteps = int(np.asarray(res["nsteps"]).sum())
     dt = time.perf_counter() - t0
     print(f"first call {warm:.1f}s; steady: {dt:.2f}s for {nsteps} steps "
           f"-> {nsteps/dt/1e6:.2f}M steps/s "
-          f"({N_ITER * B} trajectories to 100 yr)", flush=True)
+          f"({N_ITER * B} trajectories to 1,000 yr)", flush=True)
 
 
 if __name__ == "__main__":
