@@ -123,6 +123,13 @@ def _mesh_shard(fun, mesh, n_args, n_scalar=0):
         )
 
 
+def _until_driver_key(max_delta_t, max_steps, mesh):
+    """Cache key of the packed 'until' ensemble driver on
+    ``ta._ens_drivers`` — the single source of truth for the key format
+    (tools/ensemble_profile.py reaches into the cache with it)."""
+    return ("until", float(max_delta_t), int(max_steps), _mesh_key(mesh))
+
+
 def ensemble_propagate_until(
     ta, t, n_iter: int, gen, *, max_delta_t=None, max_steps=0, mesh=None
 ):
@@ -157,7 +164,7 @@ def ensemble_propagate_until(
     # whole program (tens of seconds for the Pallas engines even with a
     # warm persistent cache)
     cache = _ens_cache(ta)
-    key = ("until", float(max_delta_t), int(max_steps), _mesh_key(mesh))
+    key = _until_driver_key(max_delta_t, max_steps, mesh)
     fn = cache.get(key) if cache is not None else None
     if fn is None and getattr(ta, "_flat", False):
         # the integrator runs the staged flat engine: each mesh shard steps

@@ -459,6 +459,25 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             "tape too wide for the dense VMEM scratch and the row-split "
             "kernel needs slim outputs + in-kernel dd order 0"
         )
+    if _pp_compact:
+        # compact-seed template: the row-split kernel takes only
+        # (n_eq + 1 + n_const_par, 2, B) seed blocks — state rows, one
+        # time row, and the const/par order-0 values in tape-column
+        # order (see pallas_phase.make_dd_jet_kernel).  Const hi/lo
+        # splits are precomputed here; par rows are filled per call.
+        _cs_entries = sorted(
+            [(int(c), "c", float(v)) for c, v in plan.const_cols]
+            + [(int(c), "p", int(j)) for c, j in plan.par_cols]
+        )
+        _cs_hi = np.array([np.float32(v) if kind == "c" else 0.0
+                           for _, kind, v in _cs_entries], np.float32)
+        _cs_lo = np.array([
+            np.float32(v - np.float64(np.float32(v)))
+            if kind == "c" else 0.0
+            for _, kind, v in _cs_entries], np.float32)
+        _cs_par_rows = [(i, v) for i, (_, kind, v)
+                        in enumerate(_cs_entries) if kind == "p"]
+        _cs_n = len(_cs_entries)
 
     def _get_pallas(B):
         # batch tiles are _bt lanes; for the dd kernel, batches that do
@@ -696,7 +715,50 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         lo_end = (mp_order if use_mp else K)
         ctx64 = _mkctx(jnp, dtype, B, lo_end, three_d=three_d)
         dd_run = _pp_dd and use_mp and _pallas_fn is not None
-        if dd_run:
+        if dd_run and _pp_compact:
+            # row-split kernel, compact seed: (n_eq + 1 + n_const_par,
+            # 2, B) blocks — no full-width (W, 2, B) HBM->VMEM copies
+            # (those cost ~19 MiB of VMEM at mascon-512 scale)
+            sh = states.T.astype(f32)
+            sl = (states.T - sh.astype(dtype)).astype(f32)
+            zs = jnp.zeros((n_eq, B), f32)
+            sb_hi = jnp.stack([sh, zs], axis=1)
+            sb_lo = jnp.stack([sl, zs], axis=1)
+            if plan.time_col is not None:
+                th = t.astype(f32)
+                tl = (t - th.astype(dtype)).astype(f32)
+                tb_hi = jnp.stack([th, jnp.ones((B,), f32)])[None]
+                tb_lo = jnp.stack([tl, jnp.zeros((B,), f32)])[None]
+            else:
+                tb_hi = jnp.zeros((1, 2, B), f32)
+                tb_lo = tb_hi
+            vh = jnp.broadcast_to(
+                jnp.asarray(_cs_hi)[:, None], (_cs_n, B))
+            vl = jnp.broadcast_to(
+                jnp.asarray(_cs_lo)[:, None], (_cs_n, B))
+            for vr, pj in _cs_par_rows:
+                ph = pars[:, pj].astype(f32)
+                plo = (pars[:, pj] - ph.astype(dtype)).astype(f32)
+                vh = lax.dynamic_update_slice(vh, ph[None], (vr, 0))
+                vl = lax.dynamic_update_slice(vl, plo[None], (vr, 0))
+            zv = jnp.zeros((_cs_n, B), f32)
+            vb_hi = jnp.stack([vh, zv], axis=1)
+            vb_lo = jnp.stack([vl, zv], axis=1)
+            hi0 = jnp.concatenate([sb_hi, tb_hi, vb_hi], axis=0)
+            lo0 = jnp.concatenate([sb_lo, tb_lo, vb_lo], axis=0)
+            # order-0 state rows only: coeff(0)/m0 come from the kernel
+            tc = states.T[:, None, :]
+            if _pallas_B != B:
+                pad = ((0, 0), (0, 0), (0, _pallas_B - B))
+                hi0 = jnp.pad(hi0, pad, constant_values=1.0)
+                lo0 = jnp.pad(lo0, pad)
+            tc_hi, tc_lo, dd_norms = _pallas_fn(hi0, lo0)
+            if _pallas_B != B:
+                tc_hi = tc_hi[:, :, :B]
+                tc_lo = tc_lo[:, :, :B]
+                dd_norms = dd_norms[:, :B]
+            tc32 = None
+        elif dd_run:
             # full jet in one Pallas kernel: the XLA side evaluates only
             # order 0 (f64, piece-wise — no big-buffer DUS churn), splits
             # it into (hi, lo) f32 pairs, and the kernel runs orders

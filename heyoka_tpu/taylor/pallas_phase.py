@@ -307,7 +307,18 @@ def _mk_arith(jnp, barriers: bool = False):
         # O(sum_k k) to O(K) statements per group)
         @staticmethod
         def flip1(t):
-            return tuple(jnp.flip(c, axis=1) for c in t)
+            # static slice-concat reversal: Mosaic has no lowering for
+            # the rev primitive (jnp.flip); L <= K+1 is small and
+            # static, and pure data movement keeps bit-exactness
+            def _rev(c):
+                L = c.shape[1]
+                if L == 1:
+                    return c
+                return jnp.concatenate(
+                    [c[:, i:i + 1] for i in range(L - 1, -1, -1)],
+                    axis=1)
+
+            return tuple(_rev(c) for c in t)
 
         @staticmethod
         def scale_nn_v(t, v):
@@ -321,7 +332,9 @@ def _mk_arith(jnp, barriers: bool = False):
         def iota1(L):
             from jax import lax as _lx
 
-            return _lx.broadcasted_iota(jnp.float32, (1, L, 1), 1)
+            # int iota + convert: Mosaic's tpu.iota is integer-only
+            return _lx.broadcasted_iota(
+                jnp.int32, (1, L, 1), 1).astype(jnp.float32)
 
         @staticmethod
         def wvec(av, k, jv):
@@ -449,7 +462,18 @@ def _mk_arith(jnp, barriers: bool = False):
         # acc chain (different rounding order, same error budget)
         @staticmethod
         def flip1(t):
-            return tuple(jnp.flip(c, axis=1) for c in t)
+            # static slice-concat reversal: Mosaic has no lowering for
+            # the rev primitive (jnp.flip); L <= K+1 is small and
+            # static, and pure data movement keeps bit-exactness
+            def _rev(c):
+                L = c.shape[1]
+                if L == 1:
+                    return c
+                return jnp.concatenate(
+                    [c[:, i:i + 1] for i in range(L - 1, -1, -1)],
+                    axis=1)
+
+            return tuple(_rev(c) for c in t)
 
         @staticmethod
         def scale_nn_v(t, v):
@@ -474,7 +498,9 @@ def _mk_arith(jnp, barriers: bool = False):
         def iota1(L):
             from jax import lax as _lx
 
-            return _lx.broadcasted_iota(jnp.float32, (1, L, 1), 1)
+            # int iota + convert: Mosaic's tpu.iota is integer-only
+            return _lx.broadcasted_iota(
+                jnp.int32, (1, L, 1), 1).astype(jnp.float32)
 
         @staticmethod
         def wvec(av, k, jv):
@@ -483,8 +509,14 @@ def _mk_arith(jnp, barriers: bool = False):
             # two_prod/two_sum keep av's low bits like the trace-time
             # scalar dd pairs of the unrolled path)
             avh, avl = _pair(av)
+            # precompute the constant's Dekker split at trace time
+            # (Mosaic cannot bitcast scalars; see DD.scale)
+            bh = np.frombuffer(
+                (np.frombuffer(avh.tobytes(), np.int32) & np.int32(-4096))
+                .tobytes(), np.float32)[0]
+            bl = f32(float(avh) - float(bh))
             kmj = jnp.float32(k) - jv
-            p, e = _two_prod(kmj, avh)
+            p, e = _two_prod(kmj, avh, None, (bh, bl))
             e = e + kmj * avl
             s, r = _two_sum(p, -jv)
             return (s, e + r)
@@ -1137,15 +1169,11 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
             return v
         return (v[0], jnp.zeros_like(v[0]))
 
-    def _read_blk(cols, j0, j1, dd):
-        """(m, j1-j0, bt) history block of the columns — the operand of
-        a blockified convolution (one vector multiply + one compensated
-        tree reduction instead of per-term statements; the huge-tape
-        Mosaic compile-time fix).  Only H-class, piece-readable sets
-        qualify (_blk_ok)."""
-        cols = np.asarray(cols, np.int64)
-        if _rs is not None:
-            cols = _rs["rowmap"][cols]
+    def _read_blk_rows(cols, j0, j1, dd):
+        """H-buffer (m, j1-j0, bt) block of *buffer-space* rows; falls
+        back to per-row concatenation when the rows are neither
+        contiguous nor piece-readable (values identical either way, so
+        the downstream tree reduction stays bit-identical)."""
         r = _contig(cols)
         if r:
             hi = ohi_ref[r[0]:r[1], j0:j1, :]
@@ -1153,21 +1181,84 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
                 return (hi, olo_ref[r[0]:r[1], j0:j1, :])
             return (hi,)
         p = _pieces_of(cols, any_size=True)
-        hi = _pieces_read_ref(
-            jnp, lambda a, b: ohi_ref[a:b, j0:j1, :], p, bt_k, W_k)
+        if p is not None:
+            hi = _pieces_read_ref(
+                jnp, lambda a, b: ohi_ref[a:b, j0:j1, :], p, bt_k, W_k)
+            if dd:
+                return (hi, _pieces_read_ref(
+                    jnp, lambda a, b: olo_ref[a:b, j0:j1, :], p, bt_k,
+                    W_k))
+            return (hi,)
+        hi = jnp.concatenate(
+            [ohi_ref[c:c + 1, j0:j1, :] for c in cols], axis=0)
         if dd:
-            return (hi, _pieces_read_ref(
-                jnp, lambda a, b: olo_ref[a:b, j0:j1, :], p, bt_k, W_k))
+            return (hi, jnp.concatenate(
+                [olo_ref[c:c + 1, j0:j1, :] for c in cols], axis=0))
         return (hi,)
 
+    def _read_blk(cols, j0, j1, dd):
+        """(m, j1-j0, bt) history block of the (tape-space) columns —
+        the operand of a blockified convolution (one vector multiply +
+        one compensated tree reduction instead of per-term statements;
+        the huge-tape Mosaic compile-time fix).  Under row splitting
+        the block is assembled per class run: H runs from the rowmapped
+        history buffer, V (const/par) runs as zeros with the order-0
+        slab gathered from the static block — matching the dense
+        kernel's buffer content exactly (const/par rows above order 0
+        are never written there), so the tree reduction is
+        bit-identical across both kernels."""
+        cols = np.asarray(cols, np.int64)
+        if _rs is None:
+            return _read_blk_rows(cols, j0, j1, dd)
+        cv = _rs["classv"][cols]
+        # opset columns are forced H by _row_classes; const/par stay V
+        assert not np.any(cv == 1), "C-class column in a conv operand"
+        brk = np.flatnonzero(np.diff(cv) != 0)
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), brk + 1, np.array([cols.size])])
+        L = j1 - j0
+        his, los = [], []
+        for si in range(starts.size - 1):
+            s, e = int(starts[si]), int(starts[si + 1])
+            run = _rs["rowmap"][cols[s:e]]
+            if int(cv[s]) == 0:
+                v = _read_blk_rows(run, j0, j1, dd)
+                hi = v[0]
+                lo = v[1] if dd else None
+            else:
+                m = e - s
+                hi = jnp.zeros((m, L, bt_k), jnp.float32)
+                lo = jnp.zeros((m, L, bt_k), jnp.float32) if dd else None
+                if j0 == 0:
+                    h0 = _rows2d(_rs["vhi"], run)[:, None, :]
+                    hi = jnp.concatenate(
+                        [h0, jnp.zeros((m, L - 1, bt_k), jnp.float32)],
+                        axis=1) if L > 1 else h0
+                    if dd:
+                        l0 = _rows2d(_rs["vlo"], run)[:, None, :]
+                        lo = jnp.concatenate(
+                            [l0, jnp.zeros((m, L - 1, bt_k),
+                                           jnp.float32)],
+                            axis=1) if L > 1 else l0
+            his.append(hi)
+            los.append(lo)
+        hi = his[0] if len(his) == 1 else jnp.concatenate(his, axis=0)
+        if not dd:
+            return (hi,)
+        lo = los[0] if len(los) == 1 else jnp.concatenate(los, axis=0)
+        return (hi, lo)
+
     def _blk_ok(g, cols):
+        # decided in TAPE space for both kernels: the row-split kernel
+        # must make the same blk-vs-sequential choice as the dense
+        # kernel or the convolution reduction order (tree vs per-term)
+        # diverges and the bit-identity oracle (test_compact.py
+        # row-split test) breaks.  _read_blk can always assemble the
+        # block under row splitting (per-run fallbacks), so no
+        # row-space feasibility check is needed.
         cols = np.asarray(cols, np.int64)
         if cols.size < _STAGE_SKIP_MIN or g.name in _SYNTH:
             return False
-        if _rs is not None:
-            if not bool(np.all(_rs["classv"][cols] == 0)):
-                return False
-            cols = _rs["rowmap"][cols]
         return (_contig(cols) is not None
                 or _pieces_of(cols, any_size=True) is not None)
 
@@ -1400,8 +1491,11 @@ def auto_bt(plan, dd_until: int, K: int, B: int | None, bt: int = 128,
     W = plan.width
     if compact:
         _, _, (WH, WC, WV), _ = _row_classes(plan)
+        # compact seed inputs: (n_eq + 1 + n_const_par, 2) hi/lo pairs
+        # instead of full-width (W, 2) blocks (see make_dd_jet_kernel)
+        n_in = plan.n_eq + 1 + len(plan.const_cols) + len(plan.par_cols)
         rows = (WH * (K + 1) + WH * (dd_until + 1)
-                + 2 * max(WC, 8) + 2 * max(WV, 8) + 4 * W)
+                + 2 * max(WC, 8) + 2 * max(WV, 8) + 4 * n_in)
     else:
         rows = W * (K + 1) + W * (dd_until + 1) + 4 * W
     hist_orders = 4 * (dd_until + 1) + (K - dd_until)
@@ -1503,6 +1597,15 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
         n_u = (W - len(plan.const_cols) - len(plan.par_cols)
                - (1 if plan.time_col is not None else 0))
         WCp, WVp = max(WC, 8), max(WV, 8)
+        # compact seed: huge tapes can't afford (W, 2) HBM->VMEM seed
+        # blocks (4W scratch rows ~ 19 MiB at mascon-512 scale) when
+        # the kernel only consumes state/time/const/par rows — rows
+        # 0..n_eq-1 are the dd state, row n_eq the time column's
+        # (t, 1) pair (zeros when autonomous), rows n_eq+1.. the
+        # const/par order-0 values in tape-column order (tape layout
+        # places them contiguously at n_u..W).
+        n_v_in = W - n_u - (1 if plan.time_col is not None else 0)
+        n_in = n_eq + 1 + n_v_in
 
     gops = []
     for lv in plan.levels:
@@ -1527,22 +1630,15 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
             ohi_ref[0:n_eq, 0:2, :] = hi_ref[0:n_eq, :, :]
             olo_ref[0:n_eq, 0:2, :] = lo_ref[0:n_eq, :, :]
             tcol = plan.time_col
-            if tcol is None:
-                if W > n_u:
-                    Vhi[0:W - n_u, :] = hi_ref[n_u:W, 0, :]
-                    Vlo[0:W - n_u, :] = lo_ref[n_u:W, 0, :]
-            else:
-                n1 = tcol - n_u
-                if n1 > 0:
-                    Vhi[0:n1, :] = hi_ref[n_u:tcol, 0, :]
-                    Vlo[0:n1, :] = lo_ref[n_u:tcol, 0, :]
-                n2 = W - tcol - 1
-                if n2 > 0:
-                    Vhi[n1:n1 + n2, :] = hi_ref[tcol + 1:W, 0, :]
-                    Vlo[n1:n1 + n2, :] = lo_ref[tcol + 1:W, 0, :]
+            if n_v_in > 0:
+                Vhi[0:n_v_in, :] = hi_ref[n_eq + 1:n_in, 0, :]
+                Vlo[0:n_v_in, :] = lo_ref[n_eq + 1:n_in, 0, :]
+            if tcol is not None:
                 tr = int(rowmap[tcol])
-                ohi_ref[tr:tr + 1, 0:2, :] = hi_ref[tcol:tcol + 1, :, :]
-                olo_ref[tr:tr + 1, 0:2, :] = lo_ref[tcol:tcol + 1, :, :]
+                ohi_ref[tr:tr + 1, 0:2, :] = \
+                    hi_ref[n_eq:n_eq + 1, :, :]
+                olo_ref[tr:tr + 1, 0:2, :] = \
+                    lo_ref[n_eq:n_eq + 1, :, :]
             rowsplit = dict(classv=classv, rowmap=rowmap, gclass=gclass,
                             chi=Chi, clo=Clo, vhi=Vhi, vlo=Vlo)
         else:
@@ -1624,11 +1720,12 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
             jax.ShapeDtypeStruct((W, dd_until + 1, B), jnp.float32),
         ]
         scratch = []
+    W_in = n_in if compact_rows else W
     call_kw = dict(
         grid=(B // bt,),
         in_specs=[
-            pl.BlockSpec((W, 2, bt), lambda i: (z32, z32, i)),
-            pl.BlockSpec((W, 2, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((W_in, 2, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((W_in, 2, bt), lambda i: (z32, z32, i)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,

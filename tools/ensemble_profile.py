@@ -37,16 +37,17 @@ for rep in range(2):
     shim = _BatchShim(ta)
     gen = _flatten_batch_gen(ta, N_ITER, {"state": ens})
     states, pars, times = _build_inputs(shim, N_ITER * B, gen)
+    dt = ta._dtype  # mirror ensemble.py's packing dtype exactly
     packed = np.concatenate(
-        [np.asarray(states, np.float64),
-         np.asarray(times, np.float64)[:, None],
-         np.asarray(pars, np.float64)], axis=1)
+        [np.asarray(states, dt),
+         np.asarray(times, dt)[:, None],
+         np.asarray(pars, dt)], axis=1)
     t1 = time.perf_counter()
     pk = jnp.asarray(packed)
     _ = float(np.asarray(pk[0, 0]))  # host read: sync the tunnel upload
     t2 = time.perf_counter()
-    fn = ta._ens_drivers[("until", float(np.inf), 0, None)]
-    r = fn(pk, jnp.asarray(100.0, np.float64))
+    fn = ta._ens_drivers[ens_mod._until_driver_key(np.inf, 0, None)]
+    r = fn(pk, jnp.asarray(100.0, dt))
     t3 = time.perf_counter()
     ns = np.asarray(r["nsteps"])
     t4 = time.perf_counter()
