@@ -110,6 +110,13 @@ def _contig(cols):
 #: the piece-read path at CPU-sized instance counts.
 _STAGE_SKIP_MIN = int(_os.environ.get("HEYOKA_PALLAS_STAGE_MIN", "256"))
 
+#: instance-row chunk for blockified convolutions: bounds the scoped
+#: VMEM high-water mark of the (chunk, K+1, bt) operand/product
+#: temporaries (~6 live blocks; 128 rows ~ 8 MiB at order 20/bt 128)
+_BLK_CHUNK = int(_os.environ.get("HEYOKA_PALLAS_BLK_CHUNK", "128"))
+
+from types import SimpleNamespace as _SimpleNS
+
 
 def _pieces_read_ref(jnp, read_range, pieces, bt, wlim):
     """Assemble the rows of a piecewise column set from contiguous
@@ -1263,20 +1270,35 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
                 or _pieces_of(cols, any_size=True) is not None)
 
     def _store(gidx, g, k, vals, lo_too):
-        """Group-output store, routed to the H buffer (order column k)
-        or the C current-order slot under row splitting."""
+        """Group-output store, routed per class run: H runs to the
+        history buffer (order column k), C runs to the current-order
+        slot.  Classes are per COLUMN (a group can mix conv-read and
+        current-order-only outputs — e.g. mascon's merged mul group of
+        squares and Gm-products), so runs of equal class are written
+        separately; rowmap is ascending per class, so each run is a
+        contiguous row range of its buffer."""
         a0, m = g.out_start, g.out_cols.size
-        if _rs is not None and _rs["gclass"][gidx] == 1:
-            ca = int(_rs["rowmap"][a0])
-            _rs["chi"][ca:ca + m, :] = vals[0]
+        if _rs is None:
+            ohi_ref[a0:a0 + m, k, :] = vals[0]
             if lo_too and len(vals) > 1:
-                _rs["clo"][ca:ca + m, :] = vals[1]
+                olo_ref[a0:a0 + m, k, :] = vals[1]
             return
-        if _rs is not None:
-            a0 = int(_rs["rowmap"][a0])
-        ohi_ref[a0:a0 + m, k, :] = vals[0]
-        if lo_too and len(vals) > 1:
-            olo_ref[a0:a0 + m, k, :] = vals[1]
+        cv = _rs["classv"][a0:a0 + m]
+        brk = np.flatnonzero(np.diff(cv) != 0)
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), brk + 1, np.array([m])])
+        for si in range(starts.size - 1):
+            s, e = int(starts[si]), int(starts[si + 1])
+            r0 = int(_rs["rowmap"][a0 + s])
+            n = e - s
+            if int(cv[s]) == 0:
+                ohi_ref[r0:r0 + n, k, :] = vals[0][s:e]
+                if lo_too and len(vals) > 1:
+                    olo_ref[r0:r0 + n, k, :] = vals[1][s:e]
+            else:
+                _rs["chi"][r0:r0 + n, :] = vals[0][s:e]
+                if lo_too and len(vals) > 1:
+                    _rs["clo"][r0:r0 + n, :] = vals[1][s:e]
 
     if order0 == "dd":
         # in-kernel double-float order-0 evaluation (callers seed only
@@ -1361,6 +1383,40 @@ def _jet_refs(plan, gops, DD, F32, dd_until: int, K: int,
             big = g.out_cols.size >= _STAGE_SKIP_MIN
             use_blk = (big and colsets
                        and all(_blk_ok(g, c) for c in colsets))
+
+            if use_blk and g.out_cols.size > _BLK_CHUNK:
+                # chunk blockified convolutions over instance rows:
+                # the (m, K+1, bt) operand/product temporaries of a
+                # whole mascon-class group (~16 MiB at m=1536) blow the
+                # scoped-VMEM high-water mark (measured 121 MiB vs the
+                # 96 MiB limit on-chip).  Every op is row-parallel, so
+                # chunking is bit-exact — identical per-row arithmetic,
+                # just emitted in slices — and both kernels chunk
+                # identically, preserving the dense/row-split identity.
+                m_all = g.out_cols.size
+                for _a in range(0, m_all, _BLK_CHUNK):
+                    _b = min(_a + _BLK_CHUNK, m_all)
+                    gsub = _SimpleNS(
+                        name=g.name,
+                        out_cols=g.out_cols[_a:_b],
+                        in_cols=g.in_cols[_a:_b],
+                        alpha=(None if g.alpha is None
+                               else g.alpha[_a:_b]),
+                        out_start=g.out_start + _a,
+                    )
+                    subsets = [np.asarray(c)[_a:_b] for c in colsets]
+
+                    def hrow_c(ci, j, subsets=subsets):
+                        return _coerce(_read(subsets[ci], j, dd), A)
+
+                    def hblk_c(ci, j0, j1, subsets=subsets):
+                        return _coerce(
+                            _read_blk(subsets[ci], j0, j1, dd), A)
+
+                    vals = _rule(A, gsub, k, rowv, hrow_c,
+                                 static=_static, hblk=hblk_c)
+                    _store(gi, gsub, k, vals, dd)
+                continue
 
             def hblk(ci, j0, j1, colsets=colsets):
                 return _coerce(_read_blk(colsets[ci], j0, j1, dd), A)
@@ -1465,9 +1521,15 @@ def _row_classes(plan, sv_extra=None):
     for lv in plan.levels:
         for g in lv:
             a, m = g.out_start, g.out_cols.size
-            cls = 0 if bool(need_h[a:a + m].any()) else 1
-            gclass.append(cls)
-            classv[a:a + m] = cls
+            # per-COLUMN classes: a merged instance-regular group can
+            # mix conv-read outputs (H) with current-order-only ones
+            # (C) — e.g. mascon's mul group of {squares, Gm-products}
+            # — and splitting per column cuts WH by the C population
+            # (~23 MiB of scratch at mascon-512; the fit/no-fit line).
+            # gclass: 0/1 when uniform, -1 when mixed (informational).
+            nh = need_h[a:a + m]
+            gclass.append(0 if nh.all() else (1 if not nh.any() else -1))
+            classv[a:a + m] = np.where(nh, 0, 1)
     if plan.time_col is not None:
         classv[plan.time_col] = 0  # order-1 coefficient is 1, not 0
     rowmap = np.zeros(W, np.int64)
@@ -1489,15 +1551,27 @@ def auto_bt(plan, dd_until: int, K: int, B: int | None, bt: int = 128,
     dd order plus one per f32 order).  ``margin`` scales the budget down
     for kernels with extra carries (the fused multi-step kernel)."""
     W = plan.width
+    # input seed blocks are double-buffered by Mosaic across grid steps
+    # (observed on-chip: scoped high-water mark ~2x the seed size), so
+    # count them twice
     if compact:
         _, _, (WH, WC, WV), _ = _row_classes(plan)
         # compact seed inputs: (n_eq + 1 + n_const_par, 2) hi/lo pairs
         # instead of full-width (W, 2) blocks (see make_dd_jet_kernel)
         n_in = plan.n_eq + 1 + len(plan.const_cols) + len(plan.par_cols)
         rows = (WH * (K + 1) + WH * (dd_until + 1)
-                + 2 * max(WC, 8) + 2 * max(WV, 8) + 4 * n_in)
+                + 2 * max(WC, 8) + 2 * max(WV, 8) + 8 * n_in)
     else:
-        rows = W * (K + 1) + W * (dd_until + 1) + 4 * W
+        rows = W * (K + 1) + W * (dd_until + 1) + 8 * W
+    # blockified-convolution temporaries: ~6 live (chunk, K+1) blocks
+    # while a chunk of a big instance-regular group evaluates
+    max_blk = 0
+    for lv in plan.levels:
+        for g in lv:
+            if g.out_cols.size >= _STAGE_SKIP_MIN and g.name not in _SYNTH:
+                max_blk = max(max_blk,
+                              min(int(g.out_cols.size), _BLK_CHUNK))
+    rows += 6 * max_blk * (K + 1)
     hist_orders = 4 * (dd_until + 1) + (K - dd_until)
     for lv in plan.levels:
         for g in lv:
