@@ -96,10 +96,11 @@ def test_fuzz_engines_vs_native(order):
         except Exception:
             continue  # unsupported op composition
         try:
-            ref = native_jet(tape, state0, None, 0.0, order)[:, :2]
+            ref_full = native_jet(tape, state0, None, 0.0, order)
         except Exception:
             continue
-        if not _usable(ref):
+        ref = ref_full[:, :2]
+        if not _usable(ref_full):
             continue
         for engine in ("flat_staged", "flat_mixed", "compact_loop"):
             try:
@@ -108,10 +109,17 @@ def test_fuzz_engines_vs_native(order):
                 continue  # engine lacks a rule for some op: capability
             assert np.isfinite(tc).all(), (engine, checked, sys_)
             for k in range(order + 1):
-                scale = max(float(np.abs(ref[k]).max()), 1.0)
+                # noise floor scales with the largest same-order TAPE
+                # value (intermediate u-vars included): a state
+                # coefficient is assembled from intermediate
+                # convolutions whose operands can dwarf it (e.g. a
+                # division chain like x/(x/y))
+                scale = max(float(np.abs(ref_full[k]).max()), 1.0)
                 if engine == "flat_mixed" and k > min(MP, order - 1):
-                    # f32 phase above the dd boundary (scaled carry)
-                    tol = 2e-6 * scale
+                    # f32 phase above the dd boundary (scaled carry);
+                    # convolution noise grows ~linearly with the term
+                    # count at order k
+                    tol = 1e-6 * (k + 1) * scale
                 else:
                     tol = 5e-12 * scale
                 d = float(np.abs(tc[k] - ref[k]).max())
