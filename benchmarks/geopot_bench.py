@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 import heyoka_tpu as hy
-from heyoka_tpu.models import egm2008_acc
+from heyoka_tpu.models import egm2008_acc, egm2008_pot
 
 hy.s11n.enable_compilation_cache()
 
@@ -43,7 +43,7 @@ rng = np.random.default_rng(0)
 states = ic[None, :] + np.abs(ic)[None, :] * rng.uniform(-1, 1, (B, 6)) * 1e-6
 
 tab = hy.taylor_adaptive_batch(
-    sys_, states, tol=1e-15, high_accuracy=True,
+    sys_, states.copy(), tol=1e-15, high_accuracy=True,
     compact_mode="flat", mp_order=8, pallas_phase="auto",
 )
 n_uvars = len(tab.decomposition.ops)
@@ -60,9 +60,23 @@ ocs, mn, mx, ns = tab.propagate_until(T)
 ns_tot = int(np.asarray(ns).sum())
 elapsed = time.perf_counter() - t0
 
-# energy check (two-body + J-terms is not conserved exactly by the point
-# metric below; use the max radial sanity bound instead)
-r = np.linalg.norm(np.asarray(tab.state)[:, :3], axis=1)
+# validity: every lane must land finite (round-4 regression guard: the
+# unscaled TPU Horner NaN'd all lanes, tests/test_scaled_horner.py), and
+# the conserved energy v^2/2 + U of the autonomous body-fixed system
+# bounds the integration error
+st = np.asarray(tab.state)
+assert np.isfinite(st).all(), (
+    f"non-finite lanes: {int((~np.isfinite(st).all(axis=1)).sum())}"
+)
+U = egm2008_pot([x, y, z], DEG, DEG, mu=get_egm2008_mu() / 1e9,
+                a=get_egm2008_a() / 1e3)
+efn = hy.cfunc([0.5 * (vx * vx + vy * vy + vz * vz) - U],
+               [x, y, z, vx, vy, vz])
+e0 = np.array([float(np.asarray(efn(s))[0]) for s in states[:64]])
+e1 = np.array([float(np.asarray(efn(s))[0]) for s in st[:64]])
+energy_drift = float(np.max(np.abs((e1 - e0) / e0)))
+
+r = np.linalg.norm(st[:, :3], axis=1)
 print(json.dumps({
     "bench": "geopot_ensemble",
     "max_degree": DEG,
@@ -75,4 +89,5 @@ print(json.dumps({
     "lane_steps_per_sec": round(ns_tot / elapsed, 1),
     "r_min_km": round(float(r.min()), 1),
     "r_max_km": round(float(r.max()), 1),
+    "energy_drift": energy_drift,
 }))

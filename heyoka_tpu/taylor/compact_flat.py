@@ -959,22 +959,55 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             tc_sv = jnp.stack([coeff_sv(i) for i in range(K + 1)], 0)
             return tc_sv.transpose(2, 0, 1), h
 
+        # State update: evaluate in SCALED space when a coefficient scale
+        # exists — sum d_i u^i with u = h 2^-sig_e and d_i = c_i 2^(i
+        # sig_e), exactly equal to sum c_i h^i (power-of-two shifts) but
+        # never materializing c_i or h^i.  XLA:TPU emulates f64 with the
+        # f32 exponent range, so for problems whose natural step is large
+        # in the user's units (config-5 geopot: h ~ 366 s) h^16 overflows
+        # to inf while the unscaled c_12.. underflow to zero — the
+        # compensated sum then computes inf * 0 = NaN (round-4 audit;
+        # the reference's native f64 never sees this,
+        # /root/reference/benchmark/geopot.cpp runs clean).
+        if sig_e is not None:
+            h_ev = _ldexp2(jnp, h, -sig_e)
+
+            def ucoeff(i):
+                # scaled d_i = c_i sig^i as the work dtype (order 0 is
+                # unscaled by definition; magnitudes stay within the
+                # f32 exponent range by the carry's construction)
+                if i == 0:
+                    return coeff(0)
+                if dd_run:
+                    c = tc_hi[:n_eq, i, :].astype(dtype)
+                    if i <= mp_order:
+                        c = c + tc_lo[:n_eq, i, :].astype(dtype)
+                    return c
+                if use_mp and i > mp_order:
+                    # scale32: the f32 rows already carry d_i
+                    return (hiv[:n_eq, i, :].astype(dtype) if scale32
+                            else tcv[:n_eq, i, :].astype(dtype))
+                return _ldexp2(jnp, tcv[:n_eq, i, :].astype(dtype),
+                               i * sig_e)
+        else:
+            h_ev = h
+            ucoeff = coeff
         if high_accuracy:
-            res = coeff(0)
+            res = ucoeff(0)
             comp = jnp.zeros_like(res)
-            cur_h = h
+            cur_h = h_ev
             for i in range(1, K + 1):
-                tmp = coeff(i) * cur_h[None, :]
+                tmp = ucoeff(i) * cur_h[None, :]
                 y = tmp - comp
                 tt = res + y
                 comp = (tt - res) - y
                 res = tt
                 if i < K:
-                    cur_h = cur_h * h
+                    cur_h = cur_h * h_ev
         else:
-            res = coeff(K)
+            res = ucoeff(K)
             for i in range(1, K + 1):
-                res = coeff(K - i) + res * h[None, :]
+                res = ucoeff(K - i) + res * h_ev[None, :]
         if return_tc:
             # (B, K+1, n_eq) state-column coefficients (integrator tc
             # convention; f32 high orders widened back to the work dtype)
