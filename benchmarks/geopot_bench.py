@@ -14,6 +14,8 @@ import math
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 import heyoka_tpu as hy

@@ -220,8 +220,14 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
     for lv in plan.levels:
         for g in lv:
-            if g.name not in _F_RULES:
-                raise UnsupportedLoopOp(g.name)
+            if g.name in _F_RULES:
+                continue
+            if g.name.startswith("trigseries%") and unroll:
+                # dense-series op (expr/series.py): supported by the
+                # unrolled engines — the closed-form jet needs static
+                # orders (see _f_trigseries)
+                continue
+            raise UnsupportedLoopOp(g.name)
 
     _kep = any(
         g.name in ("kepE", "kepF", "kepDE") for lv in plan.levels for g in lv
@@ -295,7 +301,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                         _cols, int(prod_level[_cols].max())
                     )
 
-    def _mkctx(jnp_, dt, B, Kw, kwin=None, three_d=False, stage=None):
+    def _mkctx(jnp_, dt, B, Kw, kwin=None, three_d=False, stage=None,
+               rmeta=None):
         """Context over a history *window* of Kw+1 order rows: the low-order
         (f64) phase runs on a truncated buffer, since orders <= mp never
         read rows above mp — nearly halving the emulated-f64 work.
@@ -388,7 +395,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
 
         return dict(jv=jv, hist=hist, mrow=mrow, rows_rev=rows_rev, conv=conv,
                     at=at_order, tri=tri, jnp=jnp_, dtype=dt, blk=blk,
-                    rows=rows)
+                    rows=rows, rmeta=rmeta)
 
     three_d = layout == "3d"
 
@@ -701,7 +708,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 _stage_append(k, -1, rowk, dt)
             for li, lv in enumerate(plan.levels):
                 for g in lv:
-                    vals = _F_RULES[g.name](ctx, tc, k, kf, g, B, off)
+                    vals = _frule(g.name)(ctx, tc, k, kf, g, B, off)
                     vals = jnp.asarray(vals, dt)
                     tc = _put(tc, vals, g.out_start, k)
                     if staged:
@@ -713,7 +720,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             return tc
 
         lo_end = (mp_order if use_mp else K)
-        ctx64 = _mkctx(jnp, dtype, B, lo_end, three_d=three_d)
+        rmeta = {}  # per-trace cross-order rule state (trigseries jets)
+        ctx64 = _mkctx(jnp, dtype, B, lo_end, three_d=three_d, rmeta=rmeta)
         dd_run = _pp_dd and use_mp and _pallas_fn is not None
         if dd_run and _pp_compact:
             # row-split kernel, compact seed: (n_eq + 1 + n_const_par,
@@ -801,7 +809,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             if unroll:
                 for k_ in range(1, lo_end + 1):
                     tc = body(k_, tc, _mkctx(jnp, dtype, B, lo_end, kwin=k_,
-                                             three_d=three_d, stage=stage))
+                                             three_d=three_d, stage=stage,
+                                             rmeta=rmeta))
             else:
                 tc = lax.fori_loop(
                     1, lo_end + 1, lambda k, a: body(k, a, ctx64), tc
@@ -811,7 +820,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         sig_e32 = None
         if use_mp and not dd_run:
             # widen the window to the full order for the f32 phase
-            ctx32 = _mkctx(jnp, f32, B, K, three_d=three_d)
+            ctx32 = _mkctx(jnp, f32, B, K, three_d=three_d, rmeta=rmeta)
             # the scale estimate needs at least one exact f64 order
             # (mp_order=0 keeps the pre-existing unscaled behavior)
             scale32 = _pallas_fn is None and lo_end >= 1
@@ -862,7 +871,8 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 if unroll:
                     for k_ in range(mp_order + 1, K + 1):
                         c32 = _mkctx(jnp, f32, B, K, kwin=k_,
-                                     three_d=three_d, stage=stage)
+                                     three_d=three_d, stage=stage,
+                                     rmeta=rmeta)
                         if scale32:
                             c32["sigma"] = sig32
                         tc32 = body(k_, tc32, c32)
@@ -1258,6 +1268,40 @@ def _f_sq(sign):
 
 _F_RULES["tan"] = _f_sq(1.0)
 _F_RULES["tanh"] = _f_sq(-1.0)
+
+
+def _f_trigseries(ctx, tc, k, kf, g, B, off):
+    """Dense trig-series op (``expr/series.py``) on the flat staged
+    engine — the path that gives ephemeris tapes the scaled-carry
+    mixed-precision treatment on TPU (the unscaled loops engine cannot
+    represent ELP2000-class coefficients ``~rate^k/k!`` within the f32
+    exponent range emulated f64 inherits).
+
+    The input is affine in time, so only its order-0/1 rows matter; the
+    per-term jet is built once per phase and cached in the step trace's
+    ``rmeta``.  In the scaled f32 phase the input's order-1 row carries
+    ``d_1 = c_1 sig``, and the jet's order-homogeneity then yields
+    ``c_k sig^k`` — exactly the scaled-carry contract.
+    """
+    from ..expr import series as _series
+
+    jnp_ = ctx["jnp"]
+    rmeta = ctx.get("rmeta")
+    if rmeta is None:  # pragma: no cover — guarded at build time
+        raise UnsupportedLoopOp(g.name)
+    H = ctx["hist"](tc, g.in_cols[:, 0])
+    u0 = H[:, 0, :]
+    u1 = H[:, 1, :] if H.shape[1] > 1 else jnp_.zeros_like(u0)
+    cache = rmeta.setdefault(("ts", g.name), {})
+    return _series.jet_order(jnp_, g.name.split("%", 1)[1], u0, u1, k,
+                             cache, str(ctx["dtype"]))
+
+
+def _frule(name: str):
+    fn = _F_RULES.get(name)
+    if fn is None and name.startswith("trigseries%"):
+        return _f_trigseries
+    return fn
 
 
 @_rule("sigmoid")
