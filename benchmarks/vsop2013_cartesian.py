@@ -36,10 +36,18 @@ x, y, z = hy.make_vars("x", "y", "z")
 
 
 def bench_config(label, sys_, n_uvars, B=256, horizon=0.02, t0=0.0):
+    # flat staged engine + scaled mixed-precision: the TPU production
+    # config for series tapes.  mp_order=5 keeps the f64-phase
+    # coefficients of ELP2000-class series (~A rate^k/k!, rate ~8e4
+    # rad/millennium) inside the f32 exponent range that TPU's emulated
+    # f64 inherits; the scaled f32 phase (top-order-ratio sig estimator)
+    # carries the rest.  Round 3 recorded the loops engine here, whose
+    # unscaled coefficients overflow on-chip — those ELP numbers were
+    # measured over NaN lanes and are void (round-4 audit).
     t_b = time.perf_counter()
     tb = hy.taylor_adaptive_batch(
         sys_, np.zeros((B, len(sys_))), tol=1e-15,
-        compact_mode=(n_uvars > 200),
+        compact_mode="flat", mp_order=5,
         time=np.full(B, t0),
     )
     el_build = time.perf_counter() - t_b
@@ -53,6 +61,8 @@ def bench_config(label, sys_, n_uvars, B=256, horizon=0.02, t0=0.0):
     _, _, _, ns = tb.propagate_until(tgt)
     el = time.perf_counter() - t_r
     tot = int(np.asarray(ns).sum())
+    st = np.asarray(tb.state)
+    assert np.isfinite(st).all(), f"{label}: non-finite lanes"
     print(json.dumps({
         "config": label,
         "n_uvars": n_uvars,
@@ -60,6 +70,7 @@ def bench_config(label, sys_, n_uvars, B=256, horizon=0.02, t0=0.0):
         "build_s": round(el_build, 2),
         "first_step_compile_s": round(el_compile, 2),
         "lane_steps_per_sec": round(tot / el, 1),
+        "all_finite": True,
     }), flush=True)
 
 

@@ -834,9 +834,35 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 # scaling is exact; everything is shifted back out below.
                 tcv64 = tc if three_d else tc.reshape(W, lo_end + 1, B)
                 m0v = jnp.max(jnp.abs(tcv64[norm_cols, 0, :]), axis=0)
+                mm1 = jnp.max(jnp.abs(tcv64[norm_cols, lo_end - 1, :]),
+                              axis=0)
                 mmp = jnp.max(jnp.abs(tcv64[norm_cols, lo_end, :]), axis=0)
-                est = (jnp.maximum(m0v, 1.0)
-                       / jnp.maximum(mmp, 1e-300)) ** (1.0 / lo_end)
+                # two estimators of the per-order growth scale: the
+                # lo_end-th root of c_0/c_mp (geometric mean) and the
+                # top-order ratio c_{mp-1}/c_mp.  The root alone
+                # under-scales series-driven tapes whose coefficients
+                # carry factorial damping (c_k ~ A rate^k/k!, ELP2000):
+                # their large-amplitude prefactor biases the root while
+                # the instantaneous growth is rate/k — rows then still
+                # grow ~x40/order and overflow f32 by order ~14
+                # (round-4 on-chip audit).  Taking the steeper (smaller)
+                # of the two keeps d_k = c_k sig^k bounded in both
+                # regimes; with sig ~ mp/rate the factorial tail decays
+                # from order mp on, so nothing underflows either.
+                est_root = (jnp.maximum(m0v, 1.0)
+                            / jnp.maximum(mmp, 1e-300)) ** (1.0 / lo_end)
+                est_ratio = jnp.where(
+                    mmp > 0.0,
+                    jnp.maximum(mm1, 1e-300) / jnp.maximum(mmp, 1e-300),
+                    jnp.inf,
+                )
+                # floor the ratio at root/2^16: a freak top-order pair
+                # (tiny c_{mp-1}, large c_mp) must not over-downscale and
+                # underflow the carried rows (real factorial regimes sit
+                # within a few bits of the root — ELP2000 measures 2^3)
+                est = jnp.minimum(est_root,
+                                  jnp.maximum(est_ratio,
+                                              est_root * (2.0 ** -16)))
                 sig_e32 = jnp.clip(
                     jnp.round(jnp.log2(jnp.maximum(est, 1e-300))),
                     -60.0, 60.0,
