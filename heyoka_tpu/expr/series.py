@@ -545,6 +545,36 @@ def _grad(key: str):
     return g
 
 
+def mp_order_cap(tape, limit: float = 1e37):
+    """Largest safe ``mp_order`` for a tape containing series ops on an
+    emulated-f64 backend (TPU), or ``None`` if the tape has none.
+
+    The f64 phase materializes true coefficients ``c_m ~ A rate^m/m!``;
+    on TPU emulated f64 inherits the f32 exponent range, so ``mp_order``
+    must stop before ``c_m`` crosses ~1e38.  Assumes the series input's
+    time rate is ~1 in tape units (the ephemeris factories' convention).
+    """
+    cap = None
+    for op in getattr(tape, "ops", []):
+        name = getattr(op, "op", "")
+        if not name.startswith("trigseries%"):
+            continue
+        d = _STORE.get(name.split("%", 1)[1])
+        if d is None:
+            continue
+        A = float(np.abs(d["amp"]).max()) if d["amp"].size else 0.0
+        rate = (float(np.abs(d["ph"][:, 1]).max())
+                if d["ph"].shape[1] > 1 else 0.0)
+        if A <= 0.0 or rate <= 1.0:
+            continue
+        m, c = 0, A
+        while m < 64 and c * rate / (m + 1) < limit:
+            m += 1
+            c = c * rate / m
+        cap = m if cap is None else min(cap, m)
+    return cap
+
+
 def affine_in_time(e) -> bool:
     """True when ``e`` is (symbolically) c0 + c1*t with c0/c1 free of time
     and state variables — the condition for the Taylor rule's closed form."""

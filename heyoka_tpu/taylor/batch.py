@@ -115,6 +115,26 @@ class TaylorAdaptiveBatch:
         ]
         self._tape: Tape = taylor_decompose_sys(self._sys, extra_outputs=ev_eqs)
 
+        if self._flat and self._mp_order is not None:
+            # emulated-f64 backends (TPU) inherit the f32 exponent range:
+            # cap mp_order so a dense-series tape's f64-phase coefficients
+            # (~A rate^k/k!) stay representable (expr/series.mp_order_cap)
+            import jax as _jax
+
+            from ..expr.series import mp_order_cap as _mp_cap
+
+            if _jax.default_backend() != "cpu":
+                _cap = _mp_cap(self._tape)
+                if _cap is not None and self._mp_order > _cap:
+                    from ..logging import logger as _logger
+
+                    _logger.info(
+                        "capping mp_order %d -> %d: series coefficients "
+                        "would leave the emulated-f64 range on this "
+                        "backend", self._mp_order, _cap,
+                    )
+                    self._mp_order = _cap
+
         n_eq = self._tape.n_eq
         state = np.asarray(state, dtype=self._dtype)
         if state.ndim != 2 or state.shape[1] != n_eq:

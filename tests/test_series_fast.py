@@ -123,3 +123,21 @@ def test_elp2000_flat_mp_integration():
     tb2.propagate_until(0.0005)
     s_l = np.asarray(tb2.state)
     assert np.abs((s_m - s_l) / np.maximum(np.abs(s_l), 1e-30)).max() < 1e-9
+
+
+def test_mp_order_cap(monkeypatch):
+    """On emulated-f64 backends mp_order is capped so series f64-phase
+    coefficients stay representable (batch.py round-4 guard)."""
+    import jax
+
+    from heyoka_tpu.models import elp2000_cartesian_e2000
+
+    x, y, z = hy.make_vars("x", "y", "z")
+    c = elp2000_cartesian_e2000(thresh=1e-6, series_op=True)
+    sys_c = [(x, c[0] * 1e-10), (y, c[1] * 1e-10), (z, c[2] * 1e-10)]
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    tb = hy.taylor_adaptive_batch(sys_c, np.zeros((1, 3)), tol=1e-15,
+                                  compact_mode="flat", mp_order=8)
+    assert tb._mp_order <= 7  # ELP rates cap near 6
+    from heyoka_tpu.expr.series import mp_order_cap
+    assert tb._mp_order == mp_order_cap(tb._tape)
