@@ -163,6 +163,9 @@ class TaylorAdaptiveBatch:
         self._t_lo = jnp.zeros((self._batch,), self._dtype)
         self._last_h = jnp.zeros((self._batch,), self._dtype)
         self._tc = jnp.zeros((self._batch, self._order + 1, n_eq), self._dtype)
+        # per-lane power-of-two exponent of the SCALED stored tc
+        # (d_i = c_i 2^(i sige); zero outside the flat mp engine)
+        self._tc_sige = jnp.zeros((self._batch,), jnp.int32)
 
         self._fns = _loops.make_step_fns(
             self._tape, self._order, self._dtype, self._high_accuracy,
@@ -198,8 +201,8 @@ class TaylorAdaptiveBatch:
                 self._tape, self._order, dtype=self._dtype,
                 high_accuracy=self._high_accuracy,
                 mp_order=self._mp_order,
-                layout="3d", unroll=True, staged=True, return_tc=True,
-                pallas_phase=self._pallas_phase,
+                layout="3d", unroll=True, staged=True,
+                return_tc="scaled", pallas_phase=self._pallas_phase,
             )
         if self._t_events or self._nt_events:
             # natively batched event step (reference:
@@ -392,7 +395,19 @@ class TaylorAdaptiveBatch:
 
     @property
     def tc(self) -> np.ndarray:
-        return np.asarray(self._tc)
+        """Taylor coefficients of the last step, (batch, order+1, dim).
+
+        The flat mp engine stores them scaled (d_i = c_i 2^(i sige)) so
+        they stay within the f32 exponent range TPU's emulated f64
+        inherits; reconstruction happens here on the host, where numpy
+        is native f64 — the true coefficients are exact even when they
+        exceed the device range (reference tc semantics)."""
+        tc = np.asarray(self._tc)
+        sge = np.asarray(self._tc_sige)
+        if not sge.any():
+            return tc
+        i = np.arange(tc.shape[1], dtype=np.int64)
+        return np.ldexp(tc, -i[None, :, None] * sge[:, None, None])
 
     @property
     def te_cooldowns(self) -> np.ndarray:
@@ -418,7 +433,7 @@ class TaylorAdaptiveBatch:
             stepf = self._flat_step
 
             def _batched(state, pars, t_hi, t_lo, max_dt):
-                new_state, h, tc = stepf(state, pars, t_hi, max_dt)
+                new_state, h, tc, sge = stepf(state, pars, t_hi, max_dt)
                 finite = jnp.all(jnp.isfinite(new_state), axis=1) \
                     & jnp.isfinite(h)
                 clamped = jnp.abs(h) >= jnp.abs(max_dt)
@@ -429,7 +444,7 @@ class TaylorAdaptiveBatch:
                     jnp.int32(_TO.err_nf_state),
                 )
                 nt_hi, nt_lo = dd_add_d(t_hi, t_lo, h)
-                return new_state, h, tc, outcome, nt_hi, nt_lo
+                return new_state, h, tc, sge, outcome, nt_hi, nt_lo
 
             return jit_flat_step(_batched)
         fns = self._fns
@@ -438,7 +453,7 @@ class TaylorAdaptiveBatch:
             new_state, h, tc = _loops.single_step(fns, state, pars, t_hi, max_dt)
             outcome = _loops.step_outcome(new_state, h, max_dt)
             nt_hi, nt_lo = dd_add_d(t_hi, t_lo, h)
-            return new_state, h, tc, outcome, nt_hi, nt_lo
+            return new_state, h, tc, jnp.int32(0), outcome, nt_hi, nt_lo
 
         return jax.jit(jax.vmap(_one))
 
@@ -593,10 +608,11 @@ class TaylorAdaptiveBatch:
             )
         if self._ev_step is not None:
             return self._step_events(mdt)
-        new_state, h, tc, outcome, nt_hi, nt_lo = self._step_jit(
+        new_state, h, tc, sge, outcome, nt_hi, nt_lo = self._step_jit(
             self._state, self._pars, self._t_hi, self._t_lo, mdt
         )
         self._state, self._last_h, self._tc = new_state, h, tc
+        self._tc_sige = jnp.broadcast_to(sge, (self._batch,))
         self._t_hi, self._t_lo = nt_hi, nt_lo
         oc = np.asarray(outcome)
         hh = np.asarray(h)
@@ -613,6 +629,7 @@ class TaylorAdaptiveBatch:
         self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
         self._last_h = res["last_h"]
         self._tc = res["tc"]
+        self._tc_sige = res.get("tc_sige", jnp.zeros((self._batch,), jnp.int32))
         self._te_cooldowns = res["cooldowns"]
         oc = np.asarray(res["outcome"])
         hh = np.asarray(res["last_h"])
@@ -698,13 +715,18 @@ class TaylorAdaptiveBatch:
             rel = jnp.asarray(t - start)
         order = self._order
 
-        def one(tc, r):
+        from .compact_flat import _ldexp2
+
+        def one(tc, r, sge):
+            # Horner over SCALED coefficients at u = r 2^-sge (exact):
+            # never materializes the true c_i / r^i magnitudes on device
+            u = _ldexp2(jnp, r, -sge)
             res = tc[order]
             for i in range(1, order + 1):
-                res = tc[order - i] + res * r
+                res = tc[order - i] + res * u
             return res
 
-        out = jax.vmap(one)(self._tc, rel)
+        out = jax.vmap(one)(self._tc, rel, self._tc_sige)
         self._d_output = np.asarray(out)[:, : self.dim]
         return self._d_output
 
@@ -775,6 +797,8 @@ class TaylorAdaptiveBatch:
             self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
             self._last_h = res["last_h"]
             self._tc = res["tc"]
+            self._tc_sige = res.get(
+                "tc_sige", jnp.zeros((self._batch,), jnp.int32))
             oc = np.asarray(res["outcome"])
             self._last_res = [
                 (TaylorOutcome(int(oc[i])),
@@ -808,6 +832,7 @@ class TaylorAdaptiveBatch:
         self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
         self._last_h = res["last_h"]
         self._tc = res["tc"]
+        self._tc_sige = res.get("tc_sige", jnp.zeros((self._batch,), jnp.int32))
         oc = np.asarray(res["outcome"])
         self._last_res = [
             (TaylorOutcome(int(oc[i])), float(np.asarray(res["last_h"])[i]))
@@ -852,6 +877,8 @@ class TaylorAdaptiveBatch:
             self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
             self._last_h = res["last_h"]
             self._tc = res["tc"]
+            self._tc_sige = res.get(
+                "tc_sige", jnp.zeros((self._batch,), jnp.int32))
             min_h = np.minimum(min_h, np.asarray(res["min_h"]))
             max_h = np.maximum(max_h, np.asarray(res["max_h"]))
             chunk_steps = np.asarray(res["nsteps"])
@@ -957,23 +984,50 @@ class TaylorAdaptiveBatch:
         self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
         self._last_h = res["last_h"]
         self._tc = res["tc"]
+        self._tc_sige = res.get("tc_sige", jnp.zeros((self._batch,), jnp.int32))
         self._te_cooldowns = res["cooldowns"]
         counts = P[:, 6].astype(np.int32)
         if counts.any() and self._nt_events:
             g_t = np.asarray(res["g_t"])
             g_meta = np.asarray(res["g_meta"])
-            for i in range(self._batch):
-                n = int(counts[i])
-                if not n:
-                    continue
-                ts = g_t[i, :n]
-                meta = g_meta[i, :n]
-                order_ = np.argsort(ts) if fwd[i] else np.argsort(-ts)
-                for k in order_:
-                    sl = int(meta[k]) // 4
-                    self._nt_events[sl // _MR].callback(
-                        self, float(ts[k]), int(meta[k] % 4) - 2, i
-                    )
+            if all(getattr(ev.callback, "vectorized", False)
+                   for ev in self._nt_events):
+                # vectorized dispatch: ONE call per event with per-lane
+                # chronologically ordered (t, sign, lane) arrays.  The
+                # per-hit Python loop below costs ~20-40 us per hit —
+                # ~1.3 s of the Henon-Heiles Poincare bench's 2.6 s at
+                # 30k crossings — where the reference pays an inlined
+                # C++ callback (doc/benchmarks.rst:105-160); opting a
+                # callback in with `.vectorized = True` is the
+                # array-native equivalent.
+                G = g_t.shape[1]
+                msk = np.arange(G)[None, :] < counts[:, None]
+                lanes = np.broadcast_to(
+                    np.arange(self._batch)[:, None], msk.shape)[msk]
+                ts = g_t[msk]
+                meta = g_meta[msk].astype(np.int64)
+                tkey = np.where(fwd[lanes], ts, -ts)
+                order_ = np.lexsort((tkey, lanes))
+                lanes, ts, meta = lanes[order_], ts[order_], meta[order_]
+                ev_idx = (meta // 4) // _MR
+                sgn = (meta % 4 - 2).astype(np.int32)
+                for j, ev in enumerate(self._nt_events):
+                    m = ev_idx == j
+                    if m.any():
+                        ev.callback(self, ts[m], sgn[m], lanes[m])
+            else:
+                for i in range(self._batch):
+                    n = int(counts[i])
+                    if not n:
+                        continue
+                    ts = g_t[i, :n]
+                    meta = g_meta[i, :n]
+                    order_ = np.argsort(ts) if fwd[i] else np.argsort(-ts)
+                    for k in order_:
+                        sl = int(meta[k]) // 4
+                        self._nt_events[sl // _MR].callback(
+                            self, float(ts[k]), int(meta[k] % 4) - 2, i
+                        )
         oc = P[:, 4].astype(np.int32)
         outcomes = [
             TaylorOutcome(int(o)) if int(o) < 0 else int(o) for o in oc
@@ -1093,6 +1147,7 @@ class TaylorAdaptiveBatch:
         self._t_hi, self._t_lo = dev["t_hi"], dev["t_lo"]
         self._last_h = dev["last_h"]
         self._tc = dev["tc"]
+        self._tc_sige = jnp.zeros((self._batch,), jnp.int32)  # event jets: unscaled
         self._te_cooldowns = dev["cooldowns"]
         for i in range(self._batch):
             if not lane_hits[i]:
@@ -1302,6 +1357,7 @@ class TaylorAdaptiveBatch:
         self._t_hi, self._t_lo = res["t_hi"], res["t_lo"]
         self._last_h = res["last_h"]
         self._tc = res["tc"]
+        self._tc_sige = res.get("tc_sige", jnp.zeros((self._batch,), jnp.int32))
         oc = np.asarray(res["outcome"])
         return (
             [TaylorOutcome(int(o)) for o in oc],
@@ -1489,6 +1545,7 @@ def _batch_getstate(self):
         "t_lo": np.asarray(self._t_lo),
         "last_h": np.asarray(self._last_h),
         "tc": np.asarray(self._tc),
+        "tc_sige": np.asarray(self._tc_sige),
         "cooldowns": np.asarray(self._te_cooldowns),
     }
 
@@ -1507,6 +1564,8 @@ def _batch_setstate(self, st):
     self._t_lo = jnp.asarray(st["t_lo"], self._dtype)
     self._last_h = jnp.asarray(st["last_h"], self._dtype)
     self._tc = jnp.asarray(st["tc"], self._dtype)
+    self._tc_sige = jnp.asarray(
+        st.get("tc_sige", np.zeros(self._batch, np.int32)), jnp.int32)
     if "cooldowns" in st:
         self._te_cooldowns = jnp.asarray(st["cooldowns"], self._dtype)
     self._vsys = st.get("vsys")

@@ -1044,6 +1044,18 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             res = ucoeff(K)
             for i in range(1, K + 1):
                 res = ucoeff(K - i) + res * h_ev[None, :]
+        if return_tc == "scaled":
+            # (B, K+1, n_eq) SCALED coefficients d_i = c_i 2^(i sig_e)
+            # plus the per-lane exponent: always within the f32 exponent
+            # range emulated f64 inherits on TPU (the true c_i need not
+            # be — geopot h ~ 366 flushes c_12.., ELP2000 rates overflow
+            # to inf at order ~14).  Consumers evaluate dense output
+            # with u = dt 2^-sig_e, or reconstruct exactly on the host
+            # (numpy is native f64) — see batch.TaylorAdaptiveBatch.tc.
+            tc_b = jnp.stack([ucoeff(i) for i in range(K + 1)], 0)
+            sge = (jnp.broadcast_to(sig_e, (B,)).astype(jnp.int32)
+                   if sig_e is not None else jnp.zeros((B,), jnp.int32))
+            return res.T, h, tc_b.transpose(2, 0, 1), sge
         if return_tc:
             # (B, K+1, n_eq) state-column coefficients (integrator tc
             # convention; f32 high orders widened back to the work dtype)
@@ -1078,7 +1090,7 @@ def make_propagate_until_flat(tape: Tape, order: int, *, dtype=None,
     step = make_batched_step_flat(
         tape, order, dtype=dtype, high_accuracy=high_accuracy,
         mp_order=mp_order, layout="3d", unroll=True, staged=True,
-        return_tc=True, pallas_phase=pallas_phase,
+        return_tc="scaled", pallas_phase=pallas_phase,
     )
     n_eq = tape.n_eq
 
@@ -1097,6 +1109,7 @@ def make_propagate_until_flat(tape: Tape, order: int, *, dtype=None,
             t_lo=t_lo,
             last_h=zero,
             tc=jnp.zeros((B, order + 1, n_eq), dtype),
+            tc_sige=jnp.zeros((B,), jnp.int32),
             nsteps=jnp.zeros((B,), jnp.int64),
             min_h=inf,
             max_h=zero,
@@ -1137,7 +1150,7 @@ def _pu_while(step, pars, target_hi, target_lo, max_delta_t,
         cap = jnp.where(c["done"], 0.0, cap)
         dt = jnp.where(fwd, cap, -cap)
 
-        new_state, h, tc = step(c["state"], pars, c["t_hi"], dt)
+        new_state, h, tc, sge = step(c["state"], pars, c["t_hi"], dt)
         nt_hi, nt_lo = dd_add_d(c["t_hi"], c["t_lo"], h)
 
         finite = jnp.all(jnp.isfinite(new_state), axis=1) & jnp.isfinite(h)
@@ -1169,6 +1182,7 @@ def _pu_while(step, pars, target_hi, target_lo, max_delta_t,
             t_lo=sel(nt_lo, c["t_lo"]),
             last_h=sel(h, c["last_h"]),
             tc=jnp.where(alive[:, None, None], tc, c["tc"]),
+            tc_sige=jnp.where(alive, sge, c["tc_sige"]),
             nsteps=sel(nsteps, c["nsteps"]),
             min_h=sel(jnp.minimum(c["min_h"], abs_h), c["min_h"]),
             max_h=sel(jnp.maximum(c["max_h"], abs_h), c["max_h"]),
@@ -1487,16 +1501,19 @@ def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
     step = make_batched_step_flat(
         tape, order, dtype=dtype, high_accuracy=high_accuracy,
         mp_order=mp_order, layout="3d", unroll=True, staged=True,
-        return_tc=True, pallas_phase=pallas_phase,
+        return_tc="scaled", pallas_phase=pallas_phase,
     )
     n_eq = tape.n_eq
     K = order
 
-    def dense(tc, rel):
-        # Horner over per-lane coefficients: tc (B, K+1, n_eq), rel (B,)
+    def dense(tc, rel, sge):
+        # Horner over per-lane SCALED coefficients d_i = c_i 2^(i sge):
+        # evaluate at u = rel 2^-sge (exact shift), never materializing
+        # the true c_i / rel^i magnitudes (TPU emulated-f64 range)
+        u = _ldexp2(jnp, rel, -sge)
         res = tc[:, K, :]
         for i in range(1, K + 1):
-            res = tc[:, K - i, :] + res * rel[:, None]
+            res = tc[:, K - i, :] + res * u[:, None]
         return res
 
     def pg(state, pars, t_hi, t_lo, grid, max_delta_t, max_steps):
@@ -1535,6 +1552,7 @@ def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
             t_lo=t_lo,
             last_h=zero,
             tc=jnp.zeros((B, K + 1, n_eq), dtype),
+            tc_sige=jnp.zeros((B,), jnp.int32),
             nsteps=jnp.zeros((B,), jnp.int64),
             min_h=jnp.full((B,), jnp.inf, dtype),
             max_h=zero,
@@ -1554,7 +1572,7 @@ def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
             cap = jnp.where(alive, cap, 0.0)
             dt = jnp.where(fwd, cap, -cap)
 
-            new_state, h, tc = step(c["state"], pars, c["t_hi"], dt)
+            new_state, h, tc, sge = step(c["state"], pars, c["t_hi"], dt)
             t_prev_hi, t_prev_lo = c["t_hi"], c["t_lo"]
             nt_hi, nt_lo = dd_add_d(t_prev_hi, t_prev_lo, h)
 
@@ -1580,7 +1598,7 @@ def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
                     grid[idx], jnp.zeros_like(grid[idx]),
                     -t_prev_hi, -t_prev_lo,
                 )
-                vals = dense(tc, rel)
+                vals = dense(tc, rel, sge)
                 cur = out[lanes, idx]
                 out = out.at[lanes, idx].set(
                     jnp.where(m[:, None], vals, cur)
@@ -1614,6 +1632,7 @@ def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
                 t_lo=sel(nt_lo, c["t_lo"]),
                 last_h=sel(h, c["last_h"]),
                 tc=jnp.where(alive[:, None, None], tc, c["tc"]),
+                tc_sige=jnp.where(alive, sge, c["tc_sige"]),
                 nsteps=sel(nsteps, c["nsteps"]),
                 min_h=sel(jnp.minimum(c["min_h"], abs_h), c["min_h"]),
                 max_h=sel(jnp.maximum(c["max_h"], abs_h), c["max_h"]),

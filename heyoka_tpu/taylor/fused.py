@@ -87,7 +87,7 @@ def make_propagate_until_fused(tape: Tape, order: int, *, dtype=None,
     land_step = make_batched_step_flat(
         tape, order, dtype=dtype, high_accuracy=high_accuracy,
         mp_order=mp_order, layout="3d", unroll=True, staged=True,
-        return_tc=True, pallas_phase=pallas_phase,
+        return_tc="scaled", pallas_phase=pallas_phase,
     )
 
     _kern_cache: dict = {}
@@ -232,6 +232,7 @@ def make_propagate_until_fused(tape: Tape, order: int, *, dtype=None,
             t_hi=c["t_hi"], t_lo=c["t_lo"],
             last_h=c["last_h"],
             tc=jnp.zeros((B, order + 1, n_eq), dtype),
+            tc_sige=jnp.zeros((B,), jnp.int32),
             nsteps=c["nsteps"],
             min_h=c["min_h"], max_h=c["max_h"],
             outcome=jnp.full((B,), jnp.int32(TaylorOutcome.time_limit)),

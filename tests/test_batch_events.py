@@ -284,3 +284,45 @@ def test_full_driver_matches_chunked(states, monkeypatch):
     assert all(len(h) > 0 for h in h_f)
     # terminal stop at t=8.25 on every lane
     assert all(oc == 0 for oc in oc_f)
+
+
+def test_vectorized_nt_callback_matches_scalar():
+    """The vectorized nt-callback protocol (cb.vectorized = True, array
+    args) must deliver the same hits in the same per-lane chronological
+    order as per-hit dispatch (round-4; the per-hit Python loop
+    dominated the batched Poincare bench end-to-end)."""
+    import numpy as np
+
+    import heyoka_tpu as hy
+
+    x, v = hy.make_vars("x", "v")
+    sys_ = [(x, v), (v, -x)]
+    B = 16
+    rng = np.random.default_rng(5)
+    st = np.stack([rng.uniform(0.7, 1.3, B), np.zeros(B)], axis=1)
+
+    scalar_hits = []
+    vec_hits = []
+
+    ev_s = hy.nt_event(x, lambda ta, t, d, lane: scalar_hits.append(
+        (int(lane), float(t), int(d))))
+
+    def vcb(ta, ts, sgns, lanes):
+        for L, t, d in zip(lanes, ts, sgns):
+            vec_hits.append((int(L), float(t), int(d)))
+
+    vcb.vectorized = True
+    ev_v = hy.nt_event(x, vcb)
+
+    kw = dict(tol=1e-12, compact_mode="flat", mp_order=8)
+    ta_s = hy.taylor_adaptive_batch(sys_, st.copy(), nt_events=[ev_s], **kw)
+    ta_v = hy.taylor_adaptive_batch(sys_, st.copy(), nt_events=[ev_v], **kw)
+    ta_s.propagate_until(20.0)
+    ta_v.propagate_until(20.0)
+
+    assert len(vec_hits) == len(scalar_hits) > 0
+    # same per-lane hit sequences (global interleaving may differ)
+    for i in range(B):
+        a = [(t, d) for L, t, d in scalar_hits if L == i]
+        b = [(t, d) for L, t, d in vec_hits if L == i]
+        assert a == b

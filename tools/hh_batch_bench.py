@@ -29,8 +29,16 @@ B = 1024
 rng = np.random.default_rng(0)
 states = np.asarray(ic)[None, :] + 1e-3 * rng.standard_normal((B, 4))
 n_hits = [0]
-ev_b = hy.nt_event(y, lambda ta, t, d, lane: n_hits.__setitem__(
-    0, n_hits[0] + 1), direction=hy.EventDirection.positive)
+
+
+def _count_hits(ta, ts, sgns, lanes):
+    # vectorized nt callback (one call per propagate, array args) — the
+    # array-native analog of the reference's inlined C++ section recorder
+    n_hits[0] += int(len(ts))
+
+
+_count_hits.vectorized = True
+ev_b = hy.nt_event(y, _count_hits, direction=hy.EventDirection.positive)
 bkw = dict(compact_mode="flat", mp_order=8, pallas_phase="auto")
 tab_p = hy.taylor_adaptive_batch(sys_, states, tol=1e-15,
                                  high_accuracy=True, **bkw)
