@@ -45,14 +45,14 @@ def bench_kepe():
     B = 1 << 20
     ev = rng.uniform(0.0, 0.9, B)
     Mv = rng.uniform(0.0, 2 * np.pi, B)
-    pts = np.stack([ev, Mv])
+    pts = np.stack([ev, Mv], axis=1)
     out = cf(pts)  # compile
     E0 = float(np.asarray(out)[0, 0])
     t0 = time.perf_counter()
     out = cf(pts)
     _ = float(np.asarray(out)[0, 0])
     el = time.perf_counter() - t0
-    E = np.asarray(out)[0]
+    E = np.asarray(out)[:, 0]
     resid = float(np.max(np.abs(E - ev * np.sin(E) - Mv)))
     _emit(bench="kepE", batch=B, evals_per_sec=round(B / el, 1),
           max_residual=resid)
@@ -75,7 +75,7 @@ def bench_large_cfunc():
     cf = hy.cfunc(exprs, xs)
     build = time.perf_counter() - t0
     B = 8192
-    pts = rng.standard_normal((16, B))
+    pts = rng.standard_normal((B, 16))
     t0 = time.perf_counter()
     out = cf(pts)
     _ = float(np.asarray(out)[0, 0])
@@ -85,7 +85,7 @@ def bench_large_cfunc():
     _ = float(np.asarray(out)[0, 0])
     el = time.perf_counter() - t0
     _emit(bench="large_cfunc", n_outputs=len(exprs), batch=B,
-          n_uvars=len(cf.dc), build_s=round(build, 2),
+          n_uvars=cf.dc.n_uvars, build_s=round(build, 2),
           compile_s=round(compile_s, 1),
           output_evals_per_sec=round(len(exprs) * B / el, 1))
 

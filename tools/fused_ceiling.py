@@ -95,24 +95,37 @@ print(json.dumps({
     "vpu_utilization_pct": round(100 * f32_rate / VPU_PEAK, 1),
 }), flush=True)
 
-# --- dd multiplier: same engine, f32-only (mp_order=0) -----------------
-ta32 = hy.taylor_adaptive_batch(
-    sys_, base, tol=1e-6, high_accuracy=True, compact_mode="flat",
-    mp_order=0, pallas_phase="auto")
-ta32.propagate_until(10.0)
+# --- dd multiplier: same tol/order, minimal-dd engine (mp_order=1) -----
+ta1 = hy.taylor_adaptive_batch(
+    sys_, base, tol=TOL, high_accuracy=True, compact_mode="flat",
+    mp_order=1, pallas_phase="auto")
+ta1.propagate_until(10.0)
 t0 = time.perf_counter()
-_, _, _, ns = ta32.propagate_until(510.0)
-tot32 = int(np.asarray(ns).sum())
-el32 = time.perf_counter() - t0
-# normalize per-order-work: f32 engine runs order taylor_order_from_tol(1e-6)
-K32 = ta32._order
-work_ratio = (K * (K + 1)) / (K32 * (K32 + 1))  # conv work ~ K^2
-dd_mult = (tot / el) ** -1 / ((tot32 / el32) ** -1) * work_ratio
+_, _, _, ns = ta1.propagate_until(510.0)
+tot1 = int(np.asarray(ns).sum())
+el1 = time.perf_counter() - t0
+# static op models for both configs give the implied per-op dd cost
+ops1 = 0
+for lv in plan.levels:
+    for g in lv:
+        m = g.out_cols.size
+        for k in range(1, K + 1):
+            dd = k <= 1
+            if g.name in ("mul", "div", "pow", "sq"):
+                ops1 += m * conv_ops(k, dd)
+            elif g.name == "sum":
+                ops1 += m * g.in_cols.shape[1] * (DD_ADD if dd else F_ADD)
+            else:
+                ops1 += 2 * m * conv_ops(k, dd)
+ops1 = int(ops1 * 1.05)
+r8 = tot / el
+r1 = tot1 / el1
 print(json.dumps({
-    "phase": "dd_multiplier", "f32_engine_lane_steps_per_sec":
-        round(tot32 / el32, 1), "f32_order": K32,
-    "observed_dd_multiplier_workadj": round(1.0 / dd_mult, 2)
-    if dd_mult else None,
+    "phase": "dd_multiplier",
+    "mp1_lane_steps_per_sec": round(r1, 1),
+    "mp8_lane_steps_per_sec": round(r8, 1),
+    "static_op_ratio_mp8_over_mp1": round(ops_per_step / ops1, 2),
+    "observed_wall_ratio_mp8_over_mp1": round(r1 / r8, 2),
 }), flush=True)
 
 # --- MXU triangular-matmul projection ----------------------------------
