@@ -839,30 +839,32 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 mmp = jnp.max(jnp.abs(tcv64[norm_cols, lo_end, :]), axis=0)
                 # two estimators of the per-order growth scale: the
                 # lo_end-th root of c_0/c_mp (geometric mean) and the
-                # top-order ratio c_{mp-1}/c_mp.  The root alone
+                # top-order ratio c_mp/c_{mp-1}.  The root alone
                 # under-scales series-driven tapes whose coefficients
                 # carry factorial damping (c_k ~ A rate^k/k!, ELP2000):
                 # their large-amplitude prefactor biases the root while
                 # the instantaneous growth is rate/k — rows then still
                 # grow ~x40/order and overflow f32 by order ~14
-                # (round-4 on-chip audit).  Taking the steeper (smaller)
-                # of the two keeps d_k = c_k sig^k bounded in both
-                # regimes; with sig ~ mp/rate the factorial tail decays
-                # from order mp on, so nothing underflows either.
+                # (round-4 on-chip audit).  The raw top-order ratio in
+                # turn collapses when c_{mp-1} crosses zero (observed on
+                # the VSOP2013 tape: over-downscale -> f32 underflow of
+                # the top rows -> mo = 0 -> rho = inf -> h = inf), so the
+                # growth is cross-checked against the (mp-2, mp) pair
+                # and floored near the root.
                 est_root = (jnp.maximum(m0v, 1.0)
                             / jnp.maximum(mmp, 1e-300)) ** (1.0 / lo_end)
-                est_ratio = jnp.where(
-                    mmp > 0.0,
-                    jnp.maximum(mm1, 1e-300) / jnp.maximum(mmp, 1e-300),
-                    jnp.inf,
-                )
-                # floor the ratio at root/2^16: a freak top-order pair
-                # (tiny c_{mp-1}, large c_mp) must not over-downscale and
-                # underflow the carried rows (real factorial regimes sit
-                # within a few bits of the root — ELP2000 measures 2^3)
+                g1 = mmp / jnp.maximum(mm1, 1e-300)
+                if lo_end >= 2:
+                    mm2 = jnp.max(
+                        jnp.abs(tcv64[norm_cols, lo_end - 2, :]), axis=0)
+                    g2 = jnp.sqrt(mmp / jnp.maximum(mm2, 1e-300))
+                    g = jnp.clip(g1, g2 * 0.25, g2 * 4.0)
+                else:
+                    g = g1
+                est_ratio = jnp.where(mmp > 0.0, 1.0 / g, jnp.inf)
                 est = jnp.minimum(est_root,
                                   jnp.maximum(est_ratio,
-                                              est_root * (2.0 ** -16)))
+                                              est_root * (2.0 ** -6)))
                 sig_e32 = jnp.clip(
                     jnp.round(jnp.log2(jnp.maximum(est, 1e-300))),
                     -60.0, 60.0,

@@ -141,3 +141,30 @@ def test_mp_order_cap(monkeypatch):
     assert tb._mp_order <= 7  # ELP rates cap near 6
     from heyoka_tpu.expr.series import mp_order_cap
     assert tb._mp_order == mp_order_cap(tb._tape)
+
+
+def test_vsop_p9_flat_mp_long_run():
+    """VSOP2013 p9 q/p tape through the flat scaled engine over ~370
+    steps vs the loops f64 oracle.
+
+    Regression (round 4): the scaled carry's top-order-ratio sig
+    collapsed when the order-(mp-1) norm crossed zero mid-propagation —
+    over-downscale, f32 underflow of the top rows, rho = inf, h = inf,
+    NaN states.  The growth estimate is now cross-checked against the
+    (mp-2, mp) pair and floored near the root estimator."""
+    from heyoka_tpu.models import vsop2013_elliptic
+
+    x, y = hy.make_vars("x", "y")
+    q9 = vsop2013_elliptic(9, 5, thresh=1e-7, series_op=True)
+    p9 = vsop2013_elliptic(9, 6, thresh=1e-7, series_op=True)
+    sys_c = [(x, q9), (y, p9)]
+    B = 2
+    tb = hy.taylor_adaptive_batch(sys_c, np.zeros((B, 2)), tol=1e-15,
+                                  compact_mode="flat", mp_order=5)
+    tb.propagate_until(0.02)
+    s1 = np.asarray(tb.state)
+    assert np.isfinite(s1).all()
+    tb2 = hy.taylor_adaptive_batch(sys_c, np.zeros((B, 2)), tol=1e-15)
+    tb2.propagate_until(0.02)
+    s2 = np.asarray(tb2.state)
+    assert np.abs(s1 - s2).max() < 1e-10
