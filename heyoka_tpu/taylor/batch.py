@@ -166,6 +166,8 @@ class TaylorAdaptiveBatch:
         # per-lane power-of-two exponent of the SCALED stored tc
         # (d_i = c_i 2^(i sige); zero outside the flat mp engine)
         self._tc_sige = jnp.zeros((self._batch,), jnp.int32)
+        # cross-step scale-feedback hint for the next step (32767 = none)
+        self._sig_hint = jnp.full((self._batch,), jnp.int32(32767))
 
         self._fns = _loops.make_step_fns(
             self._tape, self._order, self._dtype, self._high_accuracy,
@@ -432,8 +434,9 @@ class TaylorAdaptiveBatch:
 
             stepf = self._flat_step
 
-            def _batched(state, pars, t_hi, t_lo, max_dt):
-                new_state, h, tc, sge = stepf(state, pars, t_hi, max_dt)
+            def _batched(state, pars, t_hi, t_lo, max_dt, sig_hint):
+                new_state, h, tc, sge, sig_next = stepf(
+                    state, pars, t_hi, max_dt, sig_hint)
                 finite = jnp.all(jnp.isfinite(new_state), axis=1) \
                     & jnp.isfinite(h)
                 clamped = jnp.abs(h) >= jnp.abs(max_dt)
@@ -444,16 +447,18 @@ class TaylorAdaptiveBatch:
                     jnp.int32(_TO.err_nf_state),
                 )
                 nt_hi, nt_lo = dd_add_d(t_hi, t_lo, h)
-                return new_state, h, tc, sge, outcome, nt_hi, nt_lo
+                return (new_state, h, tc, sge, sig_next, outcome,
+                        nt_hi, nt_lo)
 
             return jit_flat_step(_batched)
         fns = self._fns
 
-        def _one(state, pars, t_hi, t_lo, max_dt):
+        def _one(state, pars, t_hi, t_lo, max_dt, _sig_hint):
             new_state, h, tc = _loops.single_step(fns, state, pars, t_hi, max_dt)
             outcome = _loops.step_outcome(new_state, h, max_dt)
             nt_hi, nt_lo = dd_add_d(t_hi, t_lo, h)
-            return new_state, h, tc, jnp.int32(0), outcome, nt_hi, nt_lo
+            return (new_state, h, tc, jnp.int32(0), jnp.int32(32767),
+                    outcome, nt_hi, nt_lo)
 
         return jax.jit(jax.vmap(_one))
 
@@ -608,11 +613,14 @@ class TaylorAdaptiveBatch:
             )
         if self._ev_step is not None:
             return self._step_events(mdt)
-        new_state, h, tc, sge, outcome, nt_hi, nt_lo = self._step_jit(
-            self._state, self._pars, self._t_hi, self._t_lo, mdt
-        )
+        new_state, h, tc, sge, sig_next, outcome, nt_hi, nt_lo = \
+            self._step_jit(
+                self._state, self._pars, self._t_hi, self._t_lo, mdt,
+                self._sig_hint,
+            )
         self._state, self._last_h, self._tc = new_state, h, tc
         self._tc_sige = jnp.broadcast_to(sge, (self._batch,))
+        self._sig_hint = jnp.broadcast_to(sig_next, (self._batch,))
         self._t_hi, self._t_lo = nt_hi, nt_lo
         oc = np.asarray(outcome)
         hh = np.asarray(h)

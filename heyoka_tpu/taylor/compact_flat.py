@@ -516,7 +516,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
     norm_cols = np.concatenate([np.arange(n_eq), plan.out_cols]) \
         if plan.out_cols.size else np.arange(n_eq)
 
-    def step(states, pars, t, max_dt):
+    def step(states, pars, t, max_dt, sig_hint=None):
         B = states.shape[0]
         _pallas_fn, _pallas_B = \
             _get_pallas(B) if pallas_phase else (None, B)
@@ -834,41 +834,66 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
                 # scaling is exact; everything is shifted back out below.
                 tcv64 = tc if three_d else tc.reshape(W, lo_end + 1, B)
                 m0v = jnp.max(jnp.abs(tcv64[norm_cols, 0, :]), axis=0)
-                mm1 = jnp.max(jnp.abs(tcv64[norm_cols, lo_end - 1, :]),
-                              axis=0)
                 mmp = jnp.max(jnp.abs(tcv64[norm_cols, lo_end, :]), axis=0)
-                # two estimators of the per-order growth scale: the
-                # lo_end-th root of c_0/c_mp (geometric mean) and the
-                # top-order ratio c_mp/c_{mp-1}.  The root alone
-                # under-scales series-driven tapes whose coefficients
-                # carry factorial damping (c_k ~ A rate^k/k!, ELP2000):
-                # their large-amplitude prefactor biases the root while
-                # the instantaneous growth is rate/k — rows then still
-                # grow ~x40/order and overflow f32 by order ~14
-                # (round-4 on-chip audit).  The raw top-order ratio in
-                # turn collapses when c_{mp-1} crosses zero (observed on
-                # the VSOP2013 tape: over-downscale -> f32 underflow of
-                # the top rows -> mo = 0 -> rho = inf -> h = inf), so the
-                # growth is cross-checked against the (mp-2, mp) pair
-                # and floored near the root.
+                # Per-order growth estimate = least-squares slope of the
+                # log2 norms over orders 1..lo_end, minus a 2-bit safety
+                # margin.  Design history (round 4, all failure modes
+                # observed on-chip):
+                # - the lo_end-th ROOT of c_0/c_mp under-scales
+                #   factorially-damped series tapes (amplitude prefactor
+                #   bias) -> rows overflow by order ~14 (ELP2000);
+                # - the top-order RATIO collapses when a single norm
+                #   crosses zero -> over/under-downscale by +-4 bits
+                #   per step; too small underflows the top rows (mo = 0
+                #   -> rho = inf -> h = inf), too large overflows the
+                #   f32 CONVOLUTION PRODUCTS (max_k d_k must stay below
+                #   sqrt(f32_max) ~ 1.8e19: pairwise conv terms square
+                #   the row magnitude) — VSOP2013 showed both within 20
+                #   steps.
+                # The LS slope is insensitive to isolated zero crossings
+                # (measured spread 2.2 bits over 120 VSOP steps vs 4.2
+                # for the pair ratio), and the margin biases toward
+                # decaying rows — the safe side, since the bottom rows
+                # sit ~20 decimal digits above the f32 denormal floor
+                # while the top rows have only a few digits of product
+                # headroom.
                 est_root = (jnp.maximum(m0v, 1.0)
                             / jnp.maximum(mmp, 1e-300)) ** (1.0 / lo_end)
-                g1 = mmp / jnp.maximum(mm1, 1e-300)
                 if lo_end >= 2:
-                    mm2 = jnp.max(
-                        jnp.abs(tcv64[norm_cols, lo_end - 2, :]), axis=0)
-                    g2 = jnp.sqrt(mmp / jnp.maximum(mm2, 1e-300))
-                    g = jnp.clip(g1, g2 * 0.25, g2 * 4.0)
+                    mall = jnp.max(jnp.abs(
+                        tcv64[norm_cols, 1:lo_end + 1, :]), axis=0)  # (lo,B)
+                    wv = (mall > 0.0).astype(dtype)
+                    lm = jnp.log2(jnp.maximum(mall, 1e-300))
+                    ks = jnp.arange(1, lo_end + 1, dtype=dtype)[:, None]
+                    wsum = jnp.maximum(jnp.sum(wv, axis=0), 1e-30)
+                    kb = jnp.sum(wv * ks, axis=0) / wsum
+                    lb = jnp.sum(wv * lm, axis=0) / wsum
+                    den = jnp.maximum(
+                        jnp.sum(wv * (ks - kb) ** 2, axis=0), 1e-30)
+                    slope = jnp.sum(wv * (ks - kb) * (lm - lb), axis=0) / den
+                    est_ls = 2.0 ** (-slope - 2.0)
+                    # fall back to the root when <2 valid norms
+                    est = jnp.where(jnp.sum(wv, axis=0) >= 2.0,
+                                    est_ls, est_root)
                 else:
-                    g = g1
-                est_ratio = jnp.where(mmp > 0.0, 1.0 / g, jnp.inf)
-                est = jnp.minimum(est_root,
-                                  jnp.maximum(est_ratio,
-                                              est_root * (2.0 ** -6)))
+                    est = est_root
+                _sig_force = _os.environ.get("HEYOKA_SIG_FORCE")
+                if _sig_force is not None:  # debug/experiment knob
+                    est = jnp.full_like(est, 2.0 ** float(_sig_force))
                 sig_e32 = jnp.clip(
                     jnp.round(jnp.log2(jnp.maximum(est, 1e-300))),
                     -60.0, 60.0,
                 ).astype(jnp.int32)
+                if sig_hint is not None:
+                    # cross-step feedback: the previous step's realized
+                    # full-range slope (emitted as sig_next below) is a
+                    # near-oracle scale — measured +-0.08 bits across
+                    # steps on the VSOP tape, where any single-window
+                    # bootstrap estimate wanders by bits (the log-norm
+                    # curve's curvature is invisible from orders <= mp).
+                    # 32767 marks "no hint yet" (first step: bootstrap).
+                    sig_e32 = jnp.where(sig_hint < jnp.int32(30000),
+                                        sig_hint, sig_e32).astype(jnp.int32)
                 sig32 = _ldexp2(jnp, jnp.ones_like(sig_e32, f32), sig_e32)
                 seed32 = jnp.stack(
                     [_ldexp2(jnp, tcv64[:, k_, :], k_ * sig_e32).astype(f32)
@@ -950,6 +975,33 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
         fac = _pymath.exp(-0.7 / (K - 1)) / (_pymath.e * _pymath.e)
         h = jnp.minimum(rho * fac, jnp.abs(max_dt))
         h = jnp.where(max_dt < 0, -h, h)
+
+        # cross-step scale feedback (scale32 XLA path): the realized
+        # full-range log-norm slope over orders 1..K is a near-oracle
+        # sig for the NEXT step (measured +-0.08 bits step to step on
+        # the VSOP tape, where bootstrap estimates from orders <= mp
+        # wander by bits and stray outside the f32 safety window —
+        # max_k d_k must stay under sqrt(f32_max) for the convolution
+        # products while the top rows must not underflow).
+        sig_next = None
+        if return_tc == "scaled":
+            if (not dd_run) and scale32:
+                m1v = jnp.max(jnp.abs(tcv[norm_cols, 1, :]), axis=0)
+                okf = (mo > 0.0) & (m1v > 0.0) & jnp.isfinite(mo)
+                slope_full = (
+                    jnp.log2(jnp.maximum(mo, 1e-300))
+                    - sig_e.astype(dtype) * K
+                    - jnp.log2(jnp.maximum(m1v, 1e-300))
+                ) / (K - 1)
+                sig_next = jnp.where(
+                    okf,
+                    jnp.clip(jnp.round(-slope_full - 2.0), -60.0, 60.0),
+                    sig_e.astype(dtype),
+                ).astype(jnp.int32)
+            elif sig_e is not None:
+                sig_next = jnp.broadcast_to(sig_e, (B,)).astype(jnp.int32)
+            else:
+                sig_next = jnp.zeros((B,), jnp.int32)
 
         def coeff(i):
             if dd_run:
@@ -1057,7 +1109,7 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             tc_b = jnp.stack([ucoeff(i) for i in range(K + 1)], 0)
             sge = (jnp.broadcast_to(sig_e, (B,)).astype(jnp.int32)
                    if sig_e is not None else jnp.zeros((B,), jnp.int32))
-            return res.T, h, tc_b.transpose(2, 0, 1), sge
+            return res.T, h, tc_b.transpose(2, 0, 1), sge, sig_next
         if return_tc:
             # (B, K+1, n_eq) state-column coefficients (integrator tc
             # convention; f32 high orders widened back to the work dtype)
@@ -1112,6 +1164,7 @@ def make_propagate_until_flat(tape: Tape, order: int, *, dtype=None,
             last_h=zero,
             tc=jnp.zeros((B, order + 1, n_eq), dtype),
             tc_sige=jnp.zeros((B,), jnp.int32),
+            sig_hint=jnp.full((B,), jnp.int32(32767)),
             nsteps=jnp.zeros((B,), jnp.int64),
             min_h=inf,
             max_h=zero,
@@ -1152,7 +1205,8 @@ def _pu_while(step, pars, target_hi, target_lo, max_delta_t,
         cap = jnp.where(c["done"], 0.0, cap)
         dt = jnp.where(fwd, cap, -cap)
 
-        new_state, h, tc, sge = step(c["state"], pars, c["t_hi"], dt)
+        new_state, h, tc, sge, sig_next = step(
+            c["state"], pars, c["t_hi"], dt, c["sig_hint"])
         nt_hi, nt_lo = dd_add_d(c["t_hi"], c["t_lo"], h)
 
         finite = jnp.all(jnp.isfinite(new_state), axis=1) & jnp.isfinite(h)
@@ -1185,6 +1239,7 @@ def _pu_while(step, pars, target_hi, target_lo, max_delta_t,
             last_h=sel(h, c["last_h"]),
             tc=jnp.where(alive[:, None, None], tc, c["tc"]),
             tc_sige=jnp.where(alive, sge, c["tc_sige"]),
+            sig_hint=jnp.where(alive, sig_next, c["sig_hint"]),
             nsteps=sel(nsteps, c["nsteps"]),
             min_h=sel(jnp.minimum(c["min_h"], abs_h), c["min_h"]),
             max_h=sel(jnp.maximum(c["max_h"], abs_h), c["max_h"]),
@@ -1555,6 +1610,7 @@ def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
             last_h=zero,
             tc=jnp.zeros((B, K + 1, n_eq), dtype),
             tc_sige=jnp.zeros((B,), jnp.int32),
+            sig_hint=jnp.full((B,), jnp.int32(32767)),
             nsteps=jnp.zeros((B,), jnp.int64),
             min_h=jnp.full((B,), jnp.inf, dtype),
             max_h=zero,
@@ -1574,7 +1630,8 @@ def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
             cap = jnp.where(alive, cap, 0.0)
             dt = jnp.where(fwd, cap, -cap)
 
-            new_state, h, tc, sge = step(c["state"], pars, c["t_hi"], dt)
+            new_state, h, tc, sge, sig_next = step(
+                c["state"], pars, c["t_hi"], dt, c["sig_hint"])
             t_prev_hi, t_prev_lo = c["t_hi"], c["t_lo"]
             nt_hi, nt_lo = dd_add_d(t_prev_hi, t_prev_lo, h)
 
@@ -1635,6 +1692,7 @@ def make_propagate_grid_flat(tape: Tape, order: int, *, dtype=None,
                 last_h=sel(h, c["last_h"]),
                 tc=jnp.where(alive[:, None, None], tc, c["tc"]),
                 tc_sige=jnp.where(alive, sge, c["tc_sige"]),
+                sig_hint=jnp.where(alive, sig_next, c["sig_hint"]),
                 nsteps=sel(nsteps, c["nsteps"]),
                 min_h=sel(jnp.minimum(c["min_h"], abs_h), c["min_h"]),
                 max_h=sel(jnp.maximum(c["max_h"], abs_h), c["max_h"]),

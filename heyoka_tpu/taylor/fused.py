@@ -233,6 +233,7 @@ def make_propagate_until_fused(tape: Tape, order: int, *, dtype=None,
             last_h=c["last_h"],
             tc=jnp.zeros((B, order + 1, n_eq), dtype),
             tc_sige=jnp.zeros((B,), jnp.int32),
+            sig_hint=jnp.full((B,), jnp.int32(32767)),
             nsteps=c["nsteps"],
             min_h=c["min_h"], max_h=c["max_h"],
             outcome=jnp.full((B,), jnp.int32(TaylorOutcome.time_limit)),
