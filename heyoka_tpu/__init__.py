@@ -55,6 +55,9 @@ from .expr.decompose import taylor_decompose_sys, function_decompose  # noqa: E4
 from .taylor.adaptive import TaylorAdaptive, taylor_adaptive  # noqa: E402
 from .taylor.batch import TaylorAdaptiveBatch, taylor_adaptive_batch  # noqa: E402
 from .taylor.outcome import TaylorOutcome  # noqa: E402
+
+#: heyoka.py-style alias (``hy.taylor_outcome.success`` etc.)
+taylor_outcome = TaylorOutcome
 from .taylor.continuous import (  # noqa: E402
     ContinuousOutput,
     ContinuousOutputBatch,

@@ -519,6 +519,66 @@ void horner_update(const T *cc, int32_t n_u, int32_t n_eq, int32_t order,
     }
 }
 
+// high_accuracy state update: compensated-summation monomial evaluation
+// (the native twin of stepper.ceval_update / taylor_run_ceval,
+// taylor_00.cpp:355)
+template <typename T>
+void ceval_update(const T *cc, int32_t n_u, int32_t n_eq, int32_t order,
+                  T h, T *out)
+{
+    for (int32_t i = 0; i < n_eq; ++i) {
+        T res = cc[i];
+        T comp = 0;
+        T cur_h = h;
+        for (int32_t k = 1; k <= order; ++k) {
+            const T tmp = cc[static_cast<std::size_t>(k) * n_u + i] * cur_h;
+            const T y = tmp - comp;
+            const T t = res + y;
+            comp = (t - res) - y;
+            res = t;
+            if (k < order) cur_h = cur_h * h;
+        }
+        out[i] = res;
+    }
+}
+
+// double-length (Knuth two-sum) time accumulation, shared by the step and
+// propagation drivers
+template <typename T>
+inline void dd_time_add(T &t_hi, T &t_lo, T h)
+{
+    const T s = t_hi + h;
+    const T v = s - t_hi;
+    const T err = (t_hi - (s - v)) + (h - v);
+    t_lo += err;
+    t_hi = s;
+    const T s2 = t_hi + t_lo;
+    t_lo = t_lo - (s2 - t_hi);
+    t_hi = s2;
+}
+
+// One adaptive step: jet -> h -> state update -> dd time; cc (the full
+// normalized coefficient jet, (order+1) x n_u) is left in out_cc for the
+// caller (dense output, events, continuous output).  Returns h.
+template <typename T>
+T step_impl(const Tape<T> &tp, T *state, const T *pars, T *t_hi, T *t_lo,
+            T max_dt, int32_t order, int32_t ha, T *out_cc)
+{
+    const int32_t n_u = tp.n_eq + tp.n_ops;
+    std::memset(out_cc, 0,
+                sizeof(T) * static_cast<std::size_t>(order + 1) * n_u);
+    std::memcpy(out_cc, state, sizeof(T) * tp.n_eq);
+    compute_jet(tp, out_cc, pars, *t_hi, order);
+    const T h = determine_h(out_cc, n_u, tp.n_eq, order, max_dt);
+    if (ha) {
+        ceval_update(out_cc, n_u, tp.n_eq, order, h, state);
+    } else {
+        horner_update(out_cc, n_u, tp.n_eq, order, h, state);
+    }
+    dd_time_add(*t_hi, *t_lo, h);
+    return h;
+}
+
 template <typename T>
 Tape<T> build_tape(int32_t n_eq, int32_t n_ops, int32_t n_pars,
                    const int32_t *opcodes, const int32_t *arity,
@@ -604,6 +664,57 @@ int64_t propagate_until_impl(const Tape<T> &tp, T *state, const T *pars,
         if (max_steps > 0 && steps >= max_steps) break;
     }
     *time_io = t_hi + t_lo;
+    return steps;
+}
+
+// Full-parity adaptive propagate-until: dd time in/out, high_accuracy
+// switch, min/max/last |h| statistics (h_stats[0]=min, [1]=max, [2]=last,
+// signed).  Returns the step count (negative on non-finite state).
+template <typename T>
+int64_t propagate_until2_impl(const Tape<T> &tp, T *state, const T *pars,
+                              T *t_hi_io, T *t_lo_io, T target, T max_dt,
+                              int64_t max_steps, int32_t order, int32_t ha,
+                              T *h_stats, T *last_cc = nullptr)
+{
+    const int32_t n_u = tp.n_eq + tp.n_ops;
+    std::vector<T> cc_own;
+    T *ccp = last_cc;
+    if (!ccp) {
+        cc_own.resize(static_cast<std::size_t>(order + 1) * n_u);
+        ccp = cc_own.data();
+    }
+    T t_hi = *t_hi_io, t_lo = *t_lo_io;
+    const bool fwd = target >= t_hi + t_lo;
+    int64_t steps = 0;
+    T min_h = std::numeric_limits<T>::infinity();
+    T max_h = 0, last_h = 0;
+    while (true) {
+        const T rem = target - (t_hi + t_lo);
+        if ((fwd && rem <= 0) || (!fwd && rem >= 0)) break;
+        const T cap = m_fmin(m_fabs(rem), max_dt);
+        const T h = step_impl(tp, state, pars, &t_hi, &t_lo,
+                              fwd ? cap : -cap, order, ha, ccp);
+        ++steps;
+        last_h = h;
+        min_h = m_fmin(min_h, m_fabs(h));
+        max_h = m_fmax(max_h, m_fabs(h));
+        for (int32_t i = 0; i < tp.n_eq; ++i) {
+            if (!m_isfinite(state[i])) {
+                *t_hi_io = t_hi;
+                *t_lo_io = t_lo;
+                if (h_stats) {
+                    h_stats[0] = min_h; h_stats[1] = max_h; h_stats[2] = last_h;
+                }
+                return -steps;
+            }
+        }
+        if (max_steps > 0 && steps >= max_steps) break;
+    }
+    *t_hi_io = t_hi;
+    *t_lo_io = t_lo;
+    if (h_stats) {
+        h_stats[0] = min_h; h_stats[1] = max_h; h_stats[2] = last_h;
+    }
     return steps;
 }
 
@@ -698,6 +809,107 @@ void ht_propagate_until_batch(
             tp, states + static_cast<std::size_t>(b) * n_eq,
             pars + static_cast<std::size_t>(b) * stride, times + b,
             targets[b], max_dt, max_steps, order);
+    }
+}
+
+// One adaptive step with full parity: dd time in/out, high_accuracy
+// switch, Taylor-coefficient writeback ((order+1) x (n_eq+n_ops) into
+// out_cc).  Returns the (signed) step h actually taken; the caller is
+// responsible for clamping max_dt at the remaining time when landing on a
+// target.  The backbone of taylor_adaptive(..., backend="native"): step(),
+// propagate_grid, continuous output and host-side event detection all ride
+// on it (reference per-step semantics: taylor_adaptive.cpp:725-1030).
+double ht_step2(int32_t n_eq, int32_t n_ops, int32_t n_pars,
+                const int32_t *opcodes, const int32_t *arity,
+                const int32_t *inputs, const int32_t *meta,
+                const double *alpha, const double *consts, int32_t n_consts,
+                const int32_t *rhs, double *state, const double *pars,
+                double *t_hi, double *t_lo, double max_dt, int32_t order,
+                int32_t ha, double *out_cc)
+{
+    const Tape<double> tp = build_tape<double>(
+        n_eq, n_ops, n_pars, opcodes, arity, inputs, meta, alpha, consts,
+        n_consts, rhs);
+    return step_impl<double>(tp, state, pars, t_hi, t_lo, max_dt, order, ha,
+                             out_cc);
+}
+
+// Full-parity adaptive propagate-until (dd time io, high_accuracy,
+// min/max/last h statistics); the fast path of
+// taylor_adaptive(..., backend="native").propagate_until/for.
+int64_t ht_propagate_until2(
+    int32_t n_eq, int32_t n_ops, int32_t n_pars, const int32_t *opcodes,
+    const int32_t *arity, const int32_t *inputs, const int32_t *meta,
+    const double *alpha, const double *consts, int32_t n_consts,
+    const int32_t *rhs, double *state, const double *pars, double *t_hi,
+    double *t_lo, double target, double max_dt, int64_t max_steps,
+    int32_t order, int32_t ha, double *h_stats, double *last_cc)
+{
+    const Tape<double> tp = build_tape<double>(
+        n_eq, n_ops, n_pars, opcodes, arity, inputs, meta, alpha, consts,
+        n_consts, rhs);
+    return propagate_until2_impl<double>(tp, state, pars, t_hi, t_lo,
+                                         target, max_dt, max_steps, order,
+                                         ha, h_stats, last_cc);
+}
+
+// Batched single step (OpenMP over lanes): per-lane dd times, caps and
+// coefficient jets — the native analog of taylor_adaptive_batch::step().
+void ht_step_batch(int32_t n_eq, int32_t n_ops, int32_t n_pars,
+                   const int32_t *opcodes, const int32_t *arity,
+                   const int32_t *inputs, const int32_t *meta,
+                   const double *alpha, const double *consts,
+                   int32_t n_consts, const int32_t *rhs, int32_t batch,
+                   double *states, const double *pars, double *t_his,
+                   double *t_los, const double *max_dts, int32_t order,
+                   int32_t ha, double *out_ccs, double *out_hs)
+{
+    const Tape<double> tp = build_tape<double>(
+        n_eq, n_ops, n_pars, opcodes, arity, inputs, meta, alpha, consts,
+        n_consts, rhs);
+    const int32_t n_u = n_eq + n_ops;
+    const std::size_t cc_stride
+        = static_cast<std::size_t>(order + 1) * n_u;
+    const int32_t pstride = n_pars > 0 ? n_pars : 1;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int32_t b = 0; b < batch; ++b) {
+        out_hs[b] = step_impl<double>(
+            tp, states + static_cast<std::size_t>(b) * n_eq,
+            pars + static_cast<std::size_t>(b) * pstride, t_his + b,
+            t_los + b, max_dts[b], order, ha, out_ccs + b * cc_stride);
+    }
+}
+
+// Batched full-parity propagate-until (OpenMP over lanes): dd times,
+// high_accuracy, per-lane max_delta_t, per-lane h statistics (batch x 3),
+// per-lane last-step Taylor jets (batch x (order+1) x n_u).
+void ht_propagate_until2_batch(
+    int32_t n_eq, int32_t n_ops, int32_t n_pars, const int32_t *opcodes,
+    const int32_t *arity, const int32_t *inputs, const int32_t *meta,
+    const double *alpha, const double *consts, int32_t n_consts,
+    const int32_t *rhs, int32_t batch, double *states, const double *pars,
+    double *t_his, double *t_los, const double *targets,
+    const double *max_dts, int64_t max_steps, int32_t order, int32_t ha,
+    double *h_stats, double *last_ccs, int64_t *steps_out)
+{
+    const Tape<double> tp = build_tape<double>(
+        n_eq, n_ops, n_pars, opcodes, arity, inputs, meta, alpha, consts,
+        n_consts, rhs);
+    const int32_t pstride = n_pars > 0 ? n_pars : 1;
+    const std::size_t cc_stride
+        = static_cast<std::size_t>(order + 1) * (n_eq + n_ops);
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int32_t b = 0; b < batch; ++b) {
+        steps_out[b] = propagate_until2_impl<double>(
+            tp, states + static_cast<std::size_t>(b) * n_eq,
+            pars + static_cast<std::size_t>(b) * pstride, t_his + b,
+            t_los + b, targets[b], max_dts[b], max_steps, order, ha,
+            h_stats + static_cast<std::size_t>(b) * 3,
+            last_ccs ? last_ccs + b * cc_stride : nullptr);
     }
 }
 

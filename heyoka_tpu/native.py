@@ -120,6 +120,37 @@ def _lib():
         ctypes.c_int32, f64p, f64p, f64p, f64p,
         ctypes.c_double, ctypes.c_int64, ctypes.c_int32, i64p,
     ]
+    lib.ht_step2.restype = ctypes.c_double
+    lib.ht_step2.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        f64p, f64p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_int32,
+        ctypes.c_int32, f64p,
+    ]
+    lib.ht_propagate_until2.restype = ctypes.c_int64
+    lib.ht_propagate_until2.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        f64p, f64p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, f64p, f64p,
+    ]
+    lib.ht_step_batch.restype = None
+    lib.ht_step_batch.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        ctypes.c_int32, f64p, f64p, f64p, f64p, f64p,
+        ctypes.c_int32, ctypes.c_int32, f64p, f64p,
+    ]
+    lib.ht_propagate_until2_batch.restype = None
+    lib.ht_propagate_until2_batch.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f64p, f64p, ctypes.c_int32, i32p,
+        ctypes.c_int32, f64p, f64p, f64p, f64p, f64p, f64p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        f64p, f64p, i64p,
+    ]
     return lib
 
 
@@ -193,6 +224,127 @@ def pack_tape(tape: Tape):
         n_consts=np.int32(len(consts) if consts else 1),
         rhs=rhs,
     )
+
+
+class NativeRuntime:
+    """Packed-tape handle for the native CPU runtime: pack once, then run
+    per-step / whole-propagation drivers without re-encoding the tape.
+
+    The execution backend of ``taylor_adaptive(..., backend="native")``
+    (reference: heyoka's integrators ARE native compiled steppers,
+    ``src/taylor_adaptive.cpp``; here the native runtime is the low-latency
+    host twin of the XLA/Pallas device engines).
+    """
+
+    def __init__(self, tape: Tape):
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError(
+                "native runtime unavailable (no C++ compiler?)"
+            )
+        self._lib = lib
+        self._tape = tape
+        self._p = pack_tape(tape)
+        self.n_eq = int(tape.n_eq)
+        self.n_uvars = int(tape.n_uvars)
+        self.n_pars = int(tape.n_pars)
+
+    def _targs(self):
+        p = self._p
+        return (p["n_eq"], p["n_ops"], p["n_pars"], p["opcodes"],
+                p["arity"], p["inputs"], p["meta"], p["alpha"], p["consts"],
+                p["n_consts"], p["rhs"])
+
+    def _pars(self, pars):
+        if pars is None or np.size(pars) == 0:
+            return np.zeros((1,), np.float64)
+        return np.ascontiguousarray(pars, np.float64)
+
+    def step(self, state, pars, t_hi: float, t_lo: float, max_dt: float,
+             order: int, high_accuracy: bool = False):
+        """One adaptive step.  ``state`` (numpy, modified in place);
+        returns (h, t_hi, t_lo, cc) with cc the (order+1, n_uvars)
+        normalized Taylor-coefficient jet."""
+        cc = np.empty(((order + 1) * self.n_uvars,), np.float64)
+        th = ctypes.c_double(float(t_hi))
+        tl = ctypes.c_double(float(t_lo))
+        h = self._lib.ht_step2(
+            *self._targs(), state, self._pars(pars), ctypes.byref(th),
+            ctypes.byref(tl), float(max_dt), np.int32(order),
+            np.int32(bool(high_accuracy)), cc,
+        )
+        return (float(h), th.value, tl.value,
+                cc.reshape(order + 1, self.n_uvars))
+
+    def propagate_until(self, state, pars, t_hi: float, t_lo: float,
+                        target: float, order: int, *,
+                        max_delta_t: float = np.inf, max_steps: int = 0,
+                        high_accuracy: bool = False):
+        """Whole adaptive propagation in one native call.  ``state``
+        (numpy) is updated in place; returns
+        (nsteps, t_hi, t_lo, min_h, max_h, last_h, last_cc); nsteps < 0
+        flags a non-finite state after |nsteps| steps; last_cc is the last
+        accepted step's (order+1, n_uvars) normalized Taylor jet."""
+        th = ctypes.c_double(float(t_hi))
+        tl = ctypes.c_double(float(t_lo))
+        stats = np.zeros((3,), np.float64)
+        cc = np.zeros(((order + 1) * self.n_uvars,), np.float64)
+        steps = self._lib.ht_propagate_until2(
+            *self._targs(), state, self._pars(pars), ctypes.byref(th),
+            ctypes.byref(tl), float(target), float(max_delta_t),
+            np.int64(max_steps), np.int32(order),
+            np.int32(bool(high_accuracy)), stats, cc,
+        )
+        return (int(steps), th.value, tl.value, float(stats[0]),
+                float(stats[1]), float(stats[2]),
+                cc.reshape(order + 1, self.n_uvars))
+
+    def step_batch(self, states, pars, t_his, t_los, max_dts, order: int,
+                   high_accuracy: bool = False):
+        """One adaptive step in every lane (OpenMP).  ``states`` (B, n_eq),
+        ``t_his``/``t_los`` (B,) are modified in place; returns (hs, ccs)
+        with ccs (B, order+1, n_uvars)."""
+        batch = states.shape[0]
+        ccs = np.empty((batch, order + 1, self.n_uvars), np.float64)
+        hs = np.empty((batch,), np.float64)
+        self._lib.ht_step_batch(
+            *self._targs(), np.int32(batch), states,
+            self._batch_pars(pars, batch), t_his, t_los,
+            np.ascontiguousarray(max_dts, np.float64), np.int32(order),
+            np.int32(bool(high_accuracy)), ccs.reshape(-1), hs,
+        )
+        return hs, ccs
+
+    def propagate_until_batch(self, states, pars, t_his, t_los, targets,
+                              order: int, *, max_delta_t=np.inf,
+                              max_steps: int = 0,
+                              high_accuracy: bool = False):
+        """Batched whole propagation (OpenMP over lanes); ``states``,
+        ``t_his``, ``t_los`` updated in place; ``max_delta_t`` may be a
+        scalar or per-lane; returns (steps (B,), h_stats (B, 3),
+        last_ccs (B, order+1, n_uvars))."""
+        batch = states.shape[0]
+        stats = np.zeros((batch, 3), np.float64)
+        steps = np.zeros((batch,), np.int64)
+        ccs = np.zeros((batch, order + 1, self.n_uvars), np.float64)
+        mdts = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(max_delta_t, np.float64), (batch,)))
+        self._lib.ht_propagate_until2_batch(
+            *self._targs(), np.int32(batch), states,
+            self._batch_pars(pars, batch), t_his, t_los,
+            np.ascontiguousarray(targets, np.float64), mdts,
+            np.int64(max_steps), np.int32(order),
+            np.int32(bool(high_accuracy)), stats.reshape(-1),
+            ccs.reshape(-1), steps,
+        )
+        return steps, stats, ccs
+
+    def _batch_pars(self, pars, batch):
+        if pars is None or np.size(pars) == 0:
+            return np.zeros((batch, 1), np.float64)
+        return np.ascontiguousarray(
+            np.broadcast_to(np.asarray(pars, np.float64),
+                            (batch, max(1, self.n_pars))))
 
 
 def native_jet(tape: Tape, state, pars, t: float, order: int) -> np.ndarray:

@@ -63,6 +63,7 @@ class TaylorAdaptive:
         dtype=jnp.float64,
         t_events=(),
         nt_events=(),
+        backend="jax",
     ):
         # a var_ode_sys may be passed directly (reference
         # ``taylor_adaptive{vsys, ...}``): integrate its augmented system;
@@ -138,6 +139,41 @@ class TaylorAdaptive:
             self._ev_step_raw = None
         self._te_cooldowns = jnp.zeros((len(self._t_events),), self._dtype)
         self._event_stop = False
+
+        # execution backend: "jax" (XLA/Pallas, the device path), "native"
+        # (the C++ host runtime — low-latency scalar/low-batch work, the
+        # regime where per-dispatch overhead dominates an O(us) step), or
+        # "auto" (native when eligible: f64, no events, runtime available).
+        # The reference's integrators are always native compiled steppers
+        # (src/taylor_adaptive.cpp); here native is the host twin of the
+        # XLA engines with identical tape semantics.
+        if backend not in ("jax", "native", "auto"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self._nrt = None
+        if backend != "jax":
+            from ..native import NativeRuntime, native_available
+
+            eligible = (
+                self._dtype == jnp.dtype(jnp.float64)
+                and not self._t_events and not self._nt_events
+            )
+            if backend == "native":
+                if not native_available():
+                    raise RuntimeError(
+                        "backend='native' requires a host C++ compiler"
+                    )
+                if not eligible:
+                    raise ValueError(
+                        "backend='native' supports dtype=float64 without "
+                        "events (use the default jax backend otherwise)"
+                    )
+                self._nrt = NativeRuntime(self._tape)
+            elif eligible and native_available():
+                try:
+                    self._nrt = NativeRuntime(self._tape)
+                except NotImplementedError:
+                    self._nrt = None  # tape op outside the native op set
+        self._backend = "native" if self._nrt is not None else "jax"
 
     # -- introspection --------------------------------------------------------
 
@@ -222,6 +258,11 @@ class TaylorAdaptive:
     @property
     def compact_mode(self) -> bool:
         return self._compact_mode
+
+    @property
+    def backend(self) -> str:
+        """The resolved execution backend: "jax" or "native"."""
+        return self._backend
 
     @property
     def dtype(self):
@@ -374,6 +415,8 @@ class TaylorAdaptive:
     def _do_step(self, max_dt: float):
         if self._ev_step is not None:
             return self._do_step_events(max_dt)
+        if self._nrt is not None:
+            return self._do_step_native(max_dt)
         new_state, h, tc, outcome, nt_hi, nt_lo = self._step_jit(
             self._state, self._pars, self._t_hi, self._t_lo,
             jnp.asarray(max_dt, self._dtype),
@@ -383,6 +426,24 @@ class TaylorAdaptive:
         self._last_h = h
         self._tc = tc
         return TaylorOutcome(int(outcome)), float(h)
+
+    def _do_step_native(self, max_dt: float):
+        st = np.asarray(self._state, np.float64).copy()
+        h, th, tl, cc = self._nrt.step(
+            st, np.asarray(self._pars, np.float64),
+            float(self._t_hi), float(self._t_lo), max_dt, self._order,
+            self._high_accuracy,
+        )
+        self._state = st
+        self._t_hi = np.float64(th)
+        self._t_lo = np.float64(tl)
+        self._last_h = np.float64(h)
+        self._tc = cc[:, : self.dim]
+        if not (np.isfinite(st).all() and _pymath.isfinite(h)):
+            return TaylorOutcome.err_nf_state, float(h)
+        if abs(h) >= abs(max_dt):
+            return TaylorOutcome.time_limit, float(h)
+        return TaylorOutcome.success, float(h)
 
     def _do_step_events(self, max_dt: float):
         res = self._ev_step(
@@ -421,15 +482,25 @@ class TaylorAdaptive:
         if max_delta_t is None:
             max_delta_t = _pymath.inf
         if c_output:
-            if self._ev_step is not None or callback is not None:
+            if (self._ev_step is not None or callback is not None
+                    or self._nrt is not None):
                 # events / host callbacks force per-step host dispatch, so
                 # the recording happens in the stepwise driver (reference:
                 # c_output recording is per accepted step regardless of
-                # events, taylor_adaptive.cpp:1216)
+                # events, taylor_adaptive.cpp:1216); the native backend
+                # records through its per-step driver too
                 return self._propagate_until_cout_stepwise(
                     t, float(max_delta_t), int(max_steps), callback
                 )
             return self._propagate_until_cout(t, float(max_delta_t), int(max_steps))
+        if self._nrt is not None:
+            if callback is not None:
+                return self._propagate_until_stepwise(
+                    t, float(max_delta_t), int(max_steps), callback
+                )
+            return self._propagate_until_native(
+                t, float(max_delta_t), int(max_steps)
+            )
         # in-graph callbacks (AngleReducer, StepCallbackSet, anything with
         # in_graph=True) are traced into the on-device loop; plain host
         # callables fall back to the stepwise driver
@@ -496,6 +567,33 @@ class TaylorAdaptive:
             float(res["max_h"]),
             int(res["nsteps"]),
         )
+
+    def _propagate_until_native(self, t, max_delta_t, max_steps):
+        """Whole adaptive propagation in one native-runtime call (the C++
+        host loop; no per-step Python or device dispatch)."""
+        st = np.asarray(self._state, np.float64).copy()
+        steps, th, tl, min_h, max_h, last_h, cc = self._nrt.propagate_until(
+            st, np.asarray(self._pars, np.float64),
+            float(self._t_hi), float(self._t_lo), t, self._order,
+            max_delta_t=max_delta_t, max_steps=max_steps,
+            high_accuracy=self._high_accuracy,
+        )
+        self._state = st
+        self._t_hi = np.float64(th)
+        self._t_lo = np.float64(tl)
+        self._last_h = np.float64(last_h)
+        if steps != 0:
+            self._tc = cc[:, : self.dim]
+        if steps < 0:
+            return (TaylorOutcome.err_nf_state, min_h, max_h, -steps)
+        # reference outcome semantics: time_limit when the target was
+        # reached, step_limit when the step budget ran out first
+        rem = t - (th + tl)
+        fwd = last_h >= 0.0
+        reached = rem <= 0.0 if fwd else rem >= 0.0
+        if reached or not max_steps:
+            return (TaylorOutcome.time_limit, min_h, max_h, steps)
+        return (TaylorOutcome.step_limit, min_h, max_h, steps)
 
     def _propagate_until_cout(self, t, max_delta_t, max_steps):
         """Chunked continuous-output propagation: re-enter the bounded
@@ -729,7 +827,8 @@ class TaylorAdaptive:
                 int(res["nsteps"]),
                 np.asarray(res["out"]),
             )
-        if self._ev_step is not None or callback is not None:
+        if (self._ev_step is not None or callback is not None
+                or self._nrt is not None):
             return self._propagate_grid_stepwise(
                 grid, float(max_delta_t), int(max_steps), callback
             )
@@ -816,6 +915,15 @@ class TaylorAdaptive:
                 -sl,
             )
             rel = rh + rl
+        if self._nrt is not None:
+            # host Horner over the stored coefficients (no device dispatch)
+            tc = np.asarray(self._tc)
+            res = tc[self._order]
+            r = float(rel)
+            for i in range(1, self._order + 1):
+                res = tc[self._order - i] + res * r
+            self._d_output = np.asarray(res[: self.dim])
+            return self._d_output
         self._d_output = np.asarray(self._dout_jit(self._tc, rel))[: self.dim]
         return self._d_output
 
@@ -855,6 +963,7 @@ class TaylorAdaptive:
             "tc": np.asarray(self._tc),
             "cooldowns": np.asarray(self._te_cooldowns),
             "event_stop": self._event_stop,
+            "backend": self._backend,
         }
 
     def __setstate__(self, st):
@@ -868,6 +977,9 @@ class TaylorAdaptive:
             dtype=st["dtype"],
             t_events=st["t_events"],
             nt_events=st["nt_events"],
+            # a pickled native-backend integrator degrades to jax when the
+            # loading host has no compiler ("auto" semantics)
+            backend="auto" if st.get("backend") == "native" else "jax",
         )
         self._t_hi = jnp.asarray(st["t_hi"], self._dtype)
         self._t_lo = jnp.asarray(st["t_lo"], self._dtype)

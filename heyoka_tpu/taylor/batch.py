@@ -48,6 +48,7 @@ class TaylorAdaptiveBatch:
         mp_order=None,
         pallas_phase=False,
         fused_prop="auto",
+        backend="jax",
     ):
         # a var_ode_sys may be passed directly, like the scalar integrator
         # (reference ``taylor_adaptive_batch{vsys, ...}``); original-only
@@ -169,6 +170,47 @@ class TaylorAdaptiveBatch:
         # cross-step scale-feedback hint for the next step (32767 = none)
         self._sig_hint = jnp.full((self._batch,), jnp.int32(32767))
 
+        # execution backend: "jax" (XLA/Pallas device engines), "native"
+        # (the C++ host runtime, OpenMP over lanes — the low-latency choice
+        # for small batches where per-dispatch overhead dominates), or
+        # "auto" (native when eligible AND the batch is small; the
+        # threshold — default 256 lanes — is where the device engines'
+        # throughput overtakes the host cores, HEYOKA_NATIVE_BATCH_MAX).
+        if backend not in ("jax", "native", "auto"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self._backend_setting = backend
+        self._nrt = None
+        if backend != "jax":
+            import os as _osb
+
+            from ..native import NativeRuntime, native_available
+
+            eligible = (
+                self._dtype == jnp.dtype(jnp.float64)
+                and not self._t_events and not self._nt_events
+            )
+            if backend == "native":
+                if not native_available():
+                    raise RuntimeError(
+                        "backend='native' requires a host C++ compiler"
+                    )
+                if not eligible:
+                    raise ValueError(
+                        "backend='native' supports dtype=float64 without "
+                        "events (use the default jax backend otherwise)"
+                    )
+                self._nrt = NativeRuntime(self._tape)
+            else:
+                thresh = int(_osb.environ.get(
+                    "HEYOKA_NATIVE_BATCH_MAX", "256"))
+                if (eligible and self._batch <= thresh
+                        and native_available()):
+                    try:
+                        self._nrt = NativeRuntime(self._tape)
+                    except NotImplementedError:
+                        self._nrt = None
+        self._backend = "native" if self._nrt is not None else "jax"
+
         self._fns = _loops.make_step_fns(
             self._tape, self._order, self._dtype, self._high_accuracy,
             compact_mode=True if self._flat else self._compact_mode,
@@ -247,6 +289,11 @@ class TaylorAdaptiveBatch:
         self._last_res = [(TaylorOutcome.success, 0.0)] * self._batch
 
     # -- introspection ---------------------------------------------------------
+
+    @property
+    def backend(self) -> str:
+        """The resolved execution backend: "jax" or "native"."""
+        return self._backend
 
     @property
     def batch_size(self) -> int:
@@ -541,6 +588,9 @@ class TaylorAdaptiveBatch:
         """
         import threading
 
+        if self._nrt is not None:
+            return self  # native backend: nothing to compile
+
         zero = jnp.zeros((self._batch,), self._dtype)
         ms0 = jnp.asarray(0, jnp.int64)
         calls = []
@@ -553,6 +603,7 @@ class TaylorAdaptiveBatch:
             else:
                 calls.append(lambda: self._step_jit(
                     self._state, self._pars, self._t_hi, self._t_lo, zero,
+                    self._sig_hint,
                 ))
         if "propagate_until" in drivers:
             if self._ev_step is not None:
@@ -613,6 +664,8 @@ class TaylorAdaptiveBatch:
             )
         if self._ev_step is not None:
             return self._step_events(mdt)
+        if self._nrt is not None:
+            return self._step_native(np.asarray(mdt, np.float64))
         new_state, h, tc, sge, sig_next, outcome, nt_hi, nt_lo = \
             self._step_jit(
                 self._state, self._pars, self._t_hi, self._t_lo, mdt,
@@ -627,6 +680,31 @@ class TaylorAdaptiveBatch:
         self._last_res = [
             (TaylorOutcome(int(oc[i])), float(hh[i])) for i in range(self._batch)
         ]
+
+    def _step_native(self, mdt):
+        sts = np.asarray(self._state, np.float64).copy()
+        ths = np.asarray(self._t_hi, np.float64).copy()
+        tls = np.asarray(self._t_lo, np.float64).copy()
+        hs, ccs = self._nrt.step_batch(
+            sts, np.asarray(self._pars, np.float64), ths, tls, mdt,
+            self._order, self._high_accuracy,
+        )
+        self._state = sts
+        self._t_hi, self._t_lo = ths, tls
+        self._last_h = hs
+        self._tc = np.ascontiguousarray(ccs[:, :, : self.dim])
+        self._tc_sige = np.zeros((self._batch,), np.int32)
+        finite = np.isfinite(sts).all(axis=1) & np.isfinite(hs)
+        clamped = np.abs(hs) >= np.abs(mdt)
+        self._last_res = []
+        for i in range(self._batch):
+            if not finite[i]:
+                oc = TaylorOutcome.err_nf_state
+            elif clamped[i]:
+                oc = TaylorOutcome.time_limit
+            else:
+                oc = TaylorOutcome.success
+            self._last_res.append((oc, float(hs[i])))
 
     def _step_events(self, mdt):
         res = self._ev_step(
@@ -826,6 +904,8 @@ class TaylorAdaptiveBatch:
             return self._propagate_until_events(
                 t, mdt, int(max_steps), callback
             )
+        if self._nrt is not None:
+            return self._propagate_until_native(t, mdt, int(max_steps))
         res = self._pu_jit(
             self._state,
             self._pars,
@@ -852,6 +932,46 @@ class TaylorAdaptiveBatch:
             np.asarray(res["max_h"]),
             np.asarray(res["nsteps"]),
         )
+
+    def _propagate_until_native(self, t, mdt, max_steps):
+        """Batched whole propagation through the native host runtime
+        (one C++ call, OpenMP over lanes; no device dispatch)."""
+        sts = np.asarray(self._state, np.float64).copy()
+        ths = np.asarray(self._t_hi, np.float64).copy()
+        tls = np.asarray(self._t_lo, np.float64).copy()
+        steps, stats, ccs = self._nrt.propagate_until_batch(
+            sts, np.asarray(self._pars, np.float64), ths, tls,
+            np.asarray(t, np.float64), self._order,
+            max_delta_t=mdt, max_steps=max_steps,
+            high_accuracy=self._high_accuracy,
+        )
+        self._state = sts
+        self._t_hi, self._t_lo = ths, tls
+        self._last_h = stats[:, 2].copy()
+        took = steps != 0
+        if took.any():
+            tc = np.asarray(self._tc, np.float64).copy()
+            tc[took] = ccs[took][:, :, : self.dim]
+            self._tc = tc
+            self._tc_sige = np.where(
+                took, 0, np.asarray(self._tc_sige)).astype(np.int32)
+        outcomes = []
+        for i in range(self._batch):
+            if steps[i] < 0:
+                outcomes.append(TaylorOutcome.err_nf_state)
+                continue
+            rem = float(t[i]) - (ths[i] + tls[i])
+            fwd = stats[i, 2] >= 0.0
+            reached = rem <= 0.0 if fwd else rem >= 0.0
+            if reached or not max_steps:
+                outcomes.append(TaylorOutcome.time_limit)
+            else:
+                outcomes.append(TaylorOutcome.step_limit)
+        nsteps = np.abs(steps)
+        self._last_res = [
+            (outcomes[i], float(stats[i, 2])) for i in range(self._batch)
+        ]
+        return outcomes, stats[:, 0].copy(), stats[:, 1].copy(), nsteps
 
     def _propagate_until_cout(self, t, mdt, max_steps):
         """Chunked per-lane continuous-output recording: re-enter the vmapped
@@ -1348,7 +1468,8 @@ class TaylorAdaptiveBatch:
         mdt = np.broadcast_to(
             np.asarray(max_delta_t, dtype=self._dtype), (self._batch,)
         )
-        if self._ev_step is not None or callback is not None:
+        if (self._ev_step is not None or callback is not None
+                or self._nrt is not None):
             return self._propagate_grid_stepwise(
                 grid, mdt, int(max_steps), callback
             )
@@ -1555,6 +1676,7 @@ def _batch_getstate(self):
         "tc": np.asarray(self._tc),
         "tc_sige": np.asarray(self._tc_sige),
         "cooldowns": np.asarray(self._te_cooldowns),
+        "backend": getattr(self, "_backend_setting", "jax"),
     }
 
 
@@ -1567,6 +1689,10 @@ def _batch_setstate(self, st):
         fused_prop=st.get("fused_prop", "auto"),
         t_events=st.get("t_events", []),
         nt_events=st.get("nt_events", []),
+        # explicit "native" degrades to "auto" so unpickling on a host
+        # without a compiler falls back to jax instead of raising
+        backend=("auto" if st.get("backend") == "native"
+                 else st.get("backend", "jax")),
     )
     self._t_hi = jnp.asarray(st["t_hi"], self._dtype)
     self._t_lo = jnp.asarray(st["t_lo"], self._dtype)
