@@ -15,6 +15,7 @@ the multi-chip ensembles.
 from __future__ import annotations
 
 import math as _pymath
+import os as _os
 from functools import cached_property
 
 import jax
@@ -174,6 +175,21 @@ class TaylorAdaptive:
                 except NotImplementedError:
                     self._nrt = None  # tape op outside the native op set
         self._backend = "native" if self._nrt is not None else "jax"
+        # AOT-compiled stepper (native_cg: heyoka's JIT analog, disk-cached
+        # by tape hash): ~10x the interpreter; W=1 — a single trajectory
+        # has no lanes to fill
+        self._ncg = None
+        if self._nrt is not None and _os.environ.get(
+                "HEYOKA_NATIVE_CG", "1") != "0":
+            from ..native_cg import CompiledTape
+
+            try:
+                self._ncg = CompiledTape(self._tape, self._order, W=1)
+            except Exception as e:
+                from ..logging import logger as _logger
+
+                _logger.debug("native codegen unavailable (%s); using the "
+                              "interpreter runtime", e)
 
     # -- introspection --------------------------------------------------------
 
@@ -429,11 +445,21 @@ class TaylorAdaptive:
 
     def _do_step_native(self, max_dt: float):
         st = np.asarray(self._state, np.float64).copy()
-        h, th, tl, cc = self._nrt.step(
-            st, np.asarray(self._pars, np.float64),
-            float(self._t_hi), float(self._t_lo), max_dt, self._order,
-            self._high_accuracy,
-        )
+        if self._ncg is not None:
+            st1 = st.reshape(1, -1)
+            ths = np.array([float(self._t_hi)])
+            tls = np.array([float(self._t_lo)])
+            hs, ccs = self._ncg.step_batch(
+                st1, np.asarray(self._pars, np.float64),
+                ths, tls, np.array([max_dt]), self._high_accuracy,
+            )
+            h, th, tl, cc = float(hs[0]), ths[0], tls[0], ccs[0]
+        else:
+            h, th, tl, cc = self._nrt.step(
+                st, np.asarray(self._pars, np.float64),
+                float(self._t_hi), float(self._t_lo), max_dt, self._order,
+                self._high_accuracy,
+            )
         self._state = st
         self._t_hi = np.float64(th)
         self._t_lo = np.float64(tl)
@@ -572,12 +598,26 @@ class TaylorAdaptive:
         """Whole adaptive propagation in one native-runtime call (the C++
         host loop; no per-step Python or device dispatch)."""
         st = np.asarray(self._state, np.float64).copy()
-        steps, th, tl, min_h, max_h, last_h, cc = self._nrt.propagate_until(
-            st, np.asarray(self._pars, np.float64),
-            float(self._t_hi), float(self._t_lo), t, self._order,
-            max_delta_t=max_delta_t, max_steps=max_steps,
-            high_accuracy=self._high_accuracy,
-        )
+        if self._ncg is not None:
+            st1 = st.reshape(1, -1)
+            ths = np.array([float(self._t_hi)])
+            tls = np.array([float(self._t_lo)])
+            stepsv, stats, ccs = self._ncg.propagate_until_batch(
+                st1, np.asarray(self._pars, np.float64), ths, tls,
+                np.array([t]), max_delta_t=max_delta_t,
+                max_steps=max_steps, high_accuracy=self._high_accuracy,
+            )
+            steps, th, tl = int(stepsv[0]), ths[0], tls[0]
+            min_h, max_h, last_h = stats[0]
+            cc = ccs[0]
+        else:
+            steps, th, tl, min_h, max_h, last_h, cc = \
+                self._nrt.propagate_until(
+                    st, np.asarray(self._pars, np.float64),
+                    float(self._t_hi), float(self._t_lo), t, self._order,
+                    max_delta_t=max_delta_t, max_steps=max_steps,
+                    high_accuracy=self._high_accuracy,
+                )
         self._state = st
         self._t_hi = np.float64(th)
         self._t_lo = np.float64(tl)

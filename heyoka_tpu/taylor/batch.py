@@ -17,6 +17,7 @@ design centerpiece called out in SURVEY.md §2.
 from __future__ import annotations
 
 import math as _pymath
+import os as _pyos
 from functools import cached_property
 
 import jax
@@ -181,8 +182,6 @@ class TaylorAdaptiveBatch:
         self._backend_setting = backend
         self._nrt = None
         if backend != "jax":
-            import os as _osb
-
             from ..native import NativeRuntime, native_available
 
             eligible = (
@@ -201,7 +200,7 @@ class TaylorAdaptiveBatch:
                     )
                 self._nrt = NativeRuntime(self._tape)
             else:
-                thresh = int(_osb.environ.get(
+                thresh = int(_pyos.environ.get(
                     "HEYOKA_NATIVE_BATCH_MAX", "256"))
                 if (eligible and self._batch <= thresh
                         and native_available()):
@@ -210,6 +209,20 @@ class TaylorAdaptiveBatch:
                     except NotImplementedError:
                         self._nrt = None
         self._backend = "native" if self._nrt is not None else "jax"
+        # AOT-compiled W=8-lane stepper (native_cg: the host analog of the
+        # reference's SIMD batch mode; ~10x the interpreter runtime)
+        self._ncg = None
+        if self._nrt is not None and _pyos.environ.get(
+                "HEYOKA_NATIVE_CG", "1") != "0":
+            from ..native_cg import CompiledTape
+
+            try:
+                self._ncg = CompiledTape(self._tape, self._order, W=8)
+            except Exception as e:
+                from ..logging import logger as _logger
+
+                _logger.debug("native codegen unavailable (%s); using the "
+                              "interpreter runtime", e)
 
         self._fns = _loops.make_step_fns(
             self._tape, self._order, self._dtype, self._high_accuracy,
@@ -685,10 +698,16 @@ class TaylorAdaptiveBatch:
         sts = np.asarray(self._state, np.float64).copy()
         ths = np.asarray(self._t_hi, np.float64).copy()
         tls = np.asarray(self._t_lo, np.float64).copy()
-        hs, ccs = self._nrt.step_batch(
-            sts, np.asarray(self._pars, np.float64), ths, tls, mdt,
-            self._order, self._high_accuracy,
-        )
+        if self._ncg is not None:
+            hs, ccs = self._ncg.step_batch(
+                sts, np.asarray(self._pars, np.float64), ths, tls, mdt,
+                self._high_accuracy,
+            )
+        else:
+            hs, ccs = self._nrt.step_batch(
+                sts, np.asarray(self._pars, np.float64), ths, tls, mdt,
+                self._order, self._high_accuracy,
+            )
         self._state = sts
         self._t_hi, self._t_lo = ths, tls
         self._last_h = hs
@@ -939,12 +958,20 @@ class TaylorAdaptiveBatch:
         sts = np.asarray(self._state, np.float64).copy()
         ths = np.asarray(self._t_hi, np.float64).copy()
         tls = np.asarray(self._t_lo, np.float64).copy()
-        steps, stats, ccs = self._nrt.propagate_until_batch(
-            sts, np.asarray(self._pars, np.float64), ths, tls,
-            np.asarray(t, np.float64), self._order,
-            max_delta_t=mdt, max_steps=max_steps,
-            high_accuracy=self._high_accuracy,
-        )
+        if self._ncg is not None:
+            steps, stats, ccs = self._ncg.propagate_until_batch(
+                sts, np.asarray(self._pars, np.float64), ths, tls,
+                np.asarray(t, np.float64),
+                max_delta_t=mdt, max_steps=max_steps,
+                high_accuracy=self._high_accuracy,
+            )
+        else:
+            steps, stats, ccs = self._nrt.propagate_until_batch(
+                sts, np.asarray(self._pars, np.float64), ths, tls,
+                np.asarray(t, np.float64), self._order,
+                max_delta_t=mdt, max_steps=max_steps,
+                high_accuracy=self._high_accuracy,
+            )
         self._state = sts
         self._t_hi, self._t_lo = ths, tls
         self._last_h = stats[:, 2].copy()
