@@ -14,7 +14,15 @@ throughput on one Xeon 8360Y *core* is on the order of 1e6 steps/s for this
 system (order-20 jet over ~200 u-vars ~ 1e5 flops/step; published results are
 comparative plots only, doc/benchmarks.rst). We use 1.0e6 steps/s/core as the
 documented per-core yardstick — i.e. vs_baseline is "equivalent 8360Y cores
-per TPU chip".
+per TPU chip".  That estimate is deliberately GENEROUS to the reference: a
+measured same-algorithm yardstick exists on this very host — the repo's own
+AOT-compiled 8-lane native stepper (native_cg.py, the reference's
+batch-mode design: specialized straight-line code, SIMD lanes, -O2
+-march=native) does ~83k lane-steps/s on this machine's core for this exact
+system (BASELINE.md "measured host yardstick").  When the cached stepper is
+available, the bench re-measures it and reports ``host_core_steps_per_sec``
+and ``vs_host_core_measured`` alongside the estimate-anchored
+``vs_baseline``.
 """
 
 import json
@@ -217,6 +225,38 @@ def main():
         drift = float(np.max(np.abs((e1 - e0) / e0)))
         drift_horizon = float(jnp.mean(t2))
 
+    # measured host yardstick: the AOT-compiled native batch stepper on
+    # this host's CPU core, same tape/order/tolerance — only when its .so
+    # is already disk-cached (never pay a C++ compile inside the bench)
+    host_core = None
+    try:
+        import os as _osm
+
+        from heyoka_tpu.native_cg import CompiledTape, _tape_digest
+
+        digest = _tape_digest(tape, order, 8)
+        so = _osm.path.join(
+            _osm.environ.get("XDG_CACHE_HOME",
+                             _osm.path.expanduser("~/.cache")),
+            "heyoka_tpu", "cg", f"cg_{digest}.so",
+        )
+        if _osm.path.exists(so):
+            cg = CompiledTape(tape, order, W=8)
+            Bh = 64
+            sts = np.ascontiguousarray(np.asarray(states[:Bh], np.float64))
+            ths = np.zeros(Bh)
+            tls = np.zeros(Bh)
+            s0, _, _ = cg.propagate_until_batch(
+                sts, None, ths, tls, np.full(Bh, 10.0),
+                high_accuracy=True)
+            t0 = time.perf_counter()
+            s1, _, _ = cg.propagate_until_batch(
+                sts, None, ths, tls, np.full(Bh, 120.0),
+                high_accuracy=True)
+            host_core = float(np.abs(s1).sum() / (time.perf_counter() - t0))
+    except Exception:
+        host_core = None
+
     result = {
         "metric": "outer_ss_6body_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 1),
@@ -230,6 +270,9 @@ def main():
         "n_uvars": tape.n_uvars,
         "device": str(jax.devices()[0]),
     }
+    if host_core is not None:
+        result["host_core_steps_per_sec"] = round(host_core, 1)
+        result["vs_host_core_measured"] = round(steps_per_sec / host_core, 1)
     print(json.dumps(result))
 
 

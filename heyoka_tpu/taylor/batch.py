@@ -224,6 +224,45 @@ class TaylorAdaptiveBatch:
                 _logger.debug("native codegen unavailable (%s); using the "
                               "interpreter runtime", e)
 
+        # Stiff-tape auto-selection (emulated-f64 backends): XLA:TPU
+        # emulates f64 with the f32 exponent range (~1e38), so tapes whose
+        # Taylor coefficients grow like lam^k/k! (reference
+        # benchmark/stiff_equation.cpp: ~8e77 at order 19) overflow every
+        # unscaled engine on-chip.  Probe the initial jet on the host
+        # runtime; when it leaves the representable range, promote the
+        # scaled-carry flat engine (per-lane power-of-two coefficient
+        # scaling, exact) with an mp_order that keeps the f64 phase in
+        # range.  Native f64 backends (CPU, host runtime) are unaffected.
+        if (self._backend == "jax" and self._compact_mode is False
+                and self._dtype == jnp.dtype(jnp.float64)
+                and _pyos.environ.get("HEYOKA_STIFF_AUTO", "1") != "0"
+                and jax.default_backend() != "cpu"):
+            probe = self._stiff_probe()
+            if probe is not None:
+                mx_by_order = probe
+                if float(np.nanmax(mx_by_order)) > 1e30:
+                    # largest f64-phase depth whose raw coefficients stay
+                    # comfortably inside the emulated range
+                    mp = 1
+                    for k in range(1, min(8, self._order) + 1):
+                        if float(np.nanmax(mx_by_order[: k + 1])) < 1e30:
+                            mp = k
+                    from ..logging import logger as _logger
+
+                    _logger.warning(
+                        "Taylor coefficients reach %.2e at order %d — "
+                        "beyond this backend's emulated-f64 range; "
+                        "auto-selecting the scaled-carry flat engine "
+                        "(compact_mode='flat', mp_order=%d).  Pass "
+                        "compact_mode explicitly or set "
+                        "HEYOKA_STIFF_AUTO=0 to override.",
+                        float(np.nanmax(mx_by_order)),
+                        int(np.nanargmax(mx_by_order)), mp,
+                    )
+                    self._compact_mode = "flat"
+                    self._flat = True
+                    self._mp_order = mp
+
         self._fns = _loops.make_step_fns(
             self._tape, self._order, self._dtype, self._high_accuracy,
             compact_mode=True if self._flat else self._compact_mode,
@@ -302,6 +341,31 @@ class TaylorAdaptiveBatch:
         self._last_res = [(TaylorOutcome.success, 0.0)] * self._batch
 
     # -- introspection ---------------------------------------------------------
+
+    def _stiff_probe(self):
+        """Max |Taylor coefficient| per order of the initial jet, probed
+        on the host runtime over <= 16 sampled lanes; None when the host
+        runtime cannot evaluate this tape."""
+        try:
+            from ..native import native_available, native_jet
+
+            if not native_available():
+                return None
+            idx = np.unique(np.linspace(
+                0, self._batch - 1, min(16, self._batch)).astype(int))
+            st = np.asarray(self._state, np.float64)
+            pr = np.asarray(self._pars, np.float64)
+            th = np.asarray(self._t_hi, np.float64)
+            mx = np.zeros((self._order + 1,))
+            for i in idx:
+                cc = native_jet(self._tape, st[i],
+                                pr[i] if pr.size else None,
+                                float(th[i]), self._order)
+                with np.errstate(invalid="ignore"):
+                    mx = np.maximum(mx, np.nanmax(np.abs(cc), axis=1))
+            return mx
+        except Exception:
+            return None
 
     @property
     def backend(self) -> str:
