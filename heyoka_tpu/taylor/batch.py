@@ -372,6 +372,50 @@ class TaylorAdaptiveBatch:
         """The resolved execution backend: "jax" or "native"."""
         return self._backend
 
+    def engine_report(self) -> dict:
+        """Resolved execution-engine provenance (the analog of the
+        reference's IR-level opt_checks, ``test/opt_checks.cpp``): which
+        backend, jet engine, Pallas phase and propagate driver this
+        integrator will actually run — after all silent-fallback ladders
+        (pallas "auto" resolution, fused->flat) have resolved.
+
+        Keys: ``backend`` ("jax"/"native"), ``compact_mode``,
+        ``pallas_phase`` (resolved: "dd", "dd-interpret", True, False),
+        ``mp_order``, ``propagate_engine`` ("fused" — the multi-step
+        Pallas kernel; "flat" — the per-step staged engine;
+        "loop"/"events"/"native-cg"/"native-interp").
+        """
+        rep = dict(
+            backend=self._backend,
+            compact_mode=self._compact_mode,
+            pallas_phase=self._pallas_phase,
+            mp_order=self._mp_order,
+        )
+        if self._backend == "native":
+            rep["propagate_engine"] = (
+                "native-cg" if self._ncg is not None else "native-interp"
+            )
+        elif self._ev_step is not None:
+            rep["propagate_engine"] = "events"
+        else:
+            self._pu_jit  # resolve the (cached) driver + fallback ladder
+            rep["propagate_engine"] = self._pu_engine
+        return rep
+
+    def assert_engine(self, **expected):
+        """Raise ``AssertionError`` unless :meth:`engine_report` matches
+        every ``expected`` item — the user-facing guard against silent
+        engine fallbacks (e.g. ``tb.assert_engine(propagate_engine="fused",
+        pallas_phase="dd")`` after constructing a production integrator)."""
+        rep = self.engine_report()
+        for k, v in expected.items():
+            if rep.get(k) != v:
+                raise AssertionError(
+                    f"engine check failed: {k}={rep.get(k)!r}, expected "
+                    f"{v!r} (full report: {rep})"
+                )
+        return self
+
     @property
     def batch_size(self) -> int:
         return self._batch
@@ -609,6 +653,7 @@ class TaylorAdaptiveBatch:
                         mp_order=self._mp_order,
                         pallas_phase=self._pallas_phase,
                     )
+                    self._pu_engine = "fused"
                     return jit_flat_step(pu)
                 except UnsupportedPallasOp:
                     if self._fused_prop is True:
@@ -620,8 +665,10 @@ class TaylorAdaptiveBatch:
                 mp_order=self._mp_order,
                 pallas_phase=self._pallas_phase,
             )
+            self._pu_engine = "flat"
             return jit_flat_step(pu)
         pu = _loops.make_propagate_until(self._fns)
+        self._pu_engine = "native" if self._nrt is not None else "loop"
         return jax.jit(
             jax.vmap(pu, in_axes=(0, 0, 0, 0, 0, 0, 0, None))
         )
@@ -705,7 +752,18 @@ class TaylorAdaptiveBatch:
 
         def run(fn):
             try:
-                jax.block_until_ready(fn())
+                res = fn()
+                jax.block_until_ready(res)
+                # force a host read: on remote platforms (axon tunnel)
+                # block_until_ready returns before the program actually
+                # runs, and the backend defers the Mosaic kernel compile
+                # to the first real execution — without this, warmup
+                # "finishes" while the ~5-10 min kernel compile is still
+                # pending and the user's first step()/propagate pays it
+                # (measured: warmup 104 s then first step 640 s at
+                # B=1024 without the read; ~0.07 s with it)
+                leaf = jax.tree.leaves(res)[0]
+                np.asarray(leaf).ravel()[:1]
             except Exception as e:  # surface compile errors to the caller
                 errs.append(e)
 

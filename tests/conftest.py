@@ -56,6 +56,32 @@ import heyoka_tpu as _hy  # noqa: E402
 _hy.s11n.enable_compilation_cache()
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy test (engine matrices, Pallas per-op sweeps, "
+        "fuzz runs); excluded from the default tier — select with "
+        "HEYOKA_SLOW_TESTS=1 or -m slow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers (VERDICT r4 item 9): the default selection is the
+    fast tier (<= ~4 min on the 1-vCPU CI host); the full tier — default
+    plus everything marked ``slow`` — runs with ``HEYOKA_SLOW_TESTS=1``
+    (see docs/testing.md)."""
+    if os.environ.get("HEYOKA_SLOW_TESTS") == "1":
+        return
+    if config.getoption("-m", default=""):
+        return  # explicit -m selection overrides the tier default
+    skip = pytest.mark.skip(
+        reason="slow tier (set HEYOKA_SLOW_TESTS=1 to include)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -157,7 +157,8 @@ def test_batch_event_overflow_replay_keeps_stopped_lanes():
     assert all(t <= 0.5 + 1e-12 for t in nhits[0])
 
 
-@pytest.mark.parametrize("pallas", [False, "dd-interpret"])
+@pytest.mark.parametrize("pallas", [
+    False, pytest.param("dd-interpret", marks=pytest.mark.slow)])
 def test_batch_events_flat_engine_matches_loop(states, pallas):
     # the flat/dd-Pallas engines drive the event jet (jet_mode); roots,
     # stop times and outcomes must match the loop engine lane by lane
@@ -193,6 +194,7 @@ def test_batch_events_flat_engine_matches_loop(states, pallas):
         np.testing.assert_allclose(hf, hl, rtol=0, atol=tol_t)
 
 
+@pytest.mark.slow
 def test_large_batch_f32_tier_matches_scalar():
     # B*n_ev >= 256 engages the certified-f32 isolation tier
     # (events_impl._make_tree_isolator_f32).  Rigor contract: identical
@@ -225,6 +227,7 @@ def test_large_batch_f32_tier_matches_scalar():
             assert db_ == ds_
 
 
+@pytest.mark.slow
 def test_large_batch_f32_tier_terminal_events():
     # terminal events through the f32 tier: every lane must stop at its
     # first v=0 crossing, matching the scalar integrator's event time
@@ -286,6 +289,7 @@ def test_full_driver_matches_chunked(states, monkeypatch):
     assert all(oc == 0 for oc in oc_f)
 
 
+@pytest.mark.slow
 def test_vectorized_nt_callback_matches_scalar():
     """The vectorized nt-callback protocol (cb.vectorized = True, array
     args) must deliver the same hits in the same per-lane chronological

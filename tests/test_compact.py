@@ -73,6 +73,7 @@ def test_compact_matches_unrolled(name, sys_, st, pars):
     np.testing.assert_allclose(b, a, rtol=0, atol=1e-13 * np.maximum(1.0, np.abs(a)).max())
 
 
+@pytest.mark.slow
 def test_compact_nbody():
     rng = np.random.default_rng(0)
     base = np.array(
@@ -143,6 +144,7 @@ def test_flat_and_mixed_match_loop():
     np.testing.assert_allclose(np.asarray(s3), np.asarray(s1), rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_flat_3d_unroll_staged_variants():
     # the 3-D layout / unrolled / staged variants of the flat engine must
     # agree with the baseline flat step (jit via jit_flat_step: XLA:CPU
@@ -256,6 +258,7 @@ def test_batch_integrator_flat_mode():
     np.testing.assert_array_equal(ta2.state, ta_f.state)
 
 
+@pytest.mark.slow
 def test_pallas_phase_matches_staged():
     # the VMEM-resident Pallas f32-phase kernel (pallas_phase.py, interpret
     # mode on CPU) must agree with the staged XLA phase to f32 roundoff
@@ -306,6 +309,7 @@ def test_pallas_phase_matches_staged():
         make_batched_step_flat(tape3, 13, pallas_phase="interpret", **kw2)
 
 
+@pytest.mark.slow
 def test_pallas_dd_jet_matches_f64():
     # the double-float (two-f32) full-jet kernel: dd orders must agree
     # with the f64 staged engine to ~2^-48, far beyond plain f32
@@ -418,6 +422,7 @@ def test_batch_integrator_flat_grid():
     np.testing.assert_allclose(ta_f.state, ta_l.state, rtol=0, atol=5e-13)
 
 
+@pytest.mark.slow
 def test_scaled_carry_extreme_time_units():
     # LEO-like two-body dynamics in km / km/s with time in SECONDS:
     # rho ~ 1e3, c_20 ~ 1e-60 — far outside the f32 coefficient range.
@@ -466,6 +471,7 @@ def test_scaled_carry_extreme_time_units():
         assert rel < 1e-13, (kw, rel)
 
 
+@pytest.mark.slow
 def test_pallas_piece_reads_mascon(monkeypatch):
     # Instance-regular huge-tape path (SURVEY #24, reference
     # parallel_mode workloads, src/taylor_01.cpp:1202-1247): the dd
@@ -536,6 +542,7 @@ def test_pallas_piece_reads_mascon(monkeypatch):
         assert d < tol, (k, d, tol)
 
 
+@pytest.mark.slow
 def test_pallas_row_split_matches_plain(monkeypatch):
     # Row-split VMEM scratch (H/C/V history classes,
     # pallas_phase._row_classes): tapes too wide for the dense

@@ -17,6 +17,9 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+#: compile-heavy module: slow tier (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 import heyoka_tpu as hy
 from heyoka_tpu.expr.decompose import taylor_decompose_sys
 

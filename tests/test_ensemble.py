@@ -89,6 +89,7 @@ def test_ensemble_batch_variants(rng):
     np.testing.assert_allclose(res["state"][1, 2], ta.state, rtol=0, atol=5e-14)
 
 
+@pytest.mark.slow
 def test_ensemble_terminal_event_stops_match_scalar(rng):
     # pure-stop terminal events ride the on-device ensemble driver; every
     # instance must stop at its own first turning point, bitwise equal to
@@ -166,6 +167,7 @@ def test_ensemble_grid_with_events(rng):
         )
 
 
+@pytest.mark.slow
 def test_ensemble_nt_events_recorded_and_sharded(rng):
     from jax.sharding import Mesh
 
@@ -354,6 +356,7 @@ def test_ensemble_batch_grid_with_events(rng):
         )
 
 
+@pytest.mark.slow
 def test_ensemble_mesh_fused_production_path(rng):
     # VERDICT r2 item 5: the PRODUCTION fused multi-step kernel under
     # shard_map.  A dd-interpret batch integrator (the CPU twin of the
@@ -400,6 +403,7 @@ def test_ensemble_mesh_fused_production_path(rng):
     )
 
 
+@pytest.mark.slow
 def test_ensemble_mesh_flat_ddinterpret_unfused(rng):
     # the per-step dd Pallas jet (fused_prop=False: every adaptive step is
     # one kernel launch) under shard_map — the second production engine
@@ -425,6 +429,7 @@ def test_ensemble_mesh_flat_ddinterpret_unfused(rng):
     np.testing.assert_array_equal(np.asarray(res_m["time"]), 10.0)
 
 
+@pytest.mark.slow
 def test_ensemble_mesh_row_split_kernel(rng, monkeypatch):
     # VERDICT r3 item 8: the row-split (compact_rows) dd jet kernel —
     # the huge-tape path — under shard_map on the CPU mesh, in

@@ -15,7 +15,8 @@ FAST = [
     "04_events.py",
     "05_variational.py",
     "10_checkpointing.py",
-    "13_physical_units_leo.py",
+    # geopotential LEO compiles ~100 s on CPU: slow tier
+    pytest.param("13_physical_units_leo.py", marks=pytest.mark.slow),
 ]
 
 

@@ -10,6 +10,9 @@ semantics (outcomes, statistics, exact landing) from
 import numpy as np
 import pytest
 
+#: compile-heavy module: slow tier (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -34,9 +34,13 @@ from heyoka_tpu.taylor.compact_loop import make_jet_fn_compact_loop
 N_SYS = int(os.environ.get("HEYOKA_FUZZ_N", "60"))
 MP = 8
 
-pytestmark = pytest.mark.skipif(
-    not native_available(), reason="native backend unavailable"
-)
+#: compile-heavy module: slow tier (see tests/conftest.py)
+pytestmark = [
+    pytest.mark.skipif(
+        not native_available(), reason="native backend unavailable"
+    ),
+    pytest.mark.slow,
+]
 
 
 def _gen_system(rng):

@@ -10,6 +10,9 @@ engine; kernel rules live in taylor/pallas_phase.py (_rule).
 import numpy as np
 import pytest
 
+#: compile-heavy module: slow tier (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 import heyoka_tpu as hy
 
 x, v = hy.make_vars("x", "v")

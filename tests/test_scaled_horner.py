@@ -21,6 +21,9 @@ now asserts lane finiteness.
 import numpy as np
 import pytest
 
+#: compile-heavy module: slow tier (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 import heyoka_tpu as hy
 from heyoka_tpu.models import egm2008_acc, egm2008_pot, get_egm2008_a, \
     get_egm2008_mu

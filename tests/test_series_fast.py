@@ -9,6 +9,9 @@ Reference anchor: the series evaluation behind
 import numpy as np
 import pytest
 
+#: compile-heavy module: slow tier (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 import heyoka_tpu as hy
 from heyoka_tpu.expr import series as S
 

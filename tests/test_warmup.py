@@ -8,6 +8,9 @@ use.
 import numpy as np
 import pytest
 
+#: compile-heavy module: slow tier (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 import heyoka_tpu as hy
 from heyoka_tpu.models import pendulum
 
