@@ -868,6 +868,9 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol,
             valid = valid & fexed[:, None]
             return _refine_roots(cs_, rlo, rhi, valid)
 
+        import os as _osd
+
+        _dbg = _osd.environ.get("HEYOKA_EV_DEBUG", "")
         if isolate32 is not None and R >= 256:
             # three-tier isolation (tools/profile_ev_sweep.py: the dense
             # f64 tree was 162 ms of a 173 ms HH chunk, and 27% fex
@@ -897,14 +900,21 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol,
             else:
                 rlo32, rhi32, v32, unsure = isolate32(cs)
             unsure = unsure & need
+            if "nounsure" in _dbg:  # profiling knob: drop the f64 tier
+                unsure = jnp.zeros_like(unsure)
             certified = need & ~unsure
             v32 = v32 & certified[:, None]
             rooted = jnp.any(v32, axis=1)
 
-            def _refine_sub(csx, rlox, rhix, vx):
-                return _refine_roots(
-                    csx, rlox.astype(dtype), rhix.astype(dtype), vx
-                )
+            if "norefine" in _dbg:  # profiling knob: midpoint "roots"
+                def _refine_sub(csx, rlox, rhix, vx):
+                    mid = (0.5 * (rlox + rhix)).astype(dtype)
+                    return mid, vx, jnp.ones_like(mid)
+            else:
+                def _refine_sub(csx, rlox, rhix, vx):
+                    return _refine_roots(
+                        csx, rlox.astype(dtype), rhix.astype(dtype), vx
+                    )
 
             Mr = min(R, max(64, R // 4))
             if Mr < R:
