@@ -444,23 +444,44 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
     #: pallas_phase._row_classes) when the dense (W, K+1) scratch
     #: doesn't fit.
     _pp_compact = False
+    _pp_rolled = False
     _bt_env = _os.environ.get("HEYOKA_PALLAS_BT")
     if _bt_env is not None:
         _bt = int(_bt_env)
     elif _pp_dd:
-        from .pallas_phase import auto_bt as _auto_bt
+        from .pallas_phase import (
+            auto_bt as _auto_bt,
+            auto_bt_rolled as _auto_bt_r,
+            rolled_supported as _rolled_ok,
+        )
 
         try:
             _bt = _auto_bt(plan, mp_order, K, None, 128)
         except _UPO:
-            # raises again (propagating to the auto-resolution fallback /
-            # the caller) if even the split scratch is too wide
-            _bt = _auto_bt(plan, mp_order, K, None, 128, compact=True)
+            # dense scratch does not fit: huge-tape regime.  Default to
+            # the ROLLED row-split kernel (O(#groups) Mosaic statements —
+            # the unrolled row-split kernel's compile was measured at
+            # 1,401 s at mascon-256, PERF.md round 4); the unrolled
+            # row-split kernel stays reachable with HEYOKA_PALLAS_ROLLED=0
+            # and remains the fallback for ops the rolled rules lack.
+            # Raises again (propagating to the auto-resolution fallback /
+            # the caller) if even the split scratch is too wide.
+            if (_os.environ.get("HEYOKA_PALLAS_ROLLED", "1") != "0"
+                    and _rolled_ok(plan)):
+                _bt = _auto_bt_r(plan, mp_order, K, None, 128)
+                _pp_rolled = True
+            else:
+                _bt = _auto_bt(plan, mp_order, K, None, 128, compact=True)
             _pp_compact = True
     else:
         _bt = 128
     if _pp_dd and _os.environ.get("HEYOKA_PALLAS_COMPACT") == "1":
         _pp_compact = True  # test/experiment knob
+    if _pp_dd and _os.environ.get("HEYOKA_PALLAS_ROLLED") == "1":
+        from .pallas_phase import rolled_supported as _rolled_ok2
+
+        if _rolled_ok2(plan):
+            _pp_compact = _pp_rolled = True  # force-rolled knob
     if _pp_compact and not (_pp_o0 and not _debug_tc):
         raise _UPO(
             "tape too wide for the dense VMEM scratch and the row-split "
@@ -499,7 +520,14 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             Bp = B
         fn = _pp_cache.get(Bp)
         if fn is None:
-            if _pp_dd:
+            if _pp_dd and _pp_rolled:
+                from .pallas_phase import (
+                    make_dd_jet_kernel_rolled as _mk_dd_r,
+                )
+
+                fn = _mk_dd_r(plan, mp_order, K, Bp, bt=_bt,
+                              interpret=_pp_interp, sv_extra=_pp_extra)
+            elif _pp_dd:
                 fn = _mk_dd(plan, mp_order, K, Bp, bt=_bt,
                             interpret=_pp_interp,
                             slim=not _debug_tc, order0=_pp_o0_mode,

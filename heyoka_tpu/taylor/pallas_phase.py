@@ -1815,6 +1815,620 @@ def make_dd_jet_kernel(plan, dd_until: int, K: int, B: int, *,
 
 
 # ---------------------------------------------------------------------------
+# rolled-order jet kernel for huge tapes (Mosaic compile-time fix)
+# ---------------------------------------------------------------------------
+
+#: ops the rolled kernel implements (conv-form recurrences with dynamic
+#: trip counts); tapes with anything else fall back to the unrolled
+#: row-split kernel
+_ROLLED_OPS = {"sum", "mul", "div", "sqrt", "pow", "exp", "log",
+               "sin", "cos", "sinh", "cosh"}
+
+
+def rolled_supported(plan) -> bool:
+    try:
+        _validate(plan)
+    except UnsupportedPallasOp:
+        return False
+    if not order0_supported(plan):
+        return False
+    for lv in plan.levels:
+        for g in lv:
+            if g.name not in _ROLLED_OPS or g.name in _SYNTH:
+                return False
+    return True
+
+
+def make_dd_jet_kernel_rolled(plan, dd_until: int, K: int, B: int, *,
+                              bt: int = 128, interpret: bool = False,
+                              sv_extra=None):
+    """Rolled-order row-split jet kernel for huge tapes (SURVEY #24).
+
+    Same contract as :func:`make_dd_jet_kernel` with ``slim=True,
+    order0="dd", compact_rows=True`` — compact ``(n_in, 2, B)`` seeds in,
+    ``(chi (n_sv, K+1, B), clo (n_sv, dd_until+1, B), nrm (4, B))`` out,
+    scaled-coefficient carry — but the Taylor orders run inside
+    ``lax.fori_loop``s with the coefficient buffers laid out ORDER-MAJOR
+    (``(K+1, WH, bt)``), so the emitted Mosaic program is O(#groups)
+    statements instead of the unrolled kernel's O(K^2 · chunks · groups):
+    the difference between the measured 1,401 s Mosaic compile at
+    mascon-256 and tens of seconds, and the reason mascon-512-class tapes
+    compile at all.  Convolution trip counts are dynamic (``fori(0, k+1)``)
+    — no masked full-window waste — and the per-term reads are
+    dynamically indexed pages on the buffer's MAJOR axis, the
+    best-supported dynamic-addressing case on Mosaic.
+
+    Values differ from the unrolled kernels only by floating-point
+    association order (sequential convolution accumulation instead of
+    blockified tree reductions) — same error budget, not bit-identical;
+    accuracy is asserted against the f64 oracle in
+    ``tests/test_pallas_rolled.py``.
+
+    Reference context: compact mode + parallel mode are the reference's
+    huge-ODE machinery (``src/taylor_02.cpp:1194``, ``taylor_01.cpp:1202``);
+    the rolled kernel is their TPU-native replacement for tapes of 10^3-10^4
+    u-vars.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _validate(plan)
+    if not order0_supported(plan):
+        raise UnsupportedPallasOp(
+            "rolled kernel needs in-kernel dd order 0")
+    for lv in plan.levels:
+        for g in lv:
+            if g.name not in _ROLLED_OPS or g.name in _SYNTH:
+                raise UnsupportedPallasOp(f"rolled: {g.name}")
+
+    F32, DD = _mk_arith(jnp, barriers=interpret)
+    f32 = np.float32
+
+    W = plan.width
+    n_eq = plan.n_eq
+    bt = min(bt, B)
+    if B % bt != 0:
+        raise ValueError(f"batch {B} not divisible by tile {bt}")
+
+    extra = (np.asarray(sv_extra, np.int64)
+             if sv_extra is not None else np.zeros((0,), np.int64))
+    n_sv = n_eq + extra.size
+    norm_cols = (np.concatenate([np.arange(n_eq), plan.out_cols])
+                 if plan.out_cols.size else np.arange(n_eq))
+
+    classv, rowmap, (WH, WC, WV), gclass = _row_classes(
+        plan, sv_extra=extra)
+    WCp, WVp = max(WC, 8), max(WV, 8)
+    n_u = (W - len(plan.const_cols) - len(plan.par_cols)
+           - (1 if plan.time_col is not None else 0))
+    n_v_in = W - n_u - (1 if plan.time_col is not None else 0)
+    n_in = n_eq + 1 + n_v_in
+
+    gops = [(g, _opsets(g)) for lv in plan.levels for g in lv]
+
+    # static per-column-set run decompositions (class, mapped rows,
+    # contig/pieces), computed once at trace time
+    _run_cache: dict = {}
+
+    def _runs(cols):
+        cols = np.asarray(cols, np.int64)
+        key = cols.tobytes()
+        r = _run_cache.get(key)
+        if r is not None:
+            return r
+        cv = classv[cols]
+        brk = np.flatnonzero(np.diff(cv) != 0)
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), brk + 1, np.array([cols.size])])
+        out = []
+        for si in range(starts.size - 1):
+            s, e = int(starts[si]), int(starts[si + 1])
+            run = rowmap[cols[s:e]]
+            c = _contig(run)
+            p = None if c else _read_pieces(run)
+            out.append((int(cv[s]), run, c, p))
+        _run_cache[key] = out
+        return out
+
+    def _read_buf(buf2d, run, c, p, btk, wlim):
+        """rows of one run from a (rows, bt)-indexable view."""
+        if c:
+            return buf2d(c[0], c[1])
+        if p is not None:
+            return _pieces_read_ref(jnp, buf2d, p, btk, wlim)
+        return jnp.concatenate(
+            [buf2d(int(r0), int(r0) + 1) for r0 in run], axis=0)
+
+    def kernel(hi_ref, lo_ref, chi_ref, clo_ref, nrm_ref,
+               Hhi, Hlo, Chi, Clo, Vhi, Vlo):
+        btk = hi_ref.shape[2]
+        Hhi[...] = jnp.zeros((K + 1, WH, btk), jnp.float32)
+        Hlo[...] = jnp.zeros((dd_until + 1, WH, btk), jnp.float32)
+        Chi[...] = jnp.zeros((WCp, btk), jnp.float32)
+        Clo[...] = jnp.zeros((WCp, btk), jnp.float32)
+        Vhi[...] = jnp.zeros((WVp, btk), jnp.float32)
+        Vlo[...] = jnp.zeros((WVp, btk), jnp.float32)
+
+        # ---- seeds: state rows, static block, time column -------------
+        Hhi[0, 0:n_eq, :] = hi_ref[0:n_eq, 0, :]
+        Hlo[0, 0:n_eq, :] = lo_ref[0:n_eq, 0, :]
+        tcol = plan.time_col
+        if n_v_in > 0:
+            Vhi[0:n_v_in, :] = hi_ref[n_eq + 1:n_in, 0, :]
+            Vlo[0:n_v_in, :] = lo_ref[n_eq + 1:n_in, 0, :]
+        if tcol is not None:
+            tr = int(rowmap[tcol])
+            Hhi[0, tr:tr + 1, :] = hi_ref[n_eq:n_eq + 1, 0, :]
+            Hlo[0, tr:tr + 1, :] = lo_ref[n_eq:n_eq + 1, 0, :]
+            Hhi[1, tr:tr + 1, :] = hi_ref[n_eq:n_eq + 1, 1, :]
+            Hlo[1, tr:tr + 1, :] = lo_ref[n_eq:n_eq + 1, 1, :]
+
+        sig_box = [None]  # established after order 1
+
+        # ---- reads ----------------------------------------------------
+        def read_ord(j, cols, dd):
+            """(hi[, lo]) value of tape ``cols`` at order ``j`` (static
+            int or traced); conv operands only (H/V classes)."""
+            traced = not isinstance(j, (int, np.integer))
+            his, los = [], []
+            for cls, run, c, p in _runs(cols):
+                assert cls != 1, "C-class column in a conv operand"
+                if cls == 0:
+                    hi = _read_buf(lambda a, b: Hhi[j, a:b, :],
+                                   run, c, p, btk, WH)
+                    lo = (_read_buf(lambda a, b: Hlo[j, a:b, :],
+                                    run, c, p, btk, WH)
+                          if dd else None)
+                else:  # V: order-0 values, zero above
+                    hi = _read_buf(lambda a, b: Vhi[a:b, :],
+                                   run, c, p, btk, WVp)
+                    lo = (_read_buf(lambda a, b: Vlo[a:b, :],
+                                    run, c, p, btk, WVp)
+                          if dd else None)
+                    if traced:
+                        m0 = (j == 0).astype(jnp.float32)
+                        hi = hi * m0
+                        if dd:
+                            lo = lo * m0
+                    elif j != 0:
+                        hi = jnp.zeros_like(hi)
+                        if dd:
+                            lo = jnp.zeros_like(lo)
+                his.append(hi)
+                los.append(lo)
+            hi = his[0] if len(his) == 1 else jnp.concatenate(his, axis=0)
+            if not dd:
+                return (hi,)
+            lo = los[0] if len(los) == 1 else jnp.concatenate(los, axis=0)
+            return (hi, lo)
+
+        def read_cur(k, cols, dd):
+            """current-order read (sum args, div numerators): C runs come
+            from the current-order scratch; V runs are zero for k >= 1."""
+            traced = not isinstance(k, (int, np.integer))
+            his, los = [], []
+            for cls, run, c, p in _runs(cols):
+                if cls == 0:
+                    hi = _read_buf(lambda a, b: Hhi[k, a:b, :],
+                                   run, c, p, btk, WH)
+                    lo = (_read_buf(lambda a, b: Hlo[k, a:b, :],
+                                    run, c, p, btk, WH)
+                          if dd else None)
+                elif cls == 1:
+                    hi = _read_buf(lambda a, b: Chi[a:b, :],
+                                   run, c, p, btk, WCp)
+                    lo = (_read_buf(lambda a, b: Clo[a:b, :],
+                                    run, c, p, btk, WCp)
+                          if dd else None)
+                else:
+                    if traced or k != 0:
+                        # rolled bodies run at k >= 2: statically zero
+                        hi = jnp.zeros((run.size, btk), jnp.float32)
+                        lo = jnp.zeros_like(hi) if dd else None
+                    else:
+                        hi = _read_buf(lambda a, b: Vhi[a:b, :],
+                                       run, c, p, btk, WVp)
+                        lo = (_read_buf(lambda a, b: Vlo[a:b, :],
+                                        run, c, p, btk, WVp)
+                              if dd else None)
+                his.append(hi)
+                los.append(lo)
+            hi = his[0] if len(his) == 1 else jnp.concatenate(his, axis=0)
+            if not dd:
+                return (hi,)
+            lo = los[0] if len(los) == 1 else jnp.concatenate(los, axis=0)
+            return (hi, lo)
+
+        def store_ord(k, g, vals, dd):
+            a0, m = g.out_start, g.out_cols.size
+            cv = classv[a0:a0 + m]
+            brk = np.flatnonzero(np.diff(cv) != 0)
+            starts = np.concatenate(
+                [np.zeros(1, np.int64), brk + 1, np.array([m])])
+            for si in range(starts.size - 1):
+                s, e = int(starts[si]), int(starts[si + 1])
+                r0 = int(rowmap[a0 + s])
+                n = e - s
+                if int(cv[s]) == 0:
+                    Hhi[k, r0:r0 + n, :] = vals[0][s:e]
+                    if dd:
+                        Hlo[k, r0:r0 + n, :] = vals[1][s:e]
+                else:
+                    Chi[r0:r0 + n, :] = vals[0][s:e]
+                    if dd:
+                        Clo[r0:r0 + n, :] = vals[1][s:e]
+
+        # ---- dd scalar helpers (traced (1, bt) vectors; Mosaic cannot
+        # bitcast scalars, so scalar dd arithmetic runs on 1-row tiles)
+        def _cvec(x):
+            return jnp.zeros((1, btk), jnp.float32) + x
+
+        def _dd_c(x):
+            return (_cvec(x), jnp.zeros((1, btk), jnp.float32))
+
+        def _pairc(c):
+            hi = f32(c)
+            return float(hi), float(c) - float(hi)
+
+        # ---- generic order-k emission --------------------------------
+        def _loop(lo_b, hi_b, body, init, k):
+            if isinstance(k, (int, np.integer)):
+                acc = init
+                for j in range(lo_b, hi_b):
+                    acc = body(j, acc)
+                return acc
+            return lax.fori_loop(lo_b, hi_b, body, init)
+
+        def emit_order(k, dd):
+            A = DD if dd else F32
+            traced = not isinstance(k, (int, np.integer))
+            if traced:
+                kf = k.astype(jnp.float32)
+                if dd:
+                    inv_k = DD.div(_dd_c(1.0), (_cvec(kf),
+                                                jnp.zeros((1, btk), f32)))
+                else:
+                    inv_k = (_cvec(1.0 / kf),)
+            else:
+                kf = float(k)
+                if dd:
+                    ih, il = _pairc(1.0 / k)
+                    inv_k = (_cvec(ih), _cvec(il))
+                else:
+                    inv_k = (_cvec(f32(1.0 / k)),)
+            sig = sig_box[0]
+
+            def _jf(j):
+                return (j.astype(jnp.float32)
+                        if not isinstance(j, (int, np.integer))
+                        else f32(j))
+
+            def zero_nn(m):
+                z = jnp.zeros((m, btk), jnp.float32)
+                return (z, z) if dd else (z,)
+
+            # state rows: sv_k = rhs_{k-1} / k (x sig once established)
+            prev = read_ord((k - 1) if traced else int(k - 1),
+                            np.asarray(plan.rhs_cols), dd)
+            sv = (DD.mul(prev, inv_k) if dd
+                  else (prev[0] * inv_k[0],))
+            if sig is not None:
+                sv = tuple(c * sig for c in sv)
+            Hhi[k, 0:n_eq, :] = sv[0]
+            if dd:
+                Hlo[k, 0:n_eq, :] = sv[1]
+
+            for g, colsets in gops:
+                name = g.name
+                m = g.out_cols.size
+
+                def rd(j, cols):
+                    return read_ord(j, cols, dd)
+
+                if name == "sum":
+                    vals = None
+                    for a in range(g.in_cols.shape[1]):
+                        cols = g.in_cols[:, a]
+                        if np.all(classv[np.asarray(cols)] == 2):
+                            continue  # static args vanish above order 0
+                        v = read_cur(k, cols, dd)
+                        vals = v if vals is None else (
+                            DD.add(vals, v) if dd
+                            else (vals[0] + v[0],))
+                    if vals is None:
+                        vals = zero_nn(m)
+                elif name == "mul":
+                    ca, cb = g.in_cols[:, 0], g.in_cols[:, 1]
+
+                    def mbody(j, acc, ca=ca, cb=cb):
+                        return A.acc(acc, A.mul_nn(rd(j, ca),
+                                                   rd(k - j, cb)))
+
+                    acc = _loop(0, (k + 1) if traced else int(k) + 1,
+                                mbody, zero_nn(m), k)
+                    vals = A.fin(acc)
+                elif name == "div":
+                    cb = g.in_cols[:, 1]
+                    oc = g.out_cols
+
+                    def dbody(j, acc, oc=oc, cb=cb):
+                        return A.acc(acc, A.mul_nn(rd(j, oc),
+                                                   rd(k - j, cb)))
+
+                    acc = _loop(0, k if traced else int(k),
+                                dbody, zero_nn(m), k)
+                    a_k = read_cur(k, g.in_cols[:, 0], dd)
+                    num = (DD.sub(a_k, DD.fin(acc)) if dd
+                           else (a_k[0] - acc[0],))
+                    vals = (DD.div(num, rd(0, cb)) if dd
+                            else (num[0] / rd(0, cb)[0],))
+                elif name == "sqrt":
+                    oc = g.out_cols
+
+                    def sbody(j, acc, oc=oc):
+                        return A.acc(acc, A.mul_nn(rd(j, oc),
+                                                   rd(k - j, oc)))
+
+                    acc = _loop(1, k if traced else int(k),
+                                sbody, zero_nn(m), k)
+                    b_k = read_cur(k, g.in_cols[:, 0], dd)
+                    num = (DD.sub(b_k, DD.fin(acc)) if dd
+                           else (b_k[0] - acc[0],))
+                    half = ((num[0] * f32(0.5), num[1] * f32(0.5))
+                            if dd else (num[0] * f32(0.5),))
+                    vals = (DD.div(half, rd(0, oc)) if dd
+                            else (half[0] / rd(0, oc)[0],))
+                elif name == "pow":
+                    av = float(np.unique(np.asarray(g.alpha))[0])
+                    cb = g.in_cols[:, 0]
+                    oc = g.out_cols
+                    avh, avl = _pairc(av)
+
+                    def pbody(j, acc, oc=oc, cb=cb):
+                        jf = _jf(j)
+                        t = A.mul_nn(rd(j, oc), rd(k - j, cb))
+                        # w = alpha*(k-j) - j, dd-accurate (k-j and j are
+                        # exact small-int f32s; keep alpha's low bits and
+                        # the two_sum residual like DD.wvec)
+                        kmj = _cvec(kf - jf)
+                        if dd:
+                            z1 = jnp.zeros((1, btk), f32)
+                            n0 = DD.mul_nn((kmj, z1),
+                                           (_cvec(avh), _cvec(avl)))
+                            w = DD.fin(DD.acc(n0, (-_cvec(jf), z1)))
+                            t = DD.mul_nn(t, w)
+                        else:
+                            t = (t[0] * (kmj * f32(av) - _cvec(jf)),)
+                        return A.acc(acc, t)
+
+                    acc = _loop(0, k if traced else int(k),
+                                pbody, zero_nn(m), k)
+                    s = A.fin(acc)
+                    s = (DD.mul(s, inv_k) if dd
+                         else (s[0] * inv_k[0],))
+                    vals = (DD.div(s, rd(0, cb)) if dd
+                            else (s[0] / rd(0, cb)[0],))
+                elif name == "exp":
+                    cb = g.in_cols[:, 0]
+                    oc = g.out_cols
+
+                    def ebody(j, acc, oc=oc, cb=cb):
+                        jf = _jf(j)
+                        t = A.mul_nn(rd(j, cb), rd(k - j, oc))
+                        if dd:
+                            t = DD.mul_nn(
+                                t, (_cvec(jf), jnp.zeros((1, btk), f32)))
+                        else:
+                            t = (t[0] * _cvec(jf),)
+                        return A.acc(acc, t)
+
+                    acc = _loop(1, (k + 1) if traced else int(k) + 1,
+                                ebody, zero_nn(m), k)
+                    s = A.fin(acc)
+                    vals = (DD.mul(s, inv_k) if dd
+                            else (s[0] * inv_k[0],))
+                elif name in ("sin", "cos", "sinh", "cosh"):
+                    sign = -1.0 if name == "cos" else 1.0
+                    cb, cp = g.in_cols[:, 0], g.aux["pair"]
+
+                    def tbody(j, acc, cb=cb, cp=cp):
+                        jf = _jf(j)
+                        t = A.mul_nn(rd(j, cb), rd(k - j, cp))
+                        w = _cvec(jf * f32(sign))
+                        if dd:
+                            t = DD.mul_nn(
+                                t, (w, jnp.zeros((1, btk), f32)))
+                        else:
+                            t = (t[0] * w,)
+                        return A.acc(acc, t)
+
+                    acc = _loop(1, (k + 1) if traced else int(k) + 1,
+                                tbody, zero_nn(m), k)
+                    s = A.fin(acc)
+                    vals = (DD.mul(s, inv_k) if dd
+                            else (s[0] * inv_k[0],))
+                elif name == "log":
+                    cb = g.in_cols[:, 0]
+                    oc = g.out_cols
+
+                    def lbody(j, acc, oc=oc, cb=cb):
+                        jf = _jf(j)
+                        t = A.mul_nn(rd(j, oc), rd(k - j, cb))
+                        if dd:
+                            t = DD.mul_nn(
+                                t, (_cvec(jf), jnp.zeros((1, btk), f32)))
+                        else:
+                            t = (t[0] * _cvec(jf),)
+                        return A.acc(acc, t)
+
+                    acc = _loop(1, k if traced else int(k),
+                                lbody, zero_nn(m), k)
+                    s = A.fin(acc)
+                    s = (DD.mul(s, inv_k) if dd
+                         else (s[0] * inv_k[0],))
+                    b_k = read_cur(k, cb, dd)
+                    num = (DD.sub(b_k, s) if dd
+                           else (b_k[0] - s[0],))
+                    vals = (DD.div(num, rd(0, cb)) if dd
+                            else (num[0] / rd(0, cb)[0],))
+                else:  # pragma: no cover - gated above
+                    raise UnsupportedPallasOp(name)
+                store_ord(k, g, vals, dd)
+
+        # ---- order 0 (dd, static) ------------------------------------
+        for g, _cs in gops:
+            def in0(c, g=g):
+                v = read_cur(0, g.in_cols[:, c], True)
+                return v
+
+            name = g.name
+            if name == "sum":
+                v = in0(0)
+                for a in range(1, g.in_cols.shape[1]):
+                    v = DD.add(v, in0(a))
+            elif name == "mul":
+                v = DD.mul(in0(0), in0(1))
+            elif name == "div":
+                v = DD.div(in0(0), in0(1))
+            elif name == "sqrt":
+                v = DD.sqrt(in0(0))
+            elif name == "pow":
+                av = float(np.unique(np.asarray(g.alpha))[0])
+                v = DD.pow_half(in0(0), av)
+            else:  # pragma: no cover - gated by order0_supported
+                raise UnsupportedPallasOp(name)
+            store_ord(0, g, v, True)
+
+        def _nmax(j):
+            out = None
+            for cls, run, c, p in _runs(norm_cols):
+                assert cls == 0, "norm cols not H"
+                v = jnp.max(jnp.abs(_read_buf(
+                    lambda a, b: Hhi[j, a:b, :], run, c, p, btk, WH)),
+                    axis=0)
+                out = v if out is None else jnp.maximum(out, v)
+            return out
+
+        # ---- order 1 (static) + scale establishment ------------------
+        if K >= 1:
+            emit_order(1, dd_until >= 1)
+            m0s = _nmax(0)
+            m1s = _nmax(1)
+            est = jnp.maximum(m0s, 1.0) / jnp.maximum(m1s, 1e-30)
+            sig_e = jnp.clip(jnp.round(
+                jnp.log2(jnp.maximum(est, 1e-30))), -60.0, 60.0
+            ).astype(jnp.int32)
+            neg_s = sig_e < 0
+            rem_s = jnp.abs(sig_e)
+            sig = jnp.ones_like(est)
+            for _j in range(6):
+                _p = 1 << _j
+                _fac = jnp.where(neg_s, jnp.float32(2.0 ** -_p),
+                                 jnp.float32(2.0 ** _p))
+                sig = sig * jnp.where((rem_s & _p) != 0, _fac,
+                                      jnp.float32(1.0))
+            Hhi[1, :, :] = Hhi[1, :, :] * sig
+            if dd_until >= 1:
+                Hlo[1, :, :] = Hlo[1, :, :] * sig
+            sig_box[0] = sig
+
+        # ---- rolled loops --------------------------------------------
+        if dd_until >= 2:
+            def body_dd(k, c):
+                emit_order(k, True)
+                return c
+
+            lax.fori_loop(2, dd_until + 1, body_dd, 0)
+        if K > dd_until:
+            def body_f32(k, c):
+                emit_order(k, False)
+                return c
+
+            lax.fori_loop(max(dd_until + 1, 2), K + 1, body_f32, 0)
+
+        # ---- outputs --------------------------------------------------
+        sv_rows = list(range(n_eq)) + [int(rowmap[int(xc)])
+                                       for xc in extra]
+        for k in range(K + 1):
+            rows_hi = [Hhi[k, 0:n_eq, :]] + [
+                Hhi[k, xr:xr + 1, :] for xr in sv_rows[n_eq:]]
+            chi_ref[:, k, :] = (rows_hi[0] if len(rows_hi) == 1
+                                else jnp.concatenate(rows_hi, axis=0))
+            if k <= dd_until:
+                rows_lo = [Hlo[k, 0:n_eq, :]] + [
+                    Hlo[k, xr:xr + 1, :] for xr in sv_rows[n_eq:]]
+                clo_ref[:, k, :] = (rows_lo[0] if len(rows_lo) == 1
+                                    else jnp.concatenate(rows_lo, axis=0))
+        nrm_ref[0, :] = _nmax(K - 1)
+        nrm_ref[1, :] = _nmax(K)
+        nrm_ref[2, :] = _nmax(0)
+        nrm_ref[3, :] = sig_box[0]
+
+    z32 = np.int32(0)
+    out_specs = [
+        pl.BlockSpec((n_sv, K + 1, bt), lambda i: (z32, z32, i)),
+        pl.BlockSpec((n_sv, dd_until + 1, bt), lambda i: (z32, z32, i)),
+        pl.BlockSpec((4, bt), lambda i: (z32, i)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_sv, K + 1, B), jnp.float32),
+        jax.ShapeDtypeStruct((n_sv, dd_until + 1, B), jnp.float32),
+        jax.ShapeDtypeStruct((4, B), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((K + 1, WH, bt), jnp.float32),
+        pltpu.VMEM((dd_until + 1, WH, bt), jnp.float32),
+        pltpu.VMEM((WCp, bt), jnp.float32),
+        pltpu.VMEM((WCp, bt), jnp.float32),
+        pltpu.VMEM((WVp, bt), jnp.float32),
+        pltpu.VMEM((WVp, bt), jnp.float32),
+    ]
+    call_kw = dict(
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((n_in, 2, bt), lambda i: (z32, z32, i)),
+            pl.BlockSpec((n_in, 2, bt), lambda i: (z32, z32, i)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )
+    if interpret:
+        call_kw["interpret"] = True
+    else:
+        call_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        )
+    return pl.pallas_call(kernel, **call_kw)
+
+
+def auto_bt_rolled(plan, dd_until: int, K: int, B: int | None,
+                   bt: int = 128):
+    """VMEM-fit check for the rolled kernel: order-major H history +
+    C/V scratch + ~8 live (max_m, bt) convolution temporaries (no
+    staged histories, no (chunk, K+1) blocks)."""
+    _, _, (WH, WC, WV), _ = _row_classes(plan)
+    n_in = plan.n_eq + 1 + len(plan.const_cols) + len(plan.par_cols)
+    max_m = max(g.out_cols.size for lv in plan.levels for g in lv)
+    rows = (WH * (K + 1) + WH * (dd_until + 1)
+            + 2 * max(WC, 8) + 2 * max(WV, 8) + 8 * n_in
+            + 10 * max_m)
+    budget = 88 * 1024 * 1024
+    if 4 * rows * 128 > budget:
+        raise UnsupportedPallasOp(
+            f"tape too wide for the rolled VMEM scratch at bt=128 "
+            f"({4 * rows * 128 / 2**20:.0f} MiB > {budget / 2**20:.0f} "
+            f"MiB)")
+    while bt > 128 and (4 * rows * bt > budget
+                        or (B is not None and B % bt)):
+        bt //= 2
+    return max(bt, 128)
+
+
+# ---------------------------------------------------------------------------
 # fused multi-step kernel: N whole adaptive steps per lane in-kernel
 # ---------------------------------------------------------------------------
 
