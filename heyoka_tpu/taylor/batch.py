@@ -391,6 +391,11 @@ class TaylorAdaptiveBatch:
             pallas_phase=self._pallas_phase,
             mp_order=self._mp_order,
         )
+        meta = getattr(getattr(self, "_flat_step", None),
+                       "_engine_meta", None)
+        if meta is not None:
+            rep["pallas_compact"] = meta["pallas_compact"]
+            rep["pallas_rolled"] = meta["pallas_rolled"]
         if self._backend == "native":
             rep["propagate_engine"] = (
                 "native-cg" if self._ncg is not None else "native-interp"
@@ -1260,7 +1265,12 @@ class TaylorAdaptiveBatch:
             self._te_cooldowns, jnp.ones((self._batch,), bool),
             self._last_h, tc0,
         )
-        P = np.asarray(res["packed"])  # (B, 8): one transfer
+        # (B, 8 + 2*gcap): ONE transfer carries the summary and both
+        # global hit buffers (each extra np.asarray is a ~50 ms tunnel
+        # round trip on remote-attached backends)
+        PF = np.asarray(res["packed"])
+        P = PF[:, :8]
+        gcap = (PF.shape[1] - 8) // 2
         if P[:, 7].any():  # overflow: hit budget exceeded somewhere
             return None
         fwd = t >= self.time
@@ -1272,8 +1282,8 @@ class TaylorAdaptiveBatch:
         self._te_cooldowns = res["cooldowns"]
         counts = P[:, 6].astype(np.int32)
         if counts.any() and self._nt_events:
-            g_t = np.asarray(res["g_t"])
-            g_meta = np.asarray(res["g_meta"])
+            g_t = PF[:, 8:8 + gcap]
+            g_meta = PF[:, 8 + gcap:].astype(np.int64)
             if all(getattr(ev.callback, "vectorized", False)
                    for ev in self._nt_events):
                 # vectorized dispatch: ONE call per event with per-lane

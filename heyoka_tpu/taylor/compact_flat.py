@@ -1145,6 +1145,12 @@ def make_batched_step_flat(tape: Tape, order: int, *, dtype=None,
             return res.T, h, tc_b.transpose(2, 0, 1)
         return res.T, h
 
+    # engine provenance for engine_report()/assert_engine (opt_checks
+    # analog): which kernel variant the huge-tape ladder resolved to
+    step._engine_meta = dict(
+        pallas_phase=pallas_phase, pallas_compact=_pp_compact,
+        pallas_rolled=_pp_rolled, bt=_bt,
+    )
     return step
 
 
