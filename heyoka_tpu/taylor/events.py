@@ -782,19 +782,32 @@ def make_propagate_until_ev_batch_full(ev_step_b, order, n_eq, n_te, n_nte,
             return out
 
         out = lax.while_loop(cond, body, carry)
-        # one packed summary row per lane: a single host transfer carries
-        # every scalar diagnostic (all values exact in f64)
-        out["packed"] = jnp.stack(
+        # one packed row per lane: a SINGLE host transfer carries every
+        # scalar diagnostic AND the global hit buffers — on the tunneled
+        # backend each separate np.asarray is a ~50 ms round trip, and the
+        # three-transfer decode (packed, g_t, g_meta) was most of the
+        # end-to-end batch-event overhead beyond the device-side 2.0x
+        # (the reference's batch detection pass has no transfer at all,
+        # src/detail/event_detection.cpp:1733).  meta values are tiny
+        # integers (slot*4 + sgn), exact in any float dtype.
+        out["packed"] = jnp.concatenate(
             [
-                out["min_h"], out["max_h"],
-                out["nsteps"].astype(dtype),
-                out["outcome"].astype(dtype),
-                out["te_idx"].astype(dtype),
-                out["te_sgn"].astype(dtype),
-                out["counts"].astype(dtype),
-                out["overflow"].astype(dtype),
+                jnp.stack(
+                    [
+                        out["min_h"], out["max_h"],
+                        out["nsteps"].astype(dtype),
+                        out["outcome"].astype(dtype),
+                        out["te_idx"].astype(dtype),
+                        out["te_sgn"].astype(dtype),
+                        out["counts"].astype(dtype),
+                        out["overflow"].astype(dtype),
+                    ],
+                    1,
+                ),
+                out["g_t"],
+                out["g_meta"].astype(dtype),
             ],
-            1,
+            axis=1,
         )
         return out
 

@@ -872,11 +872,17 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol,
 
         _dbg = _osd.environ.get("HEYOKA_EV_DEBUG", "")
         if isolate32 is not None and R >= 256:
-            # three-tier isolation (tools/profile_ev_sweep.py: the dense
-            # f64 tree was 162 ms of a 173 ms HH chunk, and 27% fex
-            # survival overflowed the old R//8 sparse budget into it):
-            #   1. certified-f32 tree over ALL rows (MXU matmuls +
-            #      rigorous error bounds — no gathers, no budget);
+            # three-tier isolation over the GATHERED fex survivors
+            # (tools/profile_ev_sweep.py + /tmp tier measurements: the
+            # f32 tree over all R rows was 13.9 ms of the 35.7 ms HH
+            # chunk sweep — it is HBM-bound on the (R, n_nodes*(p+1))
+            # transients, so shrinking rows 3x shrinks the time ~3x;
+            # fex survival is 27% on HH, so a R/3 budget covers it with
+            # a dense-fallback cond for pathological steps):
+            #   0. gather rows that survive the exclusion check
+            #      (budget ~R/3, top_k compaction);
+            #   1. certified-f32 tree over the gathered rows (MXU
+            #      matmuls + rigorous error bounds);
             #   2. f64 refinement of the certified isolating intervals,
             #      gathered sparsely (only rows with roots);
             #   3. the f64 tree/CA/refine pipeline on the `unsure` rows
@@ -890,21 +896,6 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol,
             # B=1024 wanted 30 GB); lax.map caps the live footprint at
             # one tile while keeping the MXU matmuls large
             _TILE = 65536
-            if R > _TILE and R % _TILE == 0:
-                outs = lax.map(
-                    isolate32, cs.reshape(R // _TILE, _TILE, cs.shape[1])
-                )
-                rlo32, rhi32, v32, unsure = (
-                    o.reshape((R,) + o.shape[2:]) for o in outs
-                )
-            else:
-                rlo32, rhi32, v32, unsure = isolate32(cs)
-            unsure = unsure & need
-            if "nounsure" in _dbg:  # profiling knob: drop the f64 tier
-                unsure = jnp.zeros_like(unsure)
-            certified = need & ~unsure
-            v32 = v32 & certified[:, None]
-            rooted = jnp.any(v32, axis=1)
 
             if "norefine" in _dbg:  # profiling knob: midpoint "roots"
                 def _refine_sub(csx, rlox, rhix, vx):
@@ -916,57 +907,114 @@ def build_event_step_batch(fns, t_events, nt_events, dtype, tol,
                         csx, rlox.astype(dtype), rhix.astype(dtype), vx
                     )
 
-            Mr = min(R, max(64, R // 4))
-            if Mr < R:
-                over_r = jnp.sum(rooted) > Mr
-
-                def _sp_r(args):
-                    cs_, rlo_, rhi_, v_, rt = args
-                    keys, idx = lax.top_k(rt.astype(jnp.float32), Mr)
-                    s_s, v_s, d_s = _refine_sub(
-                        cs_[idx], rlo_[idx], rhi_[idx],
-                        v_[idx] & (keys > 0)[:, None],
+            def _three_tier(cs_, need_):
+                """tiers 1-3 over a row block; (Rs, MAX_ROOTS) flat."""
+                Rs = cs_.shape[0]
+                if Rs > _TILE and Rs % _TILE == 0:
+                    outs = lax.map(
+                        isolate32,
+                        cs_.reshape(Rs // _TILE, _TILE, cs_.shape[1])
                     )
-                    s_r = jnp.full((R, MAX_ROOTS), 2.0, dtype).at[idx].set(s_s)
+                    rlo32, rhi32, v32, unsure = (
+                        o.reshape((Rs,) + o.shape[2:]) for o in outs
+                    )
+                else:
+                    rlo32, rhi32, v32, unsure = isolate32(cs_)
+                unsure = unsure & need_
+                if "nounsure" in _dbg:  # profiling: drop the f64 tier
+                    unsure = jnp.zeros_like(unsure)
+                certified = need_ & ~unsure
+                v32 = v32 & certified[:, None]
+                rooted = jnp.any(v32, axis=1)
+
+                Mr = min(Rs, max(64, Rs // 2))
+                if Mr < Rs:
+                    over_r = jnp.sum(rooted) > Mr
+
+                    def _sp_r(args):
+                        csx, rlo_, rhi_, v_, rt = args
+                        keys, idx = lax.top_k(rt.astype(jnp.float32), Mr)
+                        s_s, v_s, d_s = _refine_sub(
+                            csx[idx], rlo_[idx], rhi_[idx],
+                            v_[idx] & (keys > 0)[:, None],
+                        )
+                        s_r = jnp.full((Rs, MAX_ROOTS), 2.0,
+                                       dtype).at[idx].set(s_s)
+                        v_r = jnp.zeros((Rs, MAX_ROOTS),
+                                        bool).at[idx].set(v_s)
+                        d_r = jnp.zeros((Rs, MAX_ROOTS),
+                                        dtype).at[idx].set(d_s)
+                        return s_r, v_r, d_r
+
+                    def _dn_r(args):
+                        csx, rlo_, rhi_, v_, rt = args
+                        return _refine_sub(csx, rlo_, rhi_,
+                                           v_ & rt[:, None])
+
+                    s_c, v_c, d_c = lax.cond(
+                        over_r, _dn_r, _sp_r,
+                        (cs_, rlo32, rhi32, v32, rooted)
+                    )
+                else:
+                    s_c, v_c, d_c = _refine_sub(cs_, rlo32, rhi32, v32)
+
+                Mu = min(Rs, max(32, Rs // 4))
+                if Mu < Rs:
+                    over_u = jnp.sum(unsure) > Mu
+
+                    def _sp_u(args):
+                        csx, un = args
+                        keys, idx = lax.top_k(un.astype(jnp.float32), Mu)
+                        s_s, v_s, d_s = _isolate_refine(csx[idx],
+                                                        keys > 0)
+                        s_r = jnp.full((Rs, MAX_ROOTS), 2.0,
+                                       dtype).at[idx].set(s_s)
+                        v_r = jnp.zeros((Rs, MAX_ROOTS),
+                                        bool).at[idx].set(v_s)
+                        d_r = jnp.zeros((Rs, MAX_ROOTS),
+                                        dtype).at[idx].set(d_s)
+                        return s_r, v_r, d_r
+
+                    def _dn_u(args):
+                        csx, un = args
+                        return _isolate_refine(csx, un)
+
+                    s_u, v_u, d_u = lax.cond(over_u, _dn_u, _sp_u,
+                                             (cs_, unsure))
+                else:
+                    s_u, v_u, d_u = _isolate_refine(cs_, unsure)
+
+                tu = unsure[:, None]
+                return (jnp.where(tu, s_u, s_c),
+                        jnp.where(tu, v_u, v_c),
+                        jnp.where(tu, d_u, d_c))
+
+            # tier 0: gather the fex survivors (multiple-of-128 budget
+            # keeps the MXU tiles aligned)
+            M1 = min(R, ((max(256, R // 3) + 127) // 128) * 128)
+            if M1 < R:
+                over1 = jnp.sum(need) > M1
+
+                def _sp1(args):
+                    cs_, need_ = args
+                    keys, idx = lax.top_k(need_.astype(jnp.float32), M1)
+                    s_s, v_s, d_s = _three_tier(cs_[idx], keys > 0)
+                    s_r = jnp.full((R, MAX_ROOTS), 2.0,
+                                   dtype).at[idx].set(s_s)
                     v_r = jnp.zeros((R, MAX_ROOTS), bool).at[idx].set(v_s)
                     d_r = jnp.zeros((R, MAX_ROOTS), dtype).at[idx].set(d_s)
                     return s_r, v_r, d_r
 
-                def _dn_r(args):
-                    cs_, rlo_, rhi_, v_, rt = args
-                    return _refine_sub(cs_, rlo_, rhi_, v_ & rt[:, None])
+                def _dn1(args):
+                    cs_, need_ = args
+                    return _three_tier(cs_, need_)
 
-                s_c, v_c, d_c = lax.cond(
-                    over_r, _dn_r, _sp_r, (cs, rlo32, rhi32, v32, rooted)
+                s_root, valid, d_sgn_s = lax.cond(
+                    over1, _dn1, _sp1, (cs, need)
                 )
             else:
-                s_c, v_c, d_c = _refine_sub(cs, rlo32, rhi32, v32)
+                s_root, valid, d_sgn_s = _three_tier(cs, need)
 
-            Mu = min(R, max(32, R // 8))
-            if Mu < R:
-                over_u = jnp.sum(unsure) > Mu
-
-                def _sp_u(args):
-                    cs_, un = args
-                    keys, idx = lax.top_k(un.astype(jnp.float32), Mu)
-                    s_s, v_s, d_s = _isolate_refine(cs_[idx], keys > 0)
-                    s_r = jnp.full((R, MAX_ROOTS), 2.0, dtype).at[idx].set(s_s)
-                    v_r = jnp.zeros((R, MAX_ROOTS), bool).at[idx].set(v_s)
-                    d_r = jnp.zeros((R, MAX_ROOTS), dtype).at[idx].set(d_s)
-                    return s_r, v_r, d_r
-
-                def _dn_u(args):
-                    cs_, un = args
-                    return _isolate_refine(cs_, un)
-
-                s_u, v_u, d_u = lax.cond(over_u, _dn_u, _sp_u, (cs, unsure))
-            else:
-                s_u, v_u, d_u = _isolate_refine(cs, unsure)
-
-            tu = unsure[:, None]
-            s_root = jnp.where(tu, s_u, s_c)
-            valid = jnp.where(tu, v_u, v_c)
-            d_sgn_s = jnp.where(tu, d_u, d_c)
             s_root = s_root.reshape(B, n_ev, MAX_ROOTS)
             valid = valid.reshape(B, n_ev, MAX_ROOTS)
             d_sgn_s = d_sgn_s.reshape(B, n_ev, MAX_ROOTS)

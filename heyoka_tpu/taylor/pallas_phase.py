@@ -2074,13 +2074,21 @@ def make_dd_jet_kernel_rolled(plan, dd_until: int, K: int, B: int, *,
             return float(hi), float(c) - float(hi)
 
         # ---- generic order-k emission --------------------------------
+        def _i32(v):
+            # under jax_enable_x64 Python-int loop bounds make the fori
+            # induction variable i64, which Mosaic's i32 index arithmetic
+            # rejects (arith.subi (i32, i64)); pin everything to i32
+            if isinstance(v, (int, np.integer)):
+                return jnp.int32(v)
+            return v.astype(jnp.int32)
+
         def _loop(lo_b, hi_b, body, init, k):
             if isinstance(k, (int, np.integer)):
                 acc = init
                 for j in range(lo_b, hi_b):
                     acc = body(j, acc)
                 return acc
-            return lax.fori_loop(lo_b, hi_b, body, init)
+            return lax.fori_loop(_i32(lo_b), _i32(hi_b), body, init)
 
         def emit_order(k, dd):
             A = DD if dd else F32
@@ -2341,13 +2349,15 @@ def make_dd_jet_kernel_rolled(plan, dd_until: int, K: int, B: int, *,
                 emit_order(k, True)
                 return c
 
-            lax.fori_loop(2, dd_until + 1, body_dd, 0)
+            lax.fori_loop(jnp.int32(2), jnp.int32(dd_until + 1),
+                          body_dd, jnp.int32(0))
         if K > dd_until:
             def body_f32(k, c):
                 emit_order(k, False)
                 return c
 
-            lax.fori_loop(max(dd_until + 1, 2), K + 1, body_f32, 0)
+            lax.fori_loop(jnp.int32(max(dd_until + 1, 2)),
+                          jnp.int32(K + 1), body_f32, jnp.int32(0))
 
         # ---- outputs --------------------------------------------------
         sv_rows = list(range(n_eq)) + [int(rowmap[int(xc)])
