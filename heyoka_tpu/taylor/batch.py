@@ -1215,11 +1215,11 @@ class TaylorAdaptiveBatch:
 
         # steps per device chunk: larger chunks amortize the per-chunk
         # tunnel round trip + host hit decode (HEYOKA_EV_CHUNK to tune;
-        # the deferred-isolation record budget caps it internally)
+        # the deferred-isolation record budget caps it internally); default 96: measured 2.97x end-to-end on the HH Poincare bench vs 3.12x at 64 (PERF.md round 5)
         pu = make_propagate_until_ev_batch(
             self._ev_step_raw, self._order, self.dim,
             len(self._t_events), len(self._nt_events),
-            chunk=int(_osm.environ.get("HEYOKA_EV_CHUNK", "64")),
+            chunk=int(_osm.environ.get("HEYOKA_EV_CHUNK", "96")),
         )
         # jit_flat_step: a flat-engine event jet inside the driver needs
         # the CPU pass workarounds (no-op on TPU)
@@ -1235,7 +1235,7 @@ class TaylorAdaptiveBatch:
         pu = make_propagate_until_ev_batch_full(
             self._ev_step_raw, self._order, self.dim,
             len(self._t_events), len(self._nt_events),
-            chunk=int(_osm.environ.get("HEYOKA_EV_CHUNK", "64")),
+            chunk=int(_osm.environ.get("HEYOKA_EV_CHUNK", "96")),
             gcap=int(_osm.environ.get("HEYOKA_EV_GCAP", "256")),
         )
         return jit_flat_step(pu) if self._flat else jax.jit(pu)
